@@ -1,0 +1,128 @@
+"""Fetch + extraction stages of one crawl round (SURVEY §2.3 / §3.2).
+
+In the hermetic sandbox a "fetch" is a join of the round's batch against
+the materialized ``site_pages`` corpus (the reference's HtmlUnit GET,
+``util/HtmlUtils.java:43-66``, becomes an equi-join); retries are column
+arithmetic (the reference re-fetches the same URL immediately up to
+``max_tries`` before moving on — ``actors/CrawlFetcher.java:82-117`` —
+so attempts never reorder the crawl); redirects adopt the target page's
+content (``actors/CrawlPage.java:55,140-141``).
+
+Extraction is model-driven: out-links are classified by a broadcast join
+on (page_class, xpath) — ``actors/CrawlExtractor.java:97-117``,
+``model/PageClass.java:212-218`` — and data records are assembled in
+data-link field order — ``model/PageClass.java:226-234``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CONTENT_COLS = ["out_links", "data_values", "image_id", "title", "true_class"]
+
+
+def fetch_batch(batch: DataFrame, site_pages: DataFrame, max_tries: int) -> DataFrame:
+    """Join the batch with the page corpus; resolve retries + redirects.
+
+    Returns the batch with content columns, ``final_url``, ``fetch_ok``
+    and ``attempts``.
+    """
+    pages = site_pages.select(
+        "url", "redirect_to", "fetch_fail_n", *_CONTENT_COLS
+    )
+    fetched = batch.join(pages, "url", "left")
+    fetched = fetched.withColumn(
+        "fetch_ok",
+        F.col("true_class").isNotNull()
+        & (F.coalesce(F.col("fetch_fail_n"), F.lit(0)) < F.lit(max_tries)),
+    ).withColumn(
+        "attempts",
+        F.least(F.coalesce(F.col("fetch_fail_n"), F.lit(0)) + 1, F.lit(max_tries)),
+    )
+    # redirect adoption: pull the target page's content
+    tgt = site_pages.select(
+        F.col("url").alias("redirect_to"),
+        *[F.col(c).alias(f"_t_{c}") for c in _CONTENT_COLS],
+    )
+    fetched = fetched.join(tgt, "redirect_to", "left")
+    for c in _CONTENT_COLS:
+        fetched = fetched.withColumn(
+            c,
+            F.when(
+                F.col("redirect_to").isNotNull(), F.col(f"_t_{c}")
+            ).otherwise(F.col(c)),
+        ).drop(f"_t_{c}")
+    return fetched.withColumn(
+        "final_url", F.coalesce(F.col("redirect_to"), F.col("url"))
+    )
+
+
+def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
+    """Explode out-links and pre-classify them via the navigation model.
+
+    Output: one row per (source page, xpath, href) with the destination
+    class/depth and a deterministic ``link_seq`` (xpath × position order)
+    used to resolve intra-batch duplicate URLs the way the reference's
+    sequential enqueue would.
+    """
+    exploded = fetched_ok.select(
+        F.col("page_class").alias("src_class"),
+        F.col("class_depth").alias("src_depth"),
+        F.col("url").alias("src_url"),
+        "host",
+        F.explode("out_links").alias("xpath", "hrefs"),
+    ).select(
+        "src_class", "src_depth", "src_url", "host", "xpath",
+        F.posexplode("hrefs").alias("href_pos", "url"),
+    )
+    model = class_links.select(
+        F.col("src_class"), F.col("xpath"), F.col("edge_pos"),
+        F.col("dst_class").alias("page_class"),
+        F.col("dst_depth").alias("class_depth"),
+    )
+    classified = exploded.join(F.broadcast(model), ["src_class", "xpath"], "inner")
+    # link_seq reproduces the reference's sequential enqueue order within
+    # one source page: model-file edge order, then position in the node list
+    return classified.select(
+        "url", "host", "page_class",
+        F.col("class_depth"),
+        F.col("page_class").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+        "src_depth", "src_class", "src_url",
+        (F.col("edge_pos").cast("long") * 1_000_000_000 + F.col("href_pos")).alias(
+            "link_seq"
+        ),
+    )
+
+
+def extract_records(fetched_ok: DataFrame, data_links: DataFrame) -> DataFrame:
+    """Assemble data records: one row per page with fields in data-link
+    order — ``(url, page_class, fields array<string>)``.
+
+    Missing values become "" (the reference writes empty CSV cells).
+    """
+    dl = data_links.select("src_class", "field_pos", "xpath")
+    joined = fetched_ok.select(
+        F.col("final_url").alias("url"),
+        F.col("page_class"),
+        "host",
+        "data_values",
+    ).join(
+        F.broadcast(dl),
+        F.col("page_class") == F.col("src_class"),
+        "inner",
+    )
+    vals = joined.withColumn(
+        "value",
+        F.coalesce(F.element_at(F.col("data_values"), F.col("xpath")), F.lit("")),
+    )
+    return (
+        vals.groupBy("url", "page_class", "host")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("field_pos", "value"))),
+                lambda s: s["value"],
+            ).alias("fields")
+        )
+    )

@@ -1,0 +1,146 @@
+"""Pure-Python oracle of the reference crawl semantics.
+
+This module re-implements, WITHOUT Spark, exactly what the reference does
+per site (one ``CrawlFrontier``+``CrawlQueue`` per seed):
+
+- best-first dequeue: TreeSet ordered by (class depth, class name, url,
+  form_params nulls-first) — ``model/CrawlURL.java:101-110``,
+  ``model/PageClass.java:462-468``;
+- enqueue-time dedup on the relative URL (``CrawlQueue.java:81-87``),
+  with the reference's relative-URL quirks (``CrawlURL.java:86-99``);
+- fetch with bounded retries: a URL is attempted up to ``max_tries``
+  times, succeeding iff its synthetic ``fetch_fail_n < max_tries``
+  (``actors/CrawlFetcher.java:82-117``);
+- redirect adoption: content + record come from the redirect target, the
+  target's relative URL joins the seen set (``CrawlPage.java:55,140-141``);
+- per-class link extraction + pre-classification via the navigation
+  model (``CrawlExtractor.java:97-117``), in model-file xpath order;
+- data-record extraction in data-link order (``PageClass.java:226-234``);
+- global page budget ``max_pages`` per seed (``CrawlFrontier.java:148-158``).
+
+The Spark engine's exact-match tests compare per-host crawl order, the
+final seen set, and all extracted records against this oracle.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from smart_crawler_spark.sources.targets import NavigationModel
+
+
+def relative_url(url: str, form_params: str | None = None) -> str:
+    s = urlsplit(url)
+    path, query = s.path, (s.query if s.query else None)
+    fp = "" if not form_params else ">" + form_params
+    if path == "/" or (path == "" and query is None):
+        return fp
+    if query is None:
+        return path + fp
+    return path + query + fp
+
+
+def seen_key(url: str, form_params: str | None = None) -> str:
+    return (urlsplit(url).netloc.lower()) + "|" + relative_url(url, form_params)
+
+
+@dataclass(order=True)
+class _Entry:
+    class_depth: int
+    class_name: str
+    url: str
+    form_params: str  # "" encodes null (sorts first, like the reference)
+
+
+@dataclass
+class OracleResult:
+    order: list[dict] = field(default_factory=list)   # seq,url,page_class,fetched
+    seen: set[str] = field(default_factory=set)        # canonical seen keys
+    records: list[dict] = field(default_factory=list)  # url,page_class,fields
+    frontier_left: int = 0
+
+
+def crawl_site(
+    pages: dict[str, dict],
+    model: NavigationModel,
+    seed_url: str,
+    max_pages: int = 1 << 30,
+    max_tries: int = 1,
+) -> OracleResult:
+    """Crawl one site exactly as the reference frontier would."""
+    res = OracleResult()
+    links_by_class: dict[str, list[dict]] = {}
+    for e in model.class_links:
+        links_by_class.setdefault(e["src_class"], []).append(e)
+    data_by_class: dict[str, list[dict]] = {}
+    for d in model.data_links:
+        data_by_class.setdefault(d["src_class"], []).append(d)
+
+    queue: list[_Entry] = []
+    in_queue: dict[str, str] = {}
+
+    def enqueue(url: str, cls: str) -> None:
+        # unknown class -> dropped BEFORE the visited set, like
+        # CrawlQueue.add(String,String) returning early on a null class
+        depth = model.depths.get(cls)
+        if depth is None:
+            return
+        key = seen_key(url)
+        if key in res.seen:
+            return
+        res.seen.add(key)
+        bisect.insort(queue, _Entry(depth, cls, url, ""))
+
+    enqueue(seed_url, model.root)
+    seq = 0
+    fetched = 0
+    while queue and fetched < max_pages:
+        e = queue.pop(0)
+        seq += 1
+        page = pages.get(e.url)
+        ok = page is not None and page.get("fetch_fail_n", 0) < max_tries
+        res.order.append(
+            {"seq": seq, "url": e.url, "page_class": e.class_name, "fetched": ok}
+        )
+        if not ok:
+            continue
+        fetched += 1
+        if page.get("redirect_to"):
+            final = page["redirect_to"]
+            res.seen.add(seen_key(final))
+            page = pages.get(final, page)
+        else:
+            final = e.url
+        for edge in links_by_class.get(e.class_name, []):
+            for href in page.get("out_links", {}).get(edge["xpath"], []):
+                enqueue(href, edge["dst_class"])
+        dls = data_by_class.get(e.class_name)
+        if dls:
+            vals = page.get("data_values", {})
+            res.records.append(
+                {
+                    "url": final,
+                    "page_class": e.class_name,
+                    "fields": [vals.get(d["xpath"], "") for d in dls],
+                }
+            )
+    res.frontier_left = len(queue)
+    return res
+
+
+def crawl_all(
+    pages_rows: list[dict],
+    model: NavigationModel,
+    seeds: list[str],
+    max_pages: int = 1 << 30,
+    max_tries: int = 1,
+) -> dict[str, OracleResult]:
+    """One independent frontier per seed, like the reference controller."""
+    by_url = {r["url"]: r for r in pages_rows}
+    out: dict[str, OracleResult] = {}
+    for seed in seeds:
+        host = urlsplit(seed).netloc.lower()
+        out[host] = crawl_site(by_url, model, seed, max_pages, max_tries)
+    return out

@@ -1,0 +1,83 @@
+"""Deterministic image+caption corpus (driver input_hint schema).
+
+Table: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash bigint). Pixels are a pure function of the image
+index (seeded PCG64 per id), so any two runs — and the Python oracle —
+agree byte-for-byte. fmt='png' rows carry a real PNG (this repo's pure
+numpy codec; lossless → decode allclose is exact). fmt='jpeg' rows carry
+a deterministic marked fake payload (no JPEG codec in the sandbox); the
+decode operator raises NotImplementedError for them unless fakes are
+allowed (operators/images.py), but the Spark plumbing is format-agnostic.
+
+Generation is distributed: ``spark.range(n)`` → ``mapInPandas`` — no
+driver-side materialization, scales to any corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from smart_crawler_spark.functions.png import encode_png, perceptual_hash
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+_WORDS = (
+    "amber basalt cedar delta ember fjord garnet harbor indigo juniper "
+    "krypton lagoon marble nectar onyx prairie quartz russet sienna tundra"
+).split()
+
+
+def image_pixels(idx: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for image index ``idx``."""
+    rng = np.random.Generator(np.random.PCG64(10_000_019 + idx))
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # add smooth structure so phash isn't pure noise
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((yy * 255 // max(h - 1, 1) + xx * (idx % 7 + 1)) % 256).astype(np.uint8)
+    return (base // 2 + grad[..., None] // 2).astype(np.uint8)
+
+
+def image_caption(idx: int) -> str:
+    rng = np.random.Generator(np.random.PCG64(20_000_003 + idx))
+    words = [_WORDS[i] for i in rng.integers(0, len(_WORDS), size=6)]
+    return f"Image {idx}: " + " ".join(words)
+
+
+def image_row(idx: int, jpeg_every: int = 0) -> dict:
+    w = 32 + (idx % 4) * 16
+    h = 24 + (idx % 3) * 16
+    fmt = "jpeg" if jpeg_every and idx % jpeg_every == jpeg_every - 1 else "png"
+    px = image_pixels(idx, w, h)
+    if fmt == "png":
+        data = encode_png(px)
+    else:
+        # deterministic fake payload, clearly marked (no JPEG codec here)
+        data = b"FAKEJPEG\x00" + px.tobytes()[:64]
+    return {
+        "image_id": f"img{idx}",
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": image_caption(idx),
+        "phash": perceptual_hash(px),
+    }
+
+
+def generate_images(
+    spark: SparkSession, n: int, jpeg_every: int = 10, partitions: int | None = None
+) -> DataFrame:
+    parts = partitions or min(max(1, n // 256), 64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([image_row(int(i), jpeg_every) for i in pdf["id"]])
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)

@@ -1,0 +1,24 @@
+from smart_crawler_spark.frontier.canonical import (
+    canonical_relative_url,
+    url_host,
+    url_seen_key,
+)
+from smart_crawler_spark.frontier.dedup import SeenFilter, dedup_new_urls
+from smart_crawler_spark.frontier.queue import (
+    FRONTIER_ORDER,
+    pick_batch,
+    priority_rank,
+)
+from smart_crawler_spark.frontier.checkpoint import CrawlCheckpoint
+
+__all__ = [
+    "canonical_relative_url",
+    "url_host",
+    "url_seen_key",
+    "SeenFilter",
+    "dedup_new_urls",
+    "FRONTIER_ORDER",
+    "pick_batch",
+    "priority_rank",
+    "CrawlCheckpoint",
+]

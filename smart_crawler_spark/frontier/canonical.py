@@ -1,0 +1,70 @@
+"""URL canonicalization — native Catalyst expressions, no Python UDFs.
+
+Reproduces the reference's dedup identity (what makes two URLs "the same
+page"), re-expressed as column functions so the whole seen-filter stays
+JVM-side:
+
+- the dedup key is the *relative* URL: ``path [+ query] [+ '>'+form_params]``
+  with the quirks of ``CrawlURL.getRelativeUrl`` (reference
+  ``model/CrawlURL.java:86-99``):
+    * fragment is always dropped (java.net.URI getPath/getQuery);
+    * a root path (``/`` or empty with no query) collapses to ``""`` — so
+      ``http://h/`` == ``http://h`` (``CrawlQueueTest.java:106-116``);
+    * when the path is ``/`` the query is dropped too (the reference
+      returns early before looking at the query);
+    * path and query are concatenated WITHOUT the ``?`` separator.
+- the reference SHA-1s the relative URL into a per-site visited set
+  (``actors/frontier/CrawlQueue.java:81-87,206-217``); we key globally by
+  ``xxhash64(host, relative)`` — 64-bit, JVM-side, and shardable by
+  ``pmod(hash, P)`` for the partition-owned bloom filters (north_rule:
+  canonicalized + hashed URLs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column | str) -> Column:
+    """Registrable host of an absolute URL (politeness / partitioning key)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def canonical_relative_url(
+    url: Column | str, form_params: Column | None = None
+) -> Column:
+    """The reference's relative-URL dedup identity as one expression."""
+    url = F.col(url) if isinstance(url, str) else url
+    path = F.parse_url(url, F.lit("PATH"))
+    query = F.parse_url(url, F.lit("QUERY"))
+    fp = (
+        F.lit("")
+        if form_params is None
+        else F.when(
+            form_params.isNull() | (form_params == ""), F.lit("")
+        ).otherwise(F.concat(F.lit(">"), form_params))
+    )
+    root_path = path.isNull() | (path == "/") | ((path == "") & query.isNull())
+    return (
+        F.when(root_path, fp)
+        .when(query.isNull(), F.concat(path, fp))
+        .otherwise(F.concat(path, query, fp))
+    )
+
+
+def url_seen_key(
+    url: Column | str, form_params: Column | None = None
+) -> Column:
+    """64-bit seen-set key: xxhash64(host || '|' || relative_url).
+
+    Collision note: at 10^10 URLs the 64-bit birthday bound gives ~0.3%
+    chance of ANY collision across the whole crawl — acceptable for a
+    seen-filter (a collision skips one page). Tests that require exactness
+    also carry the string key.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    return F.xxhash64(
+        F.concat_ws("|", url_host(url), canonical_relative_url(url, form_params))
+    )

@@ -1,0 +1,116 @@
+"""Crawl-state checkpointing + lossless resume (SURVEY §2.2 S8/F6).
+
+Reference: akka-persistence event-journals every StoreURL/NEXT/Completed
+message and replays them on restart, re-enqueueing in-flight URLs
+(``CrawlFrontier.java:80-106,118-146``). We re-express this as a
+*snapshot per crawl round*: after each round the engine writes
+
+    <root>/round=<n>/frontier/   (parquet)
+    <root>/round=<n>/seen/
+    <root>/round=<n>/in_flight/
+    <root>/round=<n>/metrics/    (per-partition lineage: partition_id,
+                                  fetched, deduped, enqueued)
+    <root>/round=<n>/_MANIFEST.json   (written LAST -> commit point)
+
+The manifest is the atomic commit marker (the stand-in for an Iceberg
+snapshot commit in this jar-less sandbox; on a cluster the same class
+writes Iceberg tables via ``format("iceberg")`` with snapshot-per-round).
+Resume = read the newest round with a manifest; in-flight URLs are
+unioned back into the frontier exactly like the reference's recovery
+re-enqueue (``CrawlQueue.recover``, bypassing the seen-filter).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PARTS = ("frontier", "seen", "in_flight", "metrics")
+
+
+@dataclass
+class Snapshot:
+    round: int
+    frontier: DataFrame
+    seen: DataFrame
+    in_flight: DataFrame
+    metrics: DataFrame
+    extras: dict
+
+
+class CrawlCheckpoint:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round={rnd}")
+
+    def write(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        in_flight: DataFrame,
+        metrics: DataFrame,
+        extras: dict | None = None,
+    ) -> None:
+        d = self._dir(rnd)
+        for name, df in zip(_PARTS, (frontier, seen, in_flight, metrics)):
+            df.write.mode("overwrite").parquet(os.path.join(d, name))
+        manifest = {
+            "round": rnd,
+            "parts": list(_PARTS),
+            "extras": extras or {},
+        }
+        tmp = os.path.join(d, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
+
+    def committed_rounds(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("round=") and os.path.exists(
+                os.path.join(self.root, name, "_MANIFEST.json")
+            ):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def latest(self) -> Snapshot | None:
+        rounds = self.committed_rounds()
+        if not rounds:
+            return None
+        rnd = rounds[-1]
+        d = self._dir(rnd)
+        with open(os.path.join(d, "_MANIFEST.json")) as f:
+            manifest = json.load(f)
+        dfs = {p: self.spark.read.parquet(os.path.join(d, p)) for p in _PARTS}
+        return Snapshot(
+            round=rnd,
+            frontier=dfs["frontier"],
+            seen=dfs["seen"],
+            in_flight=dfs["in_flight"],
+            metrics=dfs["metrics"],
+            extras=manifest.get("extras", {}),
+        )
+
+    def resume_frontier(self, snap: Snapshot) -> DataFrame:
+        """frontier ∪ in_flight — the reference's recovery re-enqueue."""
+        return snap.frontier.unionByName(
+            snap.in_flight.select(*snap.frontier.columns)
+        ).dropDuplicates(["url", "form_params"])
+
+
+def partition_metrics(df: DataFrame, counter: str) -> DataFrame:
+    """Per-partition lineage rows: (partition_id, <counter> count)."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias(counter)
+    )

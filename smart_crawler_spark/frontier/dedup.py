@@ -1,0 +1,209 @@
+"""URL-seen dedup filter (SURVEY §2.2 F1) — the crawl's hottest operator.
+
+Reference semantics: dedup happens at *enqueue* time against a per-site
+visited set of SHA-1(relative URL) (``CrawlQueue.java:81-100,206-217``).
+
+Scale design (north_rule: bloom/cuckoo URL-seen over canonicalized+hashed
+URLs, sharded so each partition owns its slice):
+
+1. **Exact layer** — the seen set is a table of ``(url_hash: long,
+   shard: int)`` hash-partitioned by ``shard = pmod(url_hash, P)``.
+   New candidates are deduped with a ``left_anti`` join on ``url_hash``
+   after repartitioning both sides by ``shard``; at 10^10 keys this is a
+   co-partitioned shuffle-hash join, never a broadcast.
+2. **Approximate prefilter** — each shard owns a bloom bitmap (numpy
+   bitarray built/merged in Arrow-batched ``applyInPandas``; k hash
+   probes derived from the 64-bit key by splitmix mixing, so no second
+   pass over the URL strings). Candidate batches are cogrouped with the
+   bitmap table per shard and rows whose key is *definitely unseen* skip
+   membership in the expensive exact join's build side... more precisely:
+   rows that the bloom says "possibly seen" go to the exact anti-join;
+   rows the bloom says "definitely new" are new with NO exact join needed.
+   The exact layer therefore only processes the (tiny) possibly-seen
+   fraction + false positives.
+
+Everything is vectorized: hashing is JVM ``xxhash64``; bloom probes are
+numpy bit ops over whole Arrow batches (no per-row Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BLOOM_SCHEMA = StructType(
+    [StructField("shard", IntegerType()), StructField("bitmap", BinaryType())]
+)
+
+_CAND_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("url_hash", LongType()),
+        StructField("maybe_seen", IntegerType()),
+    ]
+)
+
+
+def _splitmix_probes(keys: np.ndarray, k: int, nbits: int) -> np.ndarray:
+    """k bloom bit positions per 64-bit key, fully vectorized.
+
+    splitmix64 finalizer applied k times with distinct increments — each
+    round is a few multiplies/xors over the whole batch.
+    """
+    out = np.empty((k, len(keys)), dtype=np.uint64)
+    z = keys.astype(np.uint64)
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    for i in range(k):
+        x = z + np.uint64(i + 1) * golden
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        out[i] = x % np.uint64(nbits)
+    return out
+
+
+def _set_bits(bitmap: np.ndarray, positions: np.ndarray) -> None:
+    np.bitwise_or.at(bitmap, positions >> np.uint64(3),
+                     np.left_shift(np.uint8(1), (positions & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bitmap: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """(k, n) positions -> (n,) bool: all k bits set."""
+    bytes_ = bitmap[(positions >> np.uint64(3)).astype(np.int64)]
+    masks = np.left_shift(np.uint8(1), (positions & np.uint64(7)).astype(np.uint8))
+    return ((bytes_ & masks) != 0).all(axis=0)
+
+
+@dataclass
+class BloomConfig:
+    shards: int = 64
+    bits_per_shard: int = 1 << 20  # 128 KiB/shard; size for expected keys/shard
+    num_hashes: int = 5
+
+
+class SeenFilter:
+    """Sharded seen-set with exact anti-join + per-shard bloom prefilter."""
+
+    def __init__(self, spark, cfg: BloomConfig | None = None, use_bloom: bool = True):
+        self.spark = spark
+        self.cfg = cfg or BloomConfig()
+        self.use_bloom = use_bloom
+        self.seen: DataFrame = spark.createDataFrame(
+            [], "url_hash long, shard int"
+        )
+        self.blooms: DataFrame | None = None
+
+    # -- shard helpers -------------------------------------------------
+    def _with_shard(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        return df.withColumn(
+            "shard", F.pmod(F.col(hash_col), F.lit(self.cfg.shards)).cast("int")
+        )
+
+    # -- bloom build/merge ---------------------------------------------
+    def _build_blooms(self, hashes: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bitmap = np.zeros(cfg.bits_per_shard // 8, dtype=np.uint8)
+            pos = _splitmix_probes(
+                pdf["url_hash"].to_numpy(), cfg.num_hashes, cfg.bits_per_shard
+            )
+            _set_bits(bitmap, pos.ravel())
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [bitmap.tobytes()]}
+            )
+
+        return hashes.groupBy("shard").applyInPandas(build, BLOOM_SCHEMA)
+
+    def _merge_blooms(self, new_blooms: DataFrame) -> DataFrame:
+        if self.blooms is None:
+            return new_blooms
+
+        def merge(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            maps = [
+                np.frombuffer(b, dtype=np.uint8)
+                for b in list(left["bitmap"]) + list(right["bitmap"])
+            ]
+            out = maps[0].copy()
+            for m in maps[1:]:
+                out |= m
+            return pd.DataFrame({"shard": [int(_key[0])], "bitmap": [out.tobytes()]})
+
+        return (
+            self.blooms.groupBy("shard")
+            .cogroup(new_blooms.groupBy("shard"))
+            .applyInPandas(merge, BLOOM_SCHEMA)
+        )
+
+    # -- the operator ---------------------------------------------------
+    def filter_new(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Return candidates whose url_hash is not in the seen set.
+
+        Candidates may contain intra-batch duplicates; the caller dedups
+        those (they need priority-aware resolution, not hash dropping).
+        """
+        cand = self._with_shard(candidates, hash_col)
+        if not self.use_bloom or self.blooms is None:
+            return cand.join(self.seen, ["shard", "url_hash"], "left_anti").drop("shard")
+
+        cfg = self.cfg
+
+        def probe(_key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = cand_pdf["url_hash"].to_numpy()
+            if bloom_pdf.empty:
+                maybe = np.zeros(len(keys), dtype=np.int32)
+            else:
+                bitmap = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
+                pos = _splitmix_probes(keys, cfg.num_hashes, cfg.bits_per_shard)
+                maybe = _test_bits(bitmap, pos).astype(np.int32)
+            return pd.DataFrame(
+                {"shard": cand_pdf["shard"], "url_hash": keys, "maybe_seen": maybe}
+            )
+
+        flags = (
+            cand.select("shard", "url_hash")
+            .groupBy("shard")
+            .cogroup(self.blooms.groupBy("shard"))
+            .applyInPandas(probe, _CAND_SCHEMA)
+        )
+        cand = cand.join(flags.dropDuplicates(["shard", "url_hash"]),
+                         ["shard", "url_hash"], "left")
+        definitely_new = cand.filter(F.col("maybe_seen") == 0).drop("maybe_seen", "shard")
+        maybe_seen = cand.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
+        confirmed_new = maybe_seen.join(
+            self.seen, ["shard", "url_hash"], "left_anti"
+        ).drop("shard")
+        return definitely_new.unionByName(confirmed_new)
+
+    def add(self, new_hashes: DataFrame, hash_col: str = "url_hash") -> None:
+        """Record hashes as seen (call with the batch actually enqueued)."""
+        fresh = self._with_shard(
+            new_hashes.select(F.col(hash_col).alias("url_hash")).distinct()
+        )
+        self.seen = self.seen.unionByName(fresh.select("url_hash", "shard"))
+        if self.use_bloom:
+            self.blooms = self._merge_blooms(self._build_blooms(fresh))
+
+    def materialize(self) -> None:
+        """Cut lineage (call per crawl round; checkpointing persists instead)."""
+        self.seen = self.seen.localCheckpoint(eager=True)
+        if self.blooms is not None:
+            self.blooms = self.blooms.localCheckpoint(eager=True)
+
+
+def dedup_new_urls(
+    new_urls: DataFrame, seen: DataFrame, hash_col: str = "url_hash"
+) -> DataFrame:
+    """Stateless exact-layer dedup: one left_anti join (for queries()/tests)."""
+    return new_urls.join(seen.select(hash_col).distinct(), [hash_col], "left_anti")

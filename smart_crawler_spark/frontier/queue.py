@@ -1,0 +1,100 @@
+"""Frontier priority queue + politeness scheduler (SURVEY §2.2 F2/F4).
+
+Reference semantics: a per-site TreeSet ordered by ``CrawlURL.compareTo``
+= PageClass order, then URL, then form-params (nulls first)
+(``model/CrawlURL.java:101-110``); PageClass order = (depth, name, website)
+ascending (``model/PageClass.java:462-468``) — best-first: shallowest
+model class first, then lexicographic URL. One URL is dequeued at a time
+with a politeness sleep in between (``CrawlFrontier.java:126-139``).
+
+Spark re-expression: the frontier is a DataFrame; a *round* dequeues the
+top-``budget`` rows per host under the same total order, via a window
+rank. With ``budget_per_host=1`` and one host, round order == the
+reference's sequential dequeue order exactly (what the exact-match tests
+pin). Larger budgets model the politeness token budget of a round
+(``floor(round_duration / wait_ms)`` fetches per host per round).
+
+Skew note (north_rule): ranking partitions by host; a hot host would
+funnel into one task. The rank itself is cheap (key+k log k), but we
+still salt: rank per (host, salt) first, keep only rows that could be in
+the global per-host top-K (rank <= budget), then re-rank the survivors —
+a classic two-phase top-K that bounds any task's input to
+``salt_buckets * budget``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def FRONTIER_ORDER() -> list:
+    """Total order of the frontier = the reference's TreeSet comparator.
+
+    (A function, not a constant: Column construction needs a live session.)
+    """
+    return [
+        F.col("class_depth").asc(),
+        F.col("class_name").asc(),
+        F.col("url").asc(),
+        F.col("form_params").asc_nulls_first(),
+    ]
+
+
+def priority_rank(df: DataFrame, per: str = "host") -> DataFrame:
+    """Attach ``rank`` = 1-based dequeue position within ``per``."""
+    w = Window.partitionBy(per).orderBy(*FRONTIER_ORDER())
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def pick_batch(
+    frontier: DataFrame,
+    budget_per_host: int,
+    salt_buckets: int = 0,
+    global_limit: int | None = None,
+) -> DataFrame:
+    """Select this round's fetch batch: top-``budget_per_host`` per host.
+
+    ``salt_buckets > 0`` enables the two-phase skew-safe top-K.
+    ``global_limit`` caps the whole round (page budget F5): applied under
+    the same total order, host-insensitive, matching the reference's
+    global ``pages`` cap.
+    """
+    df = frontier
+    if salt_buckets > 1:
+        df = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*FRONTIER_ORDER())
+        df = (
+            df.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= budget_per_host)
+            .drop("_salt", "_r1")
+        )
+    batch = (
+        priority_rank(df, "host")
+        .filter(F.col("rank") <= budget_per_host)
+        .drop("rank")
+    )
+    if global_limit is not None:
+        w = Window.orderBy(*FRONTIER_ORDER())
+        batch = (
+            batch.withColumn("_g", F.row_number().over(w))
+            .filter(F.col("_g") <= global_limit)
+            .drop("_g")
+        )
+    return batch
+
+
+def politeness_budget(
+    round_duration_ms: int, wait_ms: int, random_pause_ms: int = 0
+) -> int:
+    """Fetches allowed per host per round (deterministic: expected pause).
+
+    Reference sleeps ``wait + U[0, random_pause)`` ms between dequeues
+    (``CrawlFrontier.java:132-139``). With wait=0 (reference test config)
+    the budget is unbounded — callers pass a large cap.
+    """
+    per_fetch = wait_ms + random_pause_ms // 2
+    if per_fetch <= 0:
+        return 1 << 30
+    return max(1, round_duration_ms // per_fetch)
