@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 or
+a training-data pipeline op, expressed Spark-first via
+``smart_crawler_spark``; ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL run on the same parquet views. Non-SQL-expressible ops
+(MinHash-LSH, SimHash — their hash functions live in Arrow UDFs) have no
+oracle entry → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from smart_crawler_spark.frontier.canonical import (  # noqa: E402
+    canonical_relative_url,
+    url_host,
+)
+from smart_crawler_spark.operators import minhash, simsearch, textops  # noqa: E402
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copy with shifted ids — guarantees exact-dup groups."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+_REGEX_PATTERNS = [
+    ("p_data", "^data|^batch"),
+    ("p_num", "[0-9]"),
+    ("p_spark", "spark.*window|window.*spark"),
+]
+
+
+# --------------------------------------------------------------------------
+# query implementations
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 as a relational op: anti-join new candidates against seen keys."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    from smart_crawler_spark.frontier.dedup import dedup_new_urls
+
+    return dedup_new_urls(
+        orders.select("o_orderkey", "o_custkey"), seen, hash_col="o_custkey"
+    ).orderBy("o_orderkey")
+
+
+def per_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 as a relational op: best-first top-K per partition key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/F1: canonical relative URL + host of synthesized URLs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".test"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/p/"), F.col("event_id").cast("string"))
+        ),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("?k="), (F.col("event_id") % 3).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    df = ev.select("event_id", url.alias("url"))
+    return df.select(
+        "event_id",
+        "url",
+        url_host(F.col("url")).alias("host"),
+        canonical_relative_url(F.col("url")).alias("rel_url"),
+    ).orderBy("event_id")
+
+
+def regex_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: golden-pattern regex join → count matrix per (pattern, lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(_REGEX_PATTERNS, "pat_name string, pattern string")
+    return (
+        docs.crossJoin(F.broadcast(pats))
+        .filter(F.expr("text rlike pattern"))
+        .groupBy("pat_name", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pat_name", "lang")
+    )
+
+
+def schema_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact signature grouping (hash of the schema key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "signature", F.md5(F.concat_ws("|", "lang", "source"))
+        )
+        .groupBy("signature")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+        .orderBy("signature")
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        textops.exact_dedup(_doubled_docs(spark, sf_dir))
+        .orderBy("text_hash")
+    )
+
+
+def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return textops.jaccard_near_dup_pairs(docs, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return simsearch.cosine_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return simsearch.embedding_near_dup_pairs(emb, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 600s starts a new session; count + span per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 600), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (rows-only check: hash fns live in Arrow UDFs).
+
+    Doubled corpus → every doc has an exact near-dup partner; LSH must
+    recover those pairs (plus any true near-dups)."""
+    docs = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 100
+    )
+    return minhash.minhash_near_dup_pairs(
+        docs, threshold=0.8, num_perm=64, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doubled_docs(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
+    return minhash.simhash_near_dup_pairs(docs, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (rows-only): hyperplane-LSH bucketed top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return simsearch.lsh_bucketed_topk(
+        queries, emb, k=5, bands=8, bits_per_band=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "frontier_dedup": frontier_dedup,
+        "per_host_topk": per_host_topk,
+        "url_canonicalize": url_canonicalize,
+        "regex_join_eval": regex_join_eval,
+        "schema_groupby": schema_groupby,
+        "exact_dedup": exact_dedup,
+        "jaccard_near_dup": jaccard_near_dup,
+        "token_stats": token_stats,
+        "language_id": language_id,
+        "quality_score": quality_score,
+        "doc_fingerprint": doc_fingerprint,
+        "embedding_topk": embedding_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "sessionize": sessionize,
+        "minhash_near_dup": minhash_near_dup,
+        "simhash_near_dup": simhash_near_dup,
+        "lsh_embedding_topk": lsh_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doubled = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents"
+    )
+    wordset = (
+        "list_filter(list_distinct(regexp_split_to_array(lower(text),"
+        " '[^a-z0-9]+')), x -> x <> '')"
+    )
+    pats = " UNION ALL ".join(
+        f"SELECT '{n}' AS pat_name, '{p}' AS pattern" for n, p in _REGEX_PATTERNS
+    )
+    cos_flat = (
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+        " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "frontier_dedup": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+            )
+            ORDER BY o_orderkey
+        """,
+        "per_host_topk": """
+            SELECT o_custkey, o_orderkey, o_orderdate, rk FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey ASC
+                       ) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+            ORDER BY o_custkey, rk
+        """,
+        "url_canonicalize": """
+            WITH u AS (
+                SELECT event_id,
+                       'http://h' || (user_id % 5) || '.test' AS hostpart,
+                       CASE WHEN event_id % 11 = 0 THEN '/'
+                            ELSE '/p/' || event_id END AS path,
+                       CASE WHEN event_id % 7 = 0
+                            THEN 'k=' || (event_id % 3) END AS query,
+                       CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END AS frag
+                FROM events WHERE event_id < 2000
+            )
+            SELECT event_id,
+                   hostpart || path
+                     || CASE WHEN query IS NULL THEN '' ELSE '?' || query END
+                     || frag AS url,
+                   lower(split_part(hostpart, '//', 2)) AS host,
+                   CASE WHEN path = '/' THEN ''
+                        WHEN query IS NULL THEN path
+                        ELSE path || query END AS rel_url
+            FROM u
+            ORDER BY event_id
+        """,
+        "regex_join_eval": f"""
+            SELECT pat_name, lang, count(*) AS n_docs
+            FROM documents, ({pats}) p
+            WHERE regexp_matches(text, p.pattern)
+            GROUP BY pat_name, lang
+            ORDER BY pat_name, lang
+        """,
+        "schema_groupby": """
+            SELECT md5(lang || '|' || source) AS signature,
+                   min(doc_id) AS first_doc, count(*) AS n_pages
+            FROM documents
+            GROUP BY 1 ORDER BY signature
+        """,
+        "exact_dedup": f"""
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS text_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM ({doubled})
+            GROUP BY 1 ORDER BY text_hash
+        """,
+        "jaccard_near_dup": f"""
+            WITH ws AS (
+                SELECT doc_id, {wordset} AS w FROM documents WHERE doc_id < 60
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.w, b.w))), 6)
+                       AS jaccard
+            FROM ws a, ws b
+            WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.w, b.w))) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "language_id": f"""
+            WITH ws AS (SELECT doc_id, {wordset} AS w FROM documents),
+            s AS (
+                SELECT doc_id,
+                    len(list_intersect(w, ['the','and','of','to','in','is','that','with'])) AS score_en,
+                    len(list_intersect(w, ['der','die','und','das','nicht','ist','ein','mit'])) AS score_de,
+                    len(list_intersect(w, ['le','la','et','les','des','est','une','dans'])) AS score_fr
+                FROM ws
+            )
+            SELECT doc_id, score_en, score_de, score_fr,
+                   CASE WHEN greatest(score_en, score_de, score_fr) <= 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de, score_fr) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr) THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM s ORDER BY doc_id
+        """,
+        "quality_score": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS DOUBLE) AS n_words
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END, 6) AS mean_word_len,
+                   round(least(n_words / 100.0, 1.0) * 0.4
+                         + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.3
+                         + (1 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 5, 1.0)) * 0.2
+                         + (1 - CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0 END) * 0.1, 6) AS quality
+            FROM m ORDER BY doc_id
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                   substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_topk": f"""
+            WITH flat AS ({cos_flat}),
+            dots AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       sum(q.v * c.v)
+                         / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+                FROM flat q JOIN flat c ON q.i = c.i
+                WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(sim, 6) DESC, neighbor_id ASC
+                       ) AS rank
+                FROM dots
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "embedding_near_dup": f"""
+            WITH flat AS ({cos_flat}),
+            dots AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       sum(a.v * b.v)
+                         / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS sim
+                FROM flat a JOIN flat b ON a.i = b.i
+                WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(sim, 6) AS cos_sim
+            FROM dots WHERE round(sim, 6) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id,
+                       sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g
+            ),
+            per_sess AS (
+                SELECT user_id, sess_id, count(*) AS n_events
+                FROM s GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+    }

@@ -294,7 +294,7 @@ class CrawlEngine:
         df.select(
             F.lit(rnd).alias("round"),
             "host",
-            (F.col("base") + F.col("rank")).alias("seq"),
+            (F.col("base") + F.col("rank")).cast("long").alias("seq"),
             "url",
             F.col("page_class"),
             F.col("fetch_ok").alias("fetched"),

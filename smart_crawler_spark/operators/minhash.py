@@ -1,0 +1,226 @@
+"""MinHash + LSH near-duplicate detection and SimHash fingerprints for
+text — the scale path for deduplication (shingle → minhash → band →
+bucket-join), plus the same machinery the modeler's C3 schema-distance
+merge uses on XPath sets.
+
+All signature computation is vectorized numpy inside Arrow-batched
+``mapInPandas`` (hashing millions of shingles per batch); the candidate
+join and verification are native DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.operators.textops import word_set
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tokens: list, n: int) -> np.ndarray:
+    """Stable 64-bit hashes of n-gram shingles (FNV-1a over the joined
+    shingle string) — vectorized per document."""
+    if len(tokens) < n:
+        shingles = [" ".join(tokens)] if tokens else []
+    else:
+        shingles = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for ch in s.encode():
+            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """(id, sig array<long>) — one minhash per permutation."""
+    a_params, b_params = _hash_perm_params(num_perm, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].astype(str):
+                toks = [t for t in _tokenize(text)]
+                sh = _shingle_hashes(toks, shingle_n)
+                if len(sh) == 0:
+                    sigs.append(np.full(num_perm, _MERSENNE, dtype=np.int64).tolist())
+                    continue
+                # (num_perm, n_shingles) universal hashing, min over shingles
+                vals = (
+                    a_params[:, None] * sh[None, :] + b_params[:, None]
+                ) % np.uint64(_MERSENNE)
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, sig array<long>"
+    )
+
+
+def _tokenize(text: str) -> list:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >=1 band
+    bucket. The join key is (band, hash(band slice)) — a shuffle
+    equi-join; the pair explosion is bounded by bucket sizes, and the
+    groupBy dedups multi-band collisions."""
+    num_perm = len(signatures.select("sig").first()[0])
+    rows_per_band = num_perm // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact word-set Jaccard >= threshold.
+
+    End-to-end: shingle+minhash (Arrow UDF) → band bucket join →
+    verification join back to word sets → exact filter. At 100 TB the
+    cross join never happens; cost is dominated by the two shuffles on
+    (band, bucket) and id.
+    """
+    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col)
+    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    ws = docs.select(F.col(id_col), word_set(text_col).alias("ws"))
+    pairs = (
+        cand.join(ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a")), "id_a")
+        .join(ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word tokens (vectorized numpy in mapInPandas):
+    per-token FNV hash, bit-majority vote weighted by term frequency."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].astype(str):
+                toks = _tokenize(text)
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = _shingle_hashes(toks, 1)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                h = np.uint64(0)
+                for i in range(64):
+                    if votes[i] > 0:
+                        h |= np.uint64(1) << np.uint64(i)
+                out.append(int(h.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup: candidates via 4×16-bit block LSH (two of four
+    blocks must match for hamming<=6 to be possible... pigeonhole: any
+    pair with <=3 differing blocks shares >=1 identical 16-bit block),
+    verified by popcount of xor."""
+    sh = simhash64(docs, text_col, id_col)
+    blocks = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.block", "bk.key")
+    left = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key"
+    )
+    right = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block", "key"
+    )
+    cand = (
+        left.join(right, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k — the exactness baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side higher-
+  order functions, no Python).
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane (SimHash)
+  LSH buckets with multi-probe over band tables; only candidates sharing
+  a band bucket are scored, turning the O(N·Q) cross join into a
+  bucket-equi-join. Recall is tunable by (bands, bits).
+- ``embedding_near_dup_pairs``: near-duplicate pairs by cosine >= t.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self) by cosine.
+
+    Scale shape: broadcast the (small) query set against the corpus —
+    one scan of the corpus, partial top-k per partition via the window
+    after AQE coalescing. For large query sets use lsh_bucketed_topk.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((bits, dim))
+
+
+def simhash_bits(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign bits of hyperplane projections as an int64 signature —
+    expressed with higher-order functions over the array column."""
+    v = vec_col.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing >=1 LSH band.
+
+    Each vector gets ``bands`` bucket keys (independent hyperplane sets);
+    query and corpus are joined on (band, bucket) — a shuffle equi-join
+    that prunes the candidate set by ~2^bits per band.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+
+    def with_buckets(df: DataFrame, name: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(name), F.col(vec_col).alias(f"_{name}_v")
+        )
+        rows = []
+        for b in range(bands):
+            planes = hyperplanes(dim, bits_per_band, seed=101 + b)
+            rows.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    simhash_bits(F.col(f"_{name}_v"), planes).alias("bucket"),
+                )
+            )
+        return out.withColumn("_bk", F.explode(F.array(*rows))).select(
+            name, f"_{name}_v", F.col("_bk.band").alias("band"),
+            F.col("_bk.bucket").alias("bucket"),
+        )
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_query_id_v", "neighbor_id", "_neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (i<j) with cosine >= threshold."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for a training-data pipeline, all expressed
+as native Catalyst column expressions (JVM-side, whole-stage codegen —
+no Python in the hot path). Each has a DuckDB-SQL oracle in
+``__spark_entry__.py``.
+
+Operators: exact dedup (hash-groupBy), n-gram/word-set Jaccard near-dup
+pair join, token counting (whitespace + BPE-ish regex), language-ID
+heuristic, quality scoring, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# token regex shared with the oracle SQL: word runs or single non-space
+# punctuation — a BPE-ish pre-tokenizer split.
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim — the dedup identity
+    (mirrors the reference's record normalization,
+    ``util/XPathUtils.java:223-225``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text; keeps the lowest
+    id as the canonical representative. Scales as one hash aggregation
+    (map-side partial agg; no window over the full corpus)."""
+    return (
+        docs.select(
+            F.col(id_col), F.md5(normalized_text(text_col)).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_set(col: Column | str) -> Column:
+    """Distinct lowercase word tokens as a sorted array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+        )
+    )
+
+
+def jaccard_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs word-set Jaccard similarity >= threshold (i < j).
+
+    This is the *exact* small-scale path (the C3 distance join of the
+    modeler, re-used for document near-dup). The scale path is
+    ``minhash.lsh_near_dup_pairs`` — candidate pairs from banded MinHash
+    instead of a cross join.
+    """
+    a = docs.select(
+        F.col(id_col).alias("id_a"), word_set(text_col).alias("ws_a")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), word_set(text_col).alias("ws_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(sim, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    return docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        ).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic: score per language = number of
+    stopword types present; argmax wins ('und' = undetermined on tie-0).
+
+    Pure column expressions so it runs JVM-side over 100 TB of text.
+    """
+    ws = word_set(text_col)
+    out = docs.select(F.col(id_col), ws.alias("_ws"))
+    for lang, words in STOPWORDS.items():
+        hits = F.size(
+            F.array_intersect(
+                "_ws", F.array(*[F.lit(w) for w in words])
+            )
+        )
+        out = out.withColumn(f"score_{lang}", hits)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:  # first max wins, in fixed language order
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return out.select(
+        id_col, *[f"score_{lg}" for lg in langs], pred.alias("pred_lang")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, mean word
+    length, uppercase ratio → one [0,1] score. All JVM-side."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_alpha > 0, n_upper / n_alpha).otherwise(0.0)
+    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(0.0)
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + (1 - upper_ratio) * 0.1
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of normalized text + first-8-hex prefix
+    bucket (cheap shard key for fingerprint joins)."""
+    fp = F.md5(normalized_text(text_col))
+    return docs.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_bucket"),
+    )

@@ -1,0 +1,107 @@
+"""Frontier unit tests mirroring the reference's CrawlQueueTest:
+dedup equivalences, priority order across classes, politeness budgets,
+bloom prefilter ≡ exact layer."""
+
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.frontier.canonical import url_seen_key
+from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter, dedup_new_urls
+from smart_crawler_spark.frontier.queue import pick_batch, priority_rank
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, page_class string, class_depth int,"
+        " class_name string, form_params string",
+    )
+
+
+def test_priority_order_classes_then_url(spark):
+    # CrawlQueueTest.java:178-215 — shallowest class first, then name, then URL
+    rows = [
+        ("http://h/d9", "h", "detail", 2, "detail", None),
+        ("http://h/a1", "h", "about", 1, "about", None),
+        ("http://h/d1", "h", "detail", 2, "detail", None),
+        ("http://h/", "h", "home", 0, "home", None),
+        ("http://h/b2", "h", "dir0", 1, "dir0", None),
+    ]
+    ranked = priority_rank(_frontier(spark, rows)).orderBy("rank").collect()
+    assert [r["url"] for r in ranked] == [
+        "http://h/",
+        "http://h/a1",
+        "http://h/b2",
+        "http://h/d1",
+        "http://h/d9",
+    ]
+
+
+def test_pick_batch_per_host_budget(spark):
+    rows = [
+        (f"http://{h}/p{i}", h, "detail", 2, "detail", None)
+        for h in ("a.test", "b.test")
+        for i in range(5)
+    ]
+    batch = pick_batch(_frontier(spark, rows), budget_per_host=2)
+    got = sorted((r["host"], r["url"]) for r in batch.collect())
+    assert got == [
+        ("a.test", "http://a.test/p0"),
+        ("a.test", "http://a.test/p1"),
+        ("b.test", "http://b.test/p0"),
+        ("b.test", "http://b.test/p1"),
+    ]
+
+
+def test_pick_batch_salted_matches_unsalted(spark):
+    rows = [
+        (f"http://hot.test/p{i:03d}", "hot.test", "detail", 2, "detail", None)
+        for i in range(50)
+    ] + [("http://cold.test/x", "cold.test", "home", 0, "home", None)]
+    plain = pick_batch(_frontier(spark, rows), budget_per_host=3)
+    salted = pick_batch(_frontier(spark, rows), budget_per_host=3, salt_buckets=8)
+    assert sorted(r["url"] for r in plain.collect()) == sorted(
+        r["url"] for r in salted.collect()
+    )
+
+
+def test_dedup_equivalences(spark):
+    # CrawlQueueTest.java:89-116 — slash/fragment equivalent, query distinct
+    seen_urls = ["http://h.test/", "http://h.test/a"]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string").select(
+        url_seen_key(F.col("url")).alias("url_hash")
+    )
+    cand_urls = [
+        "http://h.test",          # == seen (trailing slash)
+        "http://h.test/a#frag",   # == seen (fragment)
+        "http://h.test/a?k=1",    # new (query distinguishes)
+        "http://h.test/b",        # new
+    ]
+    cand = spark.createDataFrame([(u,) for u in cand_urls], "url string").withColumn(
+        "url_hash", url_seen_key(F.col("url"))
+    )
+    new = dedup_new_urls(cand, seen)
+    assert sorted(r["url"] for r in new.collect()) == [
+        "http://h.test/a?k=1",
+        "http://h.test/b",
+    ]
+
+
+def test_seen_filter_bloom_equals_exact(spark):
+    cfg = BloomConfig(shards=8, bits_per_shard=1 << 14, num_hashes=4)
+    exact = SeenFilter(spark, cfg, use_bloom=False)
+    bloom = SeenFilter(spark, cfg, use_bloom=True)
+    urls1 = [(f"http://s{i % 3}.test/p{i}",) for i in range(200)]
+    batch1 = spark.createDataFrame(urls1, "url string").withColumn(
+        "url_hash", url_seen_key(F.col("url"))
+    )
+    for f in (exact, bloom):
+        f.add(batch1.select("url_hash"))
+    # overlapping batch: 100 old + 100 new
+    urls2 = [(f"http://s{i % 3}.test/p{i}",) for i in range(100, 300)]
+    batch2 = spark.createDataFrame(urls2, "url string").withColumn(
+        "url_hash", url_seen_key(F.col("url"))
+    )
+    got_exact = sorted(r["url"] for r in exact.filter_new(batch2).collect())
+    got_bloom = sorted(r["url"] for r in bloom.filter_new(batch2).collect())
+    assert got_exact == got_bloom
+    assert len(got_exact) == 100 and all("/p2" in u or "/p1" in u for u in got_exact)

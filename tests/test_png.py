@@ -1,0 +1,50 @@
+"""Pure-numpy PNG codec + phash: roundtrip exactness and determinism."""
+
+import numpy as np
+import pytest
+
+from smart_crawler_spark.datagen.images import image_pixels, image_row
+from smart_crawler_spark.functions.png import (
+    decode_png,
+    encode_png,
+    perceptual_hash,
+    psnr,
+)
+
+
+def test_roundtrip_exact():
+    px = image_pixels(7, 48, 40)
+    out = decode_png(encode_png(px))
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
+    assert psnr(px, out) == float("inf")  # lossless: PSNR >= 40dB trivially
+
+
+def test_deterministic():
+    assert encode_png(image_pixels(3, 32, 24)) == encode_png(image_pixels(3, 32, 24))
+    r1, r2 = image_row(5), image_row(5)
+    assert r1["bytes"] == r2["bytes"] and r1["phash"] == r2["phash"]
+    assert r1["caption"] == r2["caption"]
+
+
+def test_phash_locality():
+    px = image_pixels(11, 64, 64)
+    noisy = px.copy()
+    noisy[::9, ::9] ^= 3  # tiny perturbation
+    h1, h2 = perceptual_hash(px), perceptual_hash(noisy)
+    ham = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4
+    other = perceptual_hash(image_pixels(12, 64, 64))
+    assert bin((h1 ^ other) & ((1 << 64) - 1)).count("1") > ham
+
+
+def test_bad_input():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_jpeg_rows_are_marked_fakes():
+    row = image_row(9, jpeg_every=10)
+    assert row["fmt"] == "jpeg" and row["bytes"].startswith(b"FAKEJPEG")
