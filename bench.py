@@ -1,0 +1,150 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl-engine
+microbench (frontier dedup ops/sec + fetched URLs/sec on a synthetic
+site). Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "crawl": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from smart_crawler_spark.session import spark_session  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "frontier_dedup",
+    "per_host_topk",
+    "url_canonicalize",
+    "exact_dedup",
+    "token_stats",
+    "language_id",
+    "quality_score",
+    "sessionize",
+    "regex_join_eval",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "lsh_embedding_topk",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def bench_crawl(spark) -> dict[str, float]:
+    """Crawl throughput: drain a synthetic multi-host site with a real
+    engine run (politeness budget = 200/host/round), and time the
+    sharded seen-filter on a 2M-candidate batch."""
+    from pyspark.sql import functions as F
+
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.datagen.site import (
+        SiteConfig,
+        generate_site_pages,
+        target_tsv,
+    )
+    from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
+    from smart_crawler_spark.sources.targets import load_target_tsv
+
+    # --- dedup ops/sec: 2M candidates vs 1M-key seen set -----------------
+    n_seen, n_cand = 1_000_000, 2_000_000
+    seen_keys = spark.range(n_seen).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash")
+    )
+    cand = spark.range(n_cand).select(
+        F.col("id"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    )
+    filt = SeenFilter(
+        spark, BloomConfig(shards=64, bits_per_shard=1 << 22, num_hashes=5),
+        use_bloom=True,
+    )
+    filt.add(seen_keys)
+    filt.materialize()
+    t0 = time.monotonic()
+    n_new = filt.filter_new(cand).count()
+    dedup_sec = time.monotonic() - t0
+    assert n_new == n_cand - n_seen
+
+    # --- fetched URLs/sec: drain a ~42k-page site ------------------------
+    cfg = SiteConfig(
+        n_hosts=8, dirs=4, chain=5, details_per_page=25, n_images=1000,
+        skew_factor=3,
+    )
+    pages = generate_site_pages(spark, cfg).localCheckpoint()
+    total_pages = pages.count()
+    model = load_target_tsv(target_tsv(cfg))
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        eng = CrawlEngine(
+            spark, pages, model, workdir,
+            EngineConfig(budget_per_host=200, salt_buckets=8, use_bloom=False),
+        )
+        t0 = time.monotonic()
+        res = eng.run([f"http://{cfg.host(k)}/" for k in range(cfg.n_hosts)])
+        crawl_sec = time.monotonic() - t0
+        fetched = res.order.filter("fetched").count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "dedup_ops_per_sec": round(n_cand / dedup_sec),
+        "dedup_sec": round(dedup_sec, 3),
+        "fetched_urls_per_sec": round(fetched / crawl_sec),
+        "crawl_sec": round(crawl_sec, 3),
+        "crawl_rounds": res.rounds,
+        "fetched": fetched,
+        "site_pages": total_pages,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = spark_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark)
+    total = round(time.monotonic() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Cluster graph → navigation model (SURVEY §2.5 C9–C11, batch form).
+
+The reference replays per-page PageLinks into typed ClassLinks with a
+precedence (list overrides singleton/menu; menu overrides singleton —
+``ListPageLink.java:14-27``, ``MenuPageLink.java:21-31``,
+``SinglePageLink.java:19-25``), names classes from member page titles
+(``ModelPageClass.name():113-118``), and assigns BFS depths from the
+root (``PageClass.java:189-200``).
+
+Batch typing decision per (src_cluster, xpath): the reference's C5
+decision table runs during sequential sampling; here we decide from the
+aggregate shape of the already-fetched corpus:
+
+- >1 href per source page (on average)          → list
+- 1 href/page AND one shared destination set
+  across >=2 source pages                        → menu (fixed)
+- otherwise                                      → singleton
+
+Menus whose per-page href lists are pairwise disjoint would be mutable
+(``MenuItem.isMutable():80-84``); with one href per xpath key this
+reduces to: same xpath, different hrefs on different pages → mutable.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.sources.targets import NavigationModel
+
+
+def page_links(assigned: DataFrame) -> DataFrame:
+    """Per-page out-edges joined to destination clusters.
+
+    ``assigned``: pages with ``cluster_id`` (from cluster_pages).
+    Output: (src_cluster, xpath, src_url, dst_url, dst_cluster, n_hrefs).
+    """
+    edges = assigned.select(
+        F.col("cluster_id").alias("src_cluster"),
+        F.col("url").alias("src_url"),
+        F.explode(F.coalesce("out_links", F.create_map())).alias("xpath", "hrefs"),
+    ).select(
+        "src_cluster",
+        "src_url",
+        "xpath",
+        F.size("hrefs").alias("n_hrefs"),
+        F.explode("hrefs").alias("dst_url"),
+    )
+    dst = assigned.select(
+        F.col("url").alias("dst_url"), F.col("cluster_id").alias("dst_cluster")
+    )
+    return edges.join(dst, "dst_url", "inner")
+
+
+def class_links_from_pages(assigned: DataFrame) -> DataFrame:
+    """Aggregate page links into typed class links (C9 + C11)."""
+    pl = page_links(assigned)
+    per_edge = pl.groupBy("src_cluster", "xpath", "dst_cluster").agg(
+        F.countDistinct("src_url").alias("n_src_pages"),
+        F.avg("n_hrefs").alias("avg_hrefs"),
+        F.countDistinct("dst_url").alias("n_dst_urls"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    link_type = (
+        F.when(F.col("avg_hrefs") > 1.0, F.lit("list"))
+        .when(
+            (F.col("n_src_pages") >= 2) & (F.col("n_dst_urls") == 1),
+            F.lit("menu"),
+        )
+        .otherwise(F.lit("singleton"))
+    )
+    menu_type = F.when(
+        (link_type == "menu") & (F.col("n_dst_urls") > F.lit(1)),
+        F.lit("mutable"),
+    ).when(link_type == "menu", F.lit("fixed"))
+    return per_edge.select(
+        "src_cluster",
+        "xpath",
+        "dst_cluster",
+        link_type.alias("link_type"),
+        menu_type.alias("menu_type"),
+        "n_edges",
+    )
+
+
+def cluster_names(assigned: DataFrame, max_titles: int = 3) -> dict[int, str]:
+    """Class name = id + up to 3 member titles (ModelPageClass.name())."""
+    rows = (
+        assigned.groupBy("cluster_id")
+        .agg(F.slice(F.sort_array(F.collect_set("title")), 1, max_titles).alias("ts"))
+        .collect()
+    )
+    return {
+        r["cluster_id"]: f"{r['cluster_id']}_" + ",".join(r["ts"] or [])
+        for r in rows
+    }
+
+
+def build_navigation_model(
+    assigned: DataFrame, root_url: str, names: dict[int, str] | None = None
+) -> NavigationModel:
+    """Assemble a NavigationModel (same type the static loader returns)
+    from clustered pages: typed class links + BFS depths from the
+    cluster containing ``root_url``."""
+    cl = class_links_from_pages(assigned).collect()
+    root_row = assigned.filter(F.col("url") == root_url).select("cluster_id").first()
+    if root_row is None:
+        raise ValueError(f"root url {root_url!r} not found in assigned pages")
+    names = names or cluster_names(assigned)
+
+    def nm(cid: int) -> str:
+        return names.get(cid, str(cid))
+
+    model = NavigationModel(root=nm(root_row["cluster_id"]))
+    for r in sorted(cl, key=lambda r: (r["src_cluster"], r["xpath"])):
+        model.class_links.append(
+            {
+                "src_class": nm(r["src_cluster"]),
+                "xpath": r["xpath"],
+                "dst_class": nm(r["dst_cluster"]),
+                "link_type": r["link_type"],
+                "anchor_text": None,
+                "menu_href": None,
+                "menu_type": r["menu_type"],
+            }
+        )
+    model.assign_depths()
+    return model
+
+
+def links_distance(
+    links_a: set[tuple], links_b: set[tuple]
+) -> float:
+    """C8 link-set distance (ModelCostCalculator.distanceLinks:177-186)."""
+    union = len(links_a | links_b)
+    if union == 0:
+        return 0.0
+    return len(links_a ^ links_b) / union
