@@ -1,0 +1,242 @@
+"""Multimodal (image) operators over binary payload columns.
+
+The corpus is the input_hint table: (image_id, bytes, w, h, fmt,
+caption, phash). Decoded pixels NEVER become a Spark type — they live as
+numpy arrays inside Arrow-batched ``mapInPandas`` UDFs; only derived
+features/bytes come back out. All shapes below are real and tested; the
+JPEG decode itself is STUBBED (no codec in this sandbox): rows with
+fmt='jpeg' raise NotImplementedError under ``on_unsupported='error'``
+or are passed through/skipped under 'null'/'skip'.
+
+Operators: decode+verify (the per-row allclose/PSNR>=40dB invariant),
+resize (nearest-neighbor, re-encoded PNG), channel/luma features, and
+phash-based near-duplicate detection (block LSH on hamming distance).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.functions.png import (
+    decode_png,
+    encode_png,
+    perceptual_hash,
+    psnr,
+)
+
+_DECODE_SCHEMA = (
+    "image_id string, ok boolean, dec_w int, dec_h int, dec_phash long, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def _decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    # STUB: no JPEG codec in this sandbox. The Spark-side plumbing
+    # (schema, batching, partitioning) is identical; a real deployment
+    # plugs a codec in here.
+    raise NotImplementedError(f"no decoder for fmt={fmt!r} in this sandbox")
+
+
+def decode_features(images: DataFrame, on_unsupported: str = "null") -> DataFrame:
+    """Decode each payload and emit verification features: decoded
+    dims, recomputed phash, per-channel means. ``on_unsupported``:
+    'null' → ok=false row; 'skip' → drop row; 'error' → raise."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    px = _decode(bytes(data), fmt)
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        {
+                            "image_id": img_id,
+                            "ok": True,
+                            "dec_w": px.shape[1],
+                            "dec_h": px.shape[0],
+                            "dec_phash": perceptual_hash(px),
+                            "mean_r": float(m[0]),
+                            "mean_g": float(m[1]),
+                            "mean_b": float(m[2]),
+                            "err": None,
+                        }
+                    )
+                except NotImplementedError as e:
+                    if on_unsupported == "error":
+                        raise
+                    if on_unsupported == "skip":
+                        continue
+                    rows.append(
+                        {
+                            "image_id": img_id, "ok": False, "dec_w": None,
+                            "dec_h": None, "dec_phash": None, "mean_r": None,
+                            "mean_g": None, "mean_b": None, "err": str(e),
+                        }
+                    )
+            cols = [
+                "image_id", "ok", "dec_w", "dec_h", "dec_phash",
+                "mean_r", "mean_g", "mean_b", "err",
+            ]
+            data = {c: [r[c] for r in rows] for c in cols}
+            # nullable ints: a None row must not coerce int64 -> float64
+            # at construction (float64 silently corrupts 64-bit phashes)
+            for c in ("dec_w", "dec_h", "dec_phash"):
+                data[c] = pd.array(data[c], dtype="Int64")
+            yield pd.DataFrame(data, columns=cols)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, _DECODE_SCHEMA
+    )
+
+
+def verify_decode_invariant(images: DataFrame) -> DataFrame:
+    """Per-row invariant check vs the stored metadata: decoded dims ==
+    (w, h), recomputed phash == stored phash. For lossless formats this
+    is the exact 'allclose' check; for lossy formats the PSNR>=40dB
+    check runs in verify_against_reference."""
+    feats = decode_features(images, on_unsupported="null")
+    return (
+        images.select("image_id", "w", "h", "phash", "fmt")
+        .join(feats, "image_id")
+        .select(
+            "image_id",
+            "fmt",
+            "ok",
+            (
+                F.col("ok")
+                & (F.col("dec_w") == F.col("w"))
+                & (F.col("dec_h") == F.col("h"))
+                & (F.col("dec_phash") == F.col("phash"))
+            ).alias("invariant_ok"),
+        )
+    )
+
+
+def verify_against_reference(
+    images: DataFrame, min_psnr: float = 40.0
+) -> DataFrame:
+    """Decoded-pixel allclose/PSNR vs the deterministic reference pixels
+    (the generator is the 'reference implementation' in this sandbox:
+    pixels are a pure function of the image index)."""
+    from smart_crawler_spark.datagen.images import image_pixels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                idx = int(str(img_id).removeprefix("img"))
+                ref = image_pixels(idx, int(w), int(h))
+                try:
+                    px = _decode(bytes(data), fmt)
+                    val = psnr(ref, px)
+                    ok = bool(np.array_equal(ref, px)) or val >= min_psnr
+                    rows.append(
+                        {"image_id": img_id, "psnr_ok": ok,
+                         "allclose": bool(np.array_equal(ref, px))}
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {"image_id": img_id, "psnr_ok": None, "allclose": None}
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "psnr_ok", "allclose"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        gen, "image_id string, psnr_ok boolean, allclose boolean"
+    )
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize; returns new PNG bytes + dims. Skips
+    undecodable rows (stub gate)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = _decode(bytes(data), fmt)
+                except NotImplementedError:
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                out = px[yi][:, xi]
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "bytes": encode_png(out),
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate images by phash hamming distance, candidates via
+    4×16-bit block LSH (pigeonhole: hamming<=6 ⇒ >=1 identical block
+    when <=3 blocks differ... any pair with <=3 differing BITS spread
+    over 4 blocks shares a block; for <=6 it still holds unless bits
+    land in all 4 blocks — acceptable recall for near-dup grouping,
+    exact verification on candidates)."""
+    blocks = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("phash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("image_id", "phash", "bk.block", "bk.key")
+    left = blocks.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"),
+        "block", "key",
+    )
+    right = blocks.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"),
+        "block", "key",
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        left.join(right, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling STUB: the container has no video codec.
+    Signature + schema are the real contract; decode raises."""
+    raise NotImplementedError(
+        "video decode unavailable in this sandbox; schema contract: "
+        "(video_id string, frame_no int, bytes binary)"
+    )

@@ -1,0 +1,85 @@
+"""Image-payload operators: decode invariant (allclose/PSNR), metadata
+verification, resize plumbing, phash near-dup, stub gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.datagen.images import generate_images, image_pixels
+from smart_crawler_spark.operators.images import (
+    decode_features,
+    phash_near_dup_pairs,
+    resize_images,
+    sample_frames,
+    verify_against_reference,
+    verify_decode_invariant,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return generate_images(spark, 40, jpeg_every=10).localCheckpoint()
+
+
+def test_decode_invariant_all_png_rows(spark, images):
+    inv = verify_decode_invariant(images)
+    png = inv.filter("fmt = 'png'")
+    assert png.count() == 36
+    assert png.filter(~F.col("invariant_ok")).count() == 0
+    # jpeg rows are gated, not silently wrong
+    assert inv.filter("fmt = 'jpeg' and ok").count() == 0
+
+
+def test_decode_matches_reference_pixels(spark, images):
+    rep = verify_against_reference(images)
+    png_ok = rep.filter("allclose").count()
+    assert png_ok == 36  # lossless: exact equality (PSNR = inf >= 40dB)
+    assert rep.filter("allclose is null").count() == 4  # stubs
+
+
+def test_unsupported_gate_raises(spark, images):
+    with pytest.raises(Exception, match="no decoder"):
+        decode_features(images, on_unsupported="error").collect()
+    n = decode_features(images, on_unsupported="skip").count()
+    assert n == 36
+
+
+def test_resize_shapes(spark, images):
+    out = resize_images(images, 16, 12)
+    rows = out.collect()
+    assert len(rows) == 36
+    from smart_crawler_spark.functions.png import decode_png
+
+    px = decode_png(bytes(rows[0]["bytes"]))
+    assert px.shape == (12, 16, 3)
+
+
+def test_phash_near_dup_finds_duplicates(spark):
+    import pandas as pd
+
+    from smart_crawler_spark.functions.png import perceptual_hash
+
+    base = image_pixels(3, 64, 48)
+    noisy = base.copy()
+    noisy[::13, ::11] ^= 1
+    other = image_pixels(4, 64, 48)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a", "a_noisy", "b"],
+            "phash": [
+                perceptual_hash(base),
+                perceptual_hash(noisy),
+                perceptual_hash(other),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in phash_near_dup_pairs(df, 4).collect()
+    }
+    assert ("a", "a_noisy") in pairs
+    assert ("a", "b") not in pairs and ("a_noisy", "b") not in pairs
+
+
+def test_video_stub():
+    with pytest.raises(NotImplementedError):
+        sample_frames(None)
