@@ -1,0 +1,157 @@
+"""Scaling-efficiency evidence (north_rule): run the same executor-bound
+frontier jobs at two parallelism levels (default local[8] vs local[32])
+on identical input, report throughput at both + scaling efficiency.
+
+Each level runs in a fresh subprocess (own JVM) to avoid cache warm-up
+bias. Jobs (the crawl hot path, sized so executor work dominates):
+
+  dedup  — exact seen-filter anti-join: 8M candidates vs 4M-key seen set
+  topk   — salted per-host priority top-K over a 4M-row skewed frontier
+  links  — explode + broadcast-classify + intra-batch dedup on 2M pages
+
+Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
+Prints one JSON line; also appended to BENCH_SCALING.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from smart_crawler_spark.session import spark_session
+
+cpus = int(os.environ["N_CPUS"])
+scale = float(os.environ.get("SCALE", "1.0"))
+# same shuffle partitioning at both levels: the JOB is identical, only
+# the executor-thread count differs (the N vs 4N executors evidence)
+spark = spark_session(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                      shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+
+def timed(make_df):
+    best = None
+    for _ in range(2):  # warm-up then measure (JIT/codegen compile bias)
+        t0 = time.monotonic()
+        n = make_df().count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return n, best
+
+N_CAND = int(8_000_000 * scale)
+N_SEEN = N_CAND // 2
+N_FRONT = int(4_000_000 * scale)
+N_PAGES = int(2_000_000 * scale)
+out = {{}}
+
+# --- dedup: exact anti-join on xxhash64 keys, co-partitioned by shard ---
+from smart_crawler_spark.frontier.dedup import SeenFilter
+f = SeenFilter(spark, use_bloom=False)
+seen = spark.range(N_SEEN).select(
+    F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
+f.add(seen); f.materialize()
+cand = spark.range(N_CAND).select(
+    F.col("id"),
+    F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
+n, dt = timed(lambda: f.filter_new(cand))
+assert n == N_CAND - N_SEEN
+out["dedup"] = {{"rows": N_CAND, "sec": round(dt, 3),
+                 "rows_per_sec": round(N_CAND / dt)}}
+
+# --- topk: skewed per-host priority selection (salted two-phase) --------
+front = spark.range(N_FRONT).select(
+    F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+    F.when(F.col("id") % 5 == 0, F.lit("hot.test")).otherwise(
+        F.concat(F.lit("site"), (F.col("id") % 997))).alias("host"),
+    F.lit("detail").alias("page_class"),
+    (F.col("id") % 3).cast("int").alias("class_depth"),
+    F.lit("detail").alias("class_name"),
+    F.lit(None).cast("string").alias("form_params"),
+)
+from smart_crawler_spark.frontier.queue import pick_batch
+nb, dt = timed(lambda: pick_batch(front, budget_per_host=100, salt_buckets=16))
+out["topk"] = {{"rows": N_FRONT, "sec": round(dt, 3),
+                "rows_per_sec": round(N_FRONT / dt), "batch": nb}}
+
+# --- links: explode out-links + broadcast model classify + window dedup --
+pages = spark.range(N_PAGES).select(
+    F.lit("detail").alias("page_class"),
+    (F.col("id") % 3).cast("int").alias("class_depth"),
+    F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+    F.concat(F.lit("site"), (F.col("id") % 997)).alias("host"),
+    F.create_map(
+        F.lit("//a[@x]"), F.array(
+            F.concat(F.lit("http://x/l"), F.col("id") % (N_PAGES // 2)),
+            F.concat(F.lit("http://x/l"), (F.col("id") + 1) % (N_PAGES // 2))),
+        F.lit("//a[@y]"), F.array(
+            F.concat(F.lit("http://x/m"), F.col("id") % 1000)),
+    ).alias("out_links"),
+)
+model = spark.createDataFrame(
+    [("detail", "//a[@x]", 0, "detail", 2), ("detail", "//a[@y]", 1, "dir", 1)],
+    "src_class string, xpath string, edge_pos int, dst_class string, dst_depth int",
+)
+from smart_crawler_spark.crawler.extract import extract_links
+from smart_crawler_spark.frontier.canonical import canonical_relative_url, url_seen_key
+from pyspark.sql.window import Window
+links = extract_links(pages, model)
+w = Window.partitionBy("host", "rel").orderBy("src_depth", "src_class", "src_url", "link_seq")
+deduped = (links
+    .withColumn("rel", canonical_relative_url(F.col("url"), F.col("form_params")))
+    .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    .withColumn("url_hash", url_seen_key(F.col("url"), F.col("form_params"))))
+nl, dt = timed(lambda: deduped)
+out["links"] = {{"rows": N_PAGES * 3, "sec": round(dt, 3),
+                 "rows_per_sec": round(N_PAGES * 3 / dt), "deduped": nl}}
+
+print("RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, scale: float, repo: str) -> dict:
+    env = dict(os.environ, N_CPUS=str(cpus), SCALE=str(scale))
+    proc = subprocess.run(
+        [sys.executable, "-c", JOB.format(repo=repo)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cpus={cpus}: {proc.stdout[-2000:]} {proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cpus = [8, 32]
+    scale = 1.0
+    for a in sys.argv[1:]:
+        if a.startswith("--cpus"):
+            cpus = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--scale"):
+            scale = float(a.split("=", 1)[1])
+    results = {c: run_level(c, scale, repo) for c in cpus}
+    lo, hi = min(cpus), max(cpus)
+    ideal = hi / lo
+    report = {"cpus": cpus, "scale": scale, "levels": results, "efficiency": {}}
+    for job in results[lo]:
+        speedup = (
+            results[hi][job]["rows_per_sec"] / results[lo][job]["rows_per_sec"]
+        )
+        report["efficiency"][job] = round(speedup / ideal, 3)
+        report["efficiency"][f"{job}_speedup"] = round(speedup, 2)
+    line = json.dumps(report)
+    print(line)
+    with open(os.path.join(repo, "BENCH_SCALING.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

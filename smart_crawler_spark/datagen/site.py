@@ -30,14 +30,16 @@ SITE_PAGES_SCHEMA = (
     "image_id string, caption_xpath string, redirect_to string, fetch_fail_n int"
 )
 
-MENU_XP = "//ul[@id='menu']/li/a"
-LIST_XP = "//div[@id='content']/ul/li/a"
-NEXT_XP = "//a[@id='page']"
-DETAIL_MENU_XP = "//div[@id='content']/div[@class]/ul/li/a"
-CAPTION_XP = "//p[@id='caption']/text()"
-TITLE_XP = "//h1/text()"
-IMG_XP = "//img[@id='photo']"
-ABOUT_XP = "//p/text()"
+# xpaths in the double-quoted form the XPath lattice renders
+# (modeler/xpath.py; cf. DynamicModelerTest's '//ul[@id="menu"]/li/a')
+MENU_XP = '//ul[@id="menu"]/li/a'
+LIST_XP = '//div[@id="content"]/ul/li/a'
+NEXT_XP = '//a[@id="page"]'
+DETAIL_MENU_XP = '//div[@id="content"]/div[@class]/ul/li/a'
+CAPTION_XP = '//p[@id="caption"]/text()'
+TITLE_XP = '//h1[@id="title"]/text()'
+IMG_XP = '//img[@id="photo"]'
+ABOUT_XP = '//p[@id="about"]/text()'
 
 
 @dataclass
@@ -176,6 +178,52 @@ def generate_site_pages(
 
     return spark.range(0, total, numPartitions=parts).mapInPandas(
         gen, SITE_PAGES_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------- html --
+def page_html(row: dict) -> str:
+    """Render a page row as HTML whose M1-extracted schema equals the
+    row's declared ``link_schema``/``out_links``/``data_values`` (the
+    pandas-UDF extractor in modeler/schema.py is tested against this)."""
+    cls = row["true_class"]
+    body = []
+    if cls == "home":
+        items = []
+        n = len(row["out_links"])
+        for i in range(1, n + 1):
+            href = row["out_links"][f"({MENU_XP})[{i}]"][0]
+            items.append(f'<li><a href="{href}">Item {i}</a></li>')
+        body.append(f'<ul id="menu">{"".join(items)}</ul>')
+    elif cls.startswith("dir"):
+        lis = "".join(
+            f'<li><a href="{h}">detail</a></li>'
+            for h in row["out_links"].get(LIST_XP, [])
+        )
+        body.append(f'<div id="content"><ul>{lis}</ul></div>')
+        for h in row["out_links"].get(NEXT_XP, []):
+            body.append(f'<a id="page" href="{h}">NEXT</a>')
+    elif cls == "detail":
+        vals = row["data_values"]
+        title = vals.get(TITLE_XP, "")
+        caption = vals.get(CAPTION_XP, "")
+        img = vals.get(IMG_XP, "")
+        menu = "".join(
+            f'<li><a href="{row["out_links"][f"({DETAIL_MENU_XP})[{i}]"][0]}">d</a></li>'
+            for i in (1, 2)
+            if f"({DETAIL_MENU_XP})[{i}]" in row["out_links"]
+        )
+        body.append(f'<h1 id="title">{title}</h1>')
+        body.append(f'<p id="caption">{caption}</p>')
+        body.append(f'<img id="photo" src="/static/{img}">')
+        body.append(
+            f'<div id="content"><div class="menu"><ul>{menu}</ul></div></div>'
+        )
+    elif cls == "about":
+        body.append(f'<p id="about">{row["data_values"].get(ABOUT_XP, "")}</p>')
+    return (
+        f"<html><head><title>{row['title']}</title></head>"
+        f"<body>{''.join(body)}</body></html>"
     )
 
 

@@ -35,7 +35,8 @@ def page_links(assigned: DataFrame) -> DataFrame:
     """Per-page out-edges joined to destination clusters.
 
     ``assigned``: pages with ``cluster_id`` (from cluster_pages).
-    Output: (src_cluster, xpath, src_url, dst_url, dst_cluster, n_hrefs).
+    Output: (src_cluster, xpath, src_url, pos, dst_url, dst_cluster,
+    n_hrefs).
     """
     edges = assigned.select(
         F.col("cluster_id").alias("src_cluster"),
@@ -46,7 +47,7 @@ def page_links(assigned: DataFrame) -> DataFrame:
         "src_url",
         "xpath",
         F.size("hrefs").alias("n_hrefs"),
-        F.explode("hrefs").alias("dst_url"),
+        F.posexplode("hrefs").alias("pos", "dst_url"),
     )
     dst = assigned.select(
         F.col("url").alias("dst_url"), F.col("cluster_id").alias("dst_cluster")
@@ -55,34 +56,67 @@ def page_links(assigned: DataFrame) -> DataFrame:
 
 
 def class_links_from_pages(assigned: DataFrame) -> DataFrame:
-    """Aggregate page links into typed class links (C9 + C11)."""
+    """Aggregate page links into typed class links (C9 + C11).
+
+    Typing per (src_cluster, xpath):
+    - the xpath fans out to MULTIPLE destination clusters → a **menu**:
+      one indexed edge ``(xpath)[i]`` per position, destination = the
+      majority cluster at that position (cf. ``Menu``/``MenuItem``
+      positional indexing, ``MenuItem.java:99-117``); mutable if a
+      position's destination URL varies across source pages
+      (``MenuItem.isMutable():80-84``);
+    - single destination cluster, >1 href per page → **list**;
+    - otherwise → **singleton** (e.g. NEXT self-links).
+    """
     pl = page_links(assigned)
-    per_edge = pl.groupBy("src_cluster", "xpath", "dst_cluster").agg(
-        F.countDistinct("src_url").alias("n_src_pages"),
+    per_xpath = pl.groupBy("src_cluster", "xpath").agg(
+        F.countDistinct("dst_cluster").alias("n_dst_clusters"),
         F.avg("n_hrefs").alias("avg_hrefs"),
-        F.countDistinct("dst_url").alias("n_dst_urls"),
-        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src_url").alias("n_src_pages"),
     )
-    link_type = (
-        F.when(F.col("avg_hrefs") > 1.0, F.lit("list"))
-        .when(
-            (F.col("n_src_pages") >= 2) & (F.col("n_dst_urls") == 1),
-            F.lit("menu"),
+    pl2 = pl.join(per_xpath, ["src_cluster", "xpath"])
+
+    menus = (
+        pl2.filter(F.col("n_dst_clusters") > 1)
+        .groupBy("src_cluster", "xpath", "pos")
+        .agg(
+            F.mode("dst_cluster").alias("dst_cluster"),
+            F.countDistinct("dst_url").alias("n_dst_urls"),
+            F.count(F.lit(1)).alias("n_edges"),
         )
-        .otherwise(F.lit("singleton"))
+        .select(
+            "src_cluster",
+            F.concat(
+                F.lit("("), "xpath", F.lit(")["),
+                (F.col("pos") + 1).cast("string"), F.lit("]"),
+            ).alias("xpath"),
+            "dst_cluster",
+            F.lit("menu").alias("link_type"),
+            F.when(F.col("n_dst_urls") > 1, F.lit("mutable"))
+            .otherwise(F.lit("fixed"))
+            .alias("menu_type"),
+            "n_edges",
+        )
     )
-    menu_type = F.when(
-        (link_type == "menu") & (F.col("n_dst_urls") > F.lit(1)),
-        F.lit("mutable"),
-    ).when(link_type == "menu", F.lit("fixed"))
-    return per_edge.select(
-        "src_cluster",
-        "xpath",
-        "dst_cluster",
-        link_type.alias("link_type"),
-        menu_type.alias("menu_type"),
-        "n_edges",
+    flat = (
+        pl2.filter(F.col("n_dst_clusters") <= 1)
+        .groupBy("src_cluster", "xpath", "dst_cluster")
+        .agg(
+            F.max("avg_hrefs").alias("avg_hrefs"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+        .select(
+            "src_cluster",
+            "xpath",
+            "dst_cluster",
+            F.when(F.col("avg_hrefs") > 1.0, F.lit("list"))
+            .otherwise(F.lit("singleton"))
+            .alias("link_type"),
+            F.lit(None).cast("string").alias("menu_type"),
+            "n_edges",
+        )
     )
+    return menus.unionByName(flat)
 
 
 def cluster_names(assigned: DataFrame, max_titles: int = 3) -> dict[int, str]:

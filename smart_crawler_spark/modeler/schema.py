@@ -1,0 +1,232 @@
+"""Page-schema extraction from HTML (SURVEY M1/E1) — the vectorized UDF
+that turns raw HTML into (link_schema, out_links, label_values).
+
+Reference semantics (``modeler/model/Page.java:161-186``,
+``util/XPathUtils.java:89-161``, ``util/HtmlUtils.java:160-176``):
+
+- every anchor with an href gets a root-to-node default XPath (M2);
+  the page's link schema is the set of those defaults; out-links are
+  hrefs grouped per default XPath in document order;
+- hrefs are resolved against the page URL and filtered: same
+  registrable host only, no ``javascript:``/``mailto:``, no ``@``/``#``
+  markers, no image targets;
+- label schema: text nodes shorter than 60 chars whose element XPath
+  matches exactly one node on the page; label value = the collapsed
+  text.
+
+Parsing uses the stdlib ``html.parser`` (no lxml in this sandbox) —
+fine for the deterministic synthetic corpus; the Spark surface is
+``extract_page_schemas`` (Arrow-batched ``mapInPandas``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from smart_crawler_spark.modeler.xpath import XPath
+
+MAX_LABEL_LEN = 60  # XPathUtils.java:153-161
+
+SCHEMA = (
+    "url string, link_schema array<string>, "
+    "out_links map<string, array<string>>, "
+    "label_values map<string, string>"
+)
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "parent", "children", "texts")
+
+    def __init__(self, tag, attrs, parent):
+        self.tag = tag
+        self.attrs = attrs
+        self.parent = parent
+        self.children = []
+        self.texts = []
+
+
+_VOID = {"br", "img", "hr", "meta", "link", "input"}
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.root = _Node("#document", [], None)
+        self.cur = self.root
+        self.anchors: list[_Node] = []
+        self.text_nodes: list[tuple[_Node, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, [(k, v or "") for k, v in attrs], self.cur)
+        self.cur.children.append(node)
+        if tag == "a":
+            self.anchors.append(node)
+        if tag not in _VOID:
+            self.cur = node
+
+    def handle_endtag(self, tag):
+        n = self.cur
+        while n is not None and n.tag != tag:
+            n = n.parent
+        if n is not None and n.parent is not None:
+            self.cur = n.parent
+
+    def handle_data(self, data):
+        text = re.sub(r"\s+", " ", data).strip()
+        if text:
+            self.text_nodes.append((self.cur, text))
+            self.cur.texts.append(text)
+
+
+def _chain(node: _Node) -> list[tuple[str, list[tuple[str, str]]]]:
+    out = []
+    n = node
+    while n is not None and n.tag != "#document":
+        out.append((n.tag, list(n.attrs)))
+        n = n.parent
+    return out
+
+
+def is_valid_link(href: str, base_url: str) -> str | None:
+    """Resolve + filter an href (HtmlUtils.java:160-176). Returns the
+    absolute URL or None."""
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if low.startswith(("javascript:", "mailto:")) or "@" in href:
+        return None
+    if re.search(r"\.(jpe?g|png|gif|pdf)$", low):
+        return None
+    absu = urljoin(base_url, href)
+    if urlsplit(absu).netloc.lower() != urlsplit(base_url).netloc.lower():
+        return None
+    return absu.rstrip("/") if urlsplit(absu).path not in ("", "/") else absu
+
+
+def extract_schema(url: str, html: str) -> dict:
+    """Pure-Python M1 kernel for one page."""
+    tb = _TreeBuilder()
+    tb.feed(html)
+    out_links: dict[str, list[str]] = {}
+    for a in tb.anchors:
+        href = dict(a.attrs).get("href")
+        absu = is_valid_link(href, url)
+        if absu is None:
+            continue
+        xp = XPath(_chain(a)).default
+        out_links.setdefault(xp, [])
+        if absu not in out_links[xp]:
+            out_links[xp].append(absu)
+    # label schema: short texts whose element xpath matches exactly 1 node
+    by_xpath: dict[str, list[str]] = {}
+    for node, text in tb.text_nodes:
+        if len(text) >= MAX_LABEL_LEN or node.tag == "#document":
+            continue
+        xp = XPath(_chain(node)).default + "/text()"
+        by_xpath.setdefault(xp, []).append(text)
+    label_values = {
+        xp: texts[0] for xp, texts in by_xpath.items() if len(texts) == 1
+    }
+    return {
+        "url": url,
+        "link_schema": sorted(out_links),
+        "out_links": out_links,
+        "label_values": label_values,
+    }
+
+
+def extract_page_schemas(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Arrow-batched M1 over a DataFrame of raw HTML pages."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    extract_schema(u, h)
+                    for u, h in zip(pdf[url_col], pdf[html_col])
+                ]
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(gen, SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# E4–E7: model-driven data-record extraction from HTML (the reference's
+# DataType plugin surface — StringDataType/UrlDataType/ImgDataType,
+# ``model/*DataType.java``, dispatched per PageClass data links)
+
+
+def _all_nodes(root: _Node):
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(reversed(n.children))
+
+
+def _index_page(html: str):
+    tb = _TreeBuilder()
+    tb.feed(html)
+    by_xpath: dict[str, list[_Node]] = {}
+    for n in _all_nodes(tb.root):
+        if n.tag == "#document":
+            continue
+        by_xpath.setdefault(XPath(_chain(n)).default, []).append(n)
+    return by_xpath
+
+
+def _match(by_xpath: dict, xpath: str) -> list[_Node]:
+    """Resolve a (possibly positional ``(xp)[i]`` or ``xp/text()``) data
+    xpath against the page's default-xpath index."""
+    pos = None
+    m = re.fullmatch(r"\((.*)\)\[(\d+)\]", xpath)
+    if m:
+        xpath, pos = m.group(1), int(m.group(2))
+    xpath = xpath.removesuffix("/text()")
+    nodes = by_xpath.get(xpath, [])
+    if pos is not None:
+        nodes = nodes[pos - 1 : pos] if pos <= len(nodes) else []
+    return nodes
+
+
+def _collapse(s: str) -> str:
+    # whitespace collapse + quote strip (XPathUtils.java:223-225,
+    # StringDataType.java:15)
+    return re.sub(r"\s+", " ", s).replace('"', "").strip()
+
+
+def extract_data_value(by_xpath: dict, xpath: str, dtype: str) -> str:
+    nodes = _match(by_xpath, xpath)
+    if not nodes:
+        return ""
+    if dtype == "string":
+        # multiple nodes join with a space (XPathUtils.java:194-225)
+        return _collapse(" ".join(" ".join(n.texts) for n in nodes))
+    if dtype == "url":
+        # first anchor's raw href (UrlDataType.java:14-19)
+        for n in nodes:
+            href = dict(n.attrs).get("href")
+            if href:
+                return href
+        return ""
+    if dtype == "img":
+        # src basename, quote-stripped (ImgDataType.java:14-21)
+        src = dict(nodes[0].attrs).get("src", "")
+        return _collapse(src.rsplit("/", 1)[-1].split(">")[0])
+    raise ValueError(f"unknown dtype {dtype!r}")
+
+
+def extract_record(html: str, data_links: list[dict]) -> list[str]:
+    """Assemble one record in data-link order (PageClass.java:226-234)."""
+    by_xpath = _index_page(html)
+    return [
+        extract_data_value(by_xpath, d["xpath"], d["dtype"]) for d in data_links
+    ]

@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the plans must stay the plans we designed —
+filter/column pushdown into parquet scans, broadcast joins for model
+dimension tables, whole-stage codegen (no Python row UDFs) for text ops,
+co-partitioned shuffle (no broadcast) for the big seen-set anti-join."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@needs_testdata
+def test_parquet_filter_and_column_pushdown(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "2024-06-01").select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan reads only the 3 needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_extract_links_uses_broadcast_join(spark):
+    from smart_crawler_spark.crawler.extract import extract_links
+
+    pages = spark.createDataFrame(
+        [("home", 0, "http://h/", "h", {"//a": ["http://h/x"]})],
+        "page_class string, class_depth int, url string, host string,"
+        " out_links map<string,array<string>>",
+    )
+    model = spark.createDataFrame(
+        [("home", "//a", 0, "dir", 1)],
+        "src_class string, xpath string, edge_pos int, dst_class string,"
+        " dst_depth int",
+    )
+    assert "BroadcastHashJoin" in _plan(extract_links(pages, model))
+
+
+def test_seen_antijoin_not_broadcast_on_large_seen(spark):
+    # the seen side at 10^10 keys must never broadcast; co-partitioned
+    # shuffle join is the required shape (we pre-shard both sides)
+    from smart_crawler_spark.frontier.dedup import SeenFilter
+
+    f = SeenFilter(spark, use_bloom=False)
+    big = spark.range(0, 1_000_000).select(F.xxhash64("id").alias("url_hash"))
+    f.add(big)
+    cand = spark.range(0, 10).select(
+        F.col("id"), F.xxhash64(F.col("id") + F.lit(1)).alias("url_hash")
+    )
+    plan = _plan(f.filter_new(cand))
+    assert "LeftAnti" in plan
+
+
+def test_textops_stay_jvm_side(spark):
+    from smart_crawler_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "der schnelle fuchs")],
+        "doc_id long, text string",
+    )
+    for fn in (
+        textops.token_stats,
+        textops.language_id,
+        textops.quality_score,
+        textops.fingerprint,
+    ):
+        plan = _plan(fn(docs))
+        # no Python in the hot path (higher-order array fns are JVM-side
+        # even though they opt out of whole-stage codegen)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, fn
+    # plain-expression ops stay inside whole-stage codegen spans
+    assert "*(1)" in _plan(textops.fingerprint(docs))
+
+
+def test_frontier_order_total_and_deterministic(spark):
+    from smart_crawler_spark.frontier.queue import pick_batch
+
+    rows = [
+        (f"http://h/{i}", "h", "c", i % 2, f"c{i % 2}", None) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, host string, page_class string, class_depth int,"
+        " class_name string, form_params string",
+    )
+    a = [r["url"] for r in pick_batch(df, 5).orderBy("url").collect()]
+    b = [r["url"] for r in pick_batch(df.repartition(7), 5).orderBy("url").collect()]
+    assert a == b  # partitioning must not change the selected batch
