@@ -239,6 +239,52 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order ⋈ latest event of its (synthetic) user at
+    or before the order date (Spark lacks ASOF; union+window pattern)."""
+    from smart_crawler_spark.operators.relational import asof_join
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).alias("user_id"),
+            F.col("o_orderdate"),
+        )
+    )
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = asof_join(
+        orders, events, key="user_id", left_ts="o_orderdate", right_ts="ts",
+        right_cols=["event_id", "event_type"],
+    )
+    return out.select(
+        "o_orderkey", "user_id", "event_id", "event_type"
+    ).orderBy("o_orderkey")
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_crawler_spark.operators.relational import pivot_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    kinds = ["click", "view", "purchase", "error"]
+    return pivot_counts(ev, "user_id", "event_type", kinds).orderBy("user_id")
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup (rows-only check: hash fns live in Arrow UDFs).
 
@@ -295,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "embedding_near_dup": embedding_near_dup,
         "sessionize": sessionize,
+        "asof_latest_event": asof_latest_event,
+        "distinct_counts": distinct_counts,
+        "event_pivot": event_pivot,
         "minhash_near_dup": minhash_near_dup,
         "simhash_near_dup": simhash_near_dup,
         "lsh_embedding_topk": lsh_embedding_topk,
@@ -504,6 +553,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(sim, 6) AS cos_sim
             FROM dots WHERE round(sim, 6) >= 0.3
             ORDER BY id_a, id_b
+        """,
+        "asof_latest_event": """
+            SELECT o_orderkey, user_id, event_id, event_type
+            FROM (
+                SELECT o_orderkey, o_custkey % 50 AS user_id, o_orderdate
+                FROM orders WHERE o_orderkey < 5000
+            ) o
+            ASOF LEFT JOIN (
+                SELECT user_id AS e_user, ts, event_id, event_type
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, ts
+                        ORDER BY event_id DESC
+                    ) AS rn FROM events
+                ) WHERE rn = 1
+            ) e
+            ON o.user_id = e.e_user AND e.ts <= o.o_orderdate
+            ORDER BY o_orderkey
+        """,
+        "distinct_counts": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events WHERE user_id < 20
+            GROUP BY user_id ORDER BY user_id
         """,
         "sessionize": """
             WITH g AS (

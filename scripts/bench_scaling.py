@@ -31,12 +31,14 @@ scale = float(os.environ.get("SCALE", "1.0"))
 # same shuffle partitioning at both levels: the JOB is identical, only
 # the executor-thread count differs (the N vs 4N executors evidence)
 spark = spark_session(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                      shuffle_partitions=64)
+                      shuffle_partitions=64,
+                      extra_conf={{"spark.local.dir": "/dev/shm/spark-scaling",
+                                   "spark.driver.memory": "24g"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 def timed(make_df):
     best = None
-    for _ in range(2):  # warm-up then measure (JIT/codegen compile bias)
+    for _ in range(3):  # warm-up then measure (JIT/codegen compile bias)
         t0 = time.monotonic()
         n = make_df().count()
         dt = time.monotonic() - t0

@@ -1,0 +1,82 @@
+"""Relational operators Spark lacks natively, built from DataFrame
+primitives (SURVEY §2.6 + pyspark guide 'Common OLAP patterns').
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right_ts <= left_ts`` per key — implemented with the union + window
+  last-non-null pattern (one sort-based window, no pandas, no range
+  explosion; scales as a single shuffle on (key, ts)).
+- ``pivot_counts``: dynamic pivot with a pinned column set (deterministic
+  schema for oracle comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: latest right row (by right_ts) at or before
+    left_ts, per key. Ties on timestamp resolve to the right row that
+    sorts last among equals (deterministic: secondary sort on the
+    first right col)."""
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    rt = (
+        right.select(
+            F.col(key), F.col(right_ts).alias("_ts"),
+            *[F.col(c) for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    lcols = [c for c in left.columns]
+    unioned = lt.select(
+        key, "_ts", "_side",
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c != key],
+        *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in right_cols],
+    ).unionByName(
+        rt.select(
+            key, "_ts", "_side",
+            *[F.lit(None).cast(lt.schema[c].dataType).alias(f"_l_{c}")
+              for c in lcols if c != key],
+            *right_cols,
+        )
+    )
+    # right rows sort before left rows at equal ts (_side 0 < 1), so a
+    # left row sees same-timestamp right rows
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                 F.col(right_cols[0]).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        key, "_ts", "_side",
+        *[F.col(f"_l_{c}") for c in lcols if c != key],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c != key],
+        F.col(key),
+        *right_cols,
+    )
+
+
+def pivot_counts(
+    df: DataFrame, group_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Pivoted counts with a pinned value set (stable output schema)."""
+    return (
+        df.groupBy(group_col)
+        .pivot(pivot_col, values)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, values)
+    )
