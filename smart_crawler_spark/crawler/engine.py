@@ -144,26 +144,21 @@ class CrawlEngine:
             rnd += 1
             batch = self._pick_batch(frontier, host_fetched)
             batch = batch.localCheckpoint(eager=True)
-            batch_hosts = {
-                r["host"]: r["n"]
-                for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
-            }
-            if not batch_hosts:
+            if batch.isEmpty():
                 rnd -= 1
                 break
             t0 = time.monotonic()
 
-            frontier = (
-                frontier.join(
-                    batch.select("url", "page_class"),
-                    ["url", "page_class"],
-                    "left_anti",
-                )
-            ).localCheckpoint(eager=True)
+            frontier = frontier.join(
+                batch.select("url", "page_class"),
+                ["url", "page_class"],
+                "left_anti",
+            )
 
             if self.checkpoint and (
                 rnd % cfg.checkpoint_every == 0 or cfg.crash_at_round == rnd
             ):
+                frontier = frontier.localCheckpoint(eager=True)
                 self._snapshot(rnd, frontier, seen_filter, batch, host_seq, host_fetched)
                 if cfg.crash_at_round == rnd:
                     # simulated mid-round kill: batch is in flight, its
@@ -191,12 +186,17 @@ class CrawlEngine:
                 seen_filter.add(new.select("url_hash"))
             seen_filter.materialize()
 
-            ok_hosts = {
-                r["host"]: r["n"]
-                for r in fetched_ok.groupBy("host")
-                .agg(F.count("*").alias("n"))
+            # one combined per-host count pass (batch sizes + fetch-ok)
+            host_rows = (
+                fetched.groupBy("host")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("fetch_ok")).alias("ok_n"),
+                )
                 .collect()
-            }
+            )
+            batch_hosts = {r["host"]: r["n"] for r in host_rows}
+            ok_hosts = {r["host"]: r["ok_n"] for r in host_rows if r["ok_n"]}
             for h, n in batch_hosts.items():
                 host_seq[h] = host_seq.get(h, 0) + n
             for h, n in ok_hosts.items():
