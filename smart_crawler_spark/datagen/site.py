@@ -51,6 +51,12 @@ class SiteConfig:
     n_images: int = 100
     skew_factor: int = 1       # host 0 gets skew_factor * L details/page
     fail_every: int = 0        # every k-th detail needs 1 retry
+    chain_first_dir_only: bool = False  # like testsite/minimal: only dir0
+    # has a NEXT chain, other dirs are single pages (structural asymmetry
+    # that makes the home menu's sampled destinations 3 distinct clusters)
+    next_cycles: bool = False  # last chain page's NEXT points back to the
+    # first (all chain pages share one schema -> NEXT is a self-loop edge
+    # like the reference fixture's directory1)
     hosts: list[str] = field(default_factory=list)
 
     def host(self, k: int) -> str:
@@ -59,9 +65,20 @@ class SiteConfig:
     def details_l(self, k: int) -> int:
         return self.details_per_page * (self.skew_factor if k == 0 else 1)
 
+    def chain_of(self, d: int) -> int:
+        if self.chain_first_dir_only and d > 0:
+            return 1
+        return self.chain
+
+    def dir_pages(self) -> int:
+        return sum(self.chain_of(d) for d in range(self.dirs))
+
+    def dir_offset(self, d: int) -> int:
+        return sum(self.chain_of(i) for i in range(d))
+
     def pages_per_host(self, k: int) -> int:
-        d, p = self.dirs, self.chain
-        return 1 + d * p + d * p * self.details_l(k) + 1
+        dp = self.dir_pages()
+        return 1 + dp + dp * self.details_l(k) + 1
 
     def total_pages(self) -> int:
         return sum(self.pages_per_host(k) for k in range(self.n_hosts))
@@ -75,8 +92,9 @@ def page_row(cfg: SiteConfig, k: int, local: int) -> dict:
     """Pure function (host, local page index) → site_pages row."""
     host = cfg.host(k)
     base = f"http://{host}"
-    d_, p_, l_ = cfg.dirs, cfg.chain, cfg.details_l(k)
-    n_details = d_ * p_ * l_
+    d_, l_ = cfg.dirs, cfg.details_l(k)
+    dp = cfg.dir_pages()
+    n_details = dp * l_
     row = {
         "host": host,
         "label_schema": [],
@@ -97,22 +115,29 @@ def page_row(cfg: SiteConfig, k: int, local: int) -> dict:
             link_schema=[MENU_XP],
             out_links=links,
         )
-    elif local <= d_ * p_:  # dir pages
+    elif local <= dp:  # dir pages
         i = local - 1
-        d, p = divmod(i, p_)
-        start = (d * p_ + p) * l_
+        d = max(dd for dd in range(d_) if cfg.dir_offset(dd) <= i)
+        p = i - cfg.dir_offset(d)
+        start = i * l_
         links = {LIST_XP: [f"{base}/detail/{n}" for n in range(start, start + l_)]}
-        if p < p_ - 1:
-            links[NEXT_XP] = [_dir_url(base, d, p + 1)]
+        if cfg.next_cycles:
+            has_next = cfg.chain_of(d) > 1
+            nxt = (p + 1) % cfg.chain_of(d)
+        else:
+            has_next = p < cfg.chain_of(d) - 1
+            nxt = p + 1
+        if has_next:
+            links[NEXT_XP] = [_dir_url(base, d, nxt)]
         row.update(
             url=_dir_url(base, d, p),
             true_class=f"dir{d}",
             title=f"Directory {d} page {p} {host}",
-            link_schema=sorted({LIST_XP} | ({NEXT_XP} if p < p_ - 1 else set())),
+            link_schema=sorted({LIST_XP} | ({NEXT_XP} if has_next else set())),
             out_links=links,
         )
-    elif local <= d_ * p_ + n_details:  # detail pages
-        n = local - 1 - d_ * p_
+    elif local <= dp + n_details:  # detail pages
+        n = local - 1 - dp
         gidx = (k * 1_000_003 + n) % cfg.n_images
         caption = image_caption(gidx)
         links = {
@@ -240,7 +265,7 @@ def target_rows(cfg: SiteConfig) -> list[list[str]]:
     rows.append(["home", "link", f"({MENU_XP})[{cfg.dirs + 1}]", "about", "menu"])
     for i in range(cfg.dirs):
         rows.append([f"dir{i}", "link", LIST_XP, "detail", "list"])
-        if cfg.chain > 1:
+        if cfg.chain_of(i) > 1:
             rows.append([f"dir{i}", "link", NEXT_XP, f"dir{i}", "NEXT"])
     rows.append(["detail", "link", f"({DETAIL_MENU_XP})[1]", "dir0", "menu"])
     rows.append(["detail", "link", f"({DETAIL_MENU_XP})[2]", "dir1", "menu"])

@@ -1,0 +1,559 @@
+"""Sequential dynamic modeler (SURVEY M4–M6, C5–C7) — the reference's
+sampling state machine ``poll → getLinks → fetch → cluster → inspect →
+{refine} → update → poll… → finalize`` (``DynamicModeler.java:100-116``)
+re-expressed as a driver loop.
+
+Why driver-side: the modeling phase fetches at most ``model_pages``
+pages **by design** (the budget, ``DynamicModeler.java:177``) — tens of
+pages even for large sites — and its decisions are order-sensitive.
+Page-level parsing still uses the same ``extract_schema`` kernel as the
+distributed Arrow UDF, and fetches go through a pluggable fetcher (the
+hermetic corpus here; a batched Spark join in a live deployment).
+
+Faithful pieces:
+- LC priority: singleton-cluster parents first, then density
+  ``size/cluster.outgoingURLs`` (``LinkCollection.densestFirst:192-205``);
+- sampling: first/middle/last valid link, ≤ max_fetches
+  (``LinkCollection.getLinksToFetch:138-175``);
+- decision table on (#pages, #clusters) incl. menu-refetch escalation
+  (``DynamicModeler.inspect:272-310``);
+- XPath refinement search (``changeXPath:354-385``) over the stored
+  page HTML via the lattice (modeler/xpath.py);
+- sequential MDL update + page-link recording (``update:312-330``);
+- finalize: schema + link-distance collapses, graph build with
+  menu→list downgrade and link-type precedence
+  (``finalUpdate:425-433``, ``Page.buildLinks:253-261``).
+
+Divergence (documented): menu item xpaths are always positional
+``(xpath)[i]`` (the form the reference's own target files use, e.g.
+``targets/localhost_target.csv``); the reference uses href-predicated
+xpaths for fixed menus and positional only for mutable ones.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urljoin
+
+from smart_crawler_spark.modeler.cluster import (
+    MIN_DISTANCE,
+    ClusterStats,
+    CostModel,
+    collapsed,
+    distance,
+    mdl_update,
+)
+from smart_crawler_spark.modeler.schema import extract_schema, is_valid_link
+from smart_crawler_spark.modeler.xpath import XPath
+from smart_crawler_spark.sources.targets import NavigationModel
+
+
+@dataclass
+class MPage:
+    url: str
+    title: str
+    link_schema: list[str]
+    out_links: dict[str, list[str]]       # default xpath -> hrefs
+    label_values: dict[str, str]
+    html: str = ""
+    classified: bool = False
+    page_links: list = field(default_factory=list)  # (xpath, type, text, [urls])
+
+    @property
+    def urls_size(self) -> int:
+        return sum(len(v) for v in self.out_links.values())
+
+    @property
+    def schema(self) -> set:
+        return set(self.link_schema) | set(self.label_values)
+
+    def to_stats(self, cid: str) -> ClusterStats:
+        return ClusterStats(
+            cid=cid,
+            size=1,
+            urls_total=self.urls_size,
+            urls=[self.url],
+            link_df={xp: 1 for xp in self.link_schema},
+            label_counts={(xp, t): 1 for xp, t in self.label_values.items()},
+        )
+
+
+@dataclass
+class LinkCollection:
+    page: MPage
+    xpath: XPath
+    links: list[str]
+    ltype: str | None = None  # list | menu | singleton
+    refinable: bool = True
+    finer: bool = False
+    max_fetches: int = 3
+
+    def links_to_fetch(self, base: str) -> list[str]:
+        ls = self.links
+        n = len(ls)
+        if n <= self.max_fetches:
+            return [h for h in ls if is_valid_link(h, base)]
+        out = []
+        i = 0
+        middle, end = (n - 1) // 2, n - 1
+        while i < n:
+            if is_valid_link(ls[i], base):
+                out.append(ls[i])
+                break
+            i += 1
+        i = middle if i < middle else i + 1
+        while i < n:
+            if is_valid_link(ls[i], base):
+                out.append(ls[i])
+                break
+            i += 1
+        last = i
+        i = end if i < end else 0
+        while i > last:
+            if is_valid_link(ls[i], base):
+                out.append(ls[i])
+                break
+            i -= 1
+        return out
+
+
+class CorpusFetcher:
+    """Hermetic fetch: url → (final_url, title, html) from the synthetic
+    corpus rows (the live-deployment fetcher is a batched Spark join)."""
+
+    def __init__(self, rows: list[dict], html_of=None):
+        from smart_crawler_spark.datagen.site import page_html
+
+        self._html_of = html_of or page_html
+        self.by_url = {r["url"]: r for r in rows}
+
+    def fetch(self, url: str):
+        row = (
+            self.by_url.get(url)
+            or self.by_url.get(url.rstrip("/"))
+            or self.by_url.get(url.rstrip("/") + "/")
+        )
+        if row is None:
+            raise LookupError(f"404 {url}")
+        if row.get("redirect_to"):
+            row = self.by_url[row["redirect_to"]]
+        return row["url"], row["title"], self._html_of(row)
+
+
+class DynamicModeler:
+    def __init__(
+        self,
+        fetcher: CorpusFetcher,
+        site: str,
+        model_pages: int = 10,
+        min_distance: float = MIN_DISTANCE,
+    ):
+        self.fetcher = fetcher
+        self.site = site.rstrip("/")
+        self.model_pages = model_pages
+        self.min_distance = min_distance
+        self.visited: dict[str, MPage] = {}
+        self.redirects: dict[str, str] = {}
+        self.model: list[tuple[ClusterStats, list[MPage]]] = []
+        self.fetched = 0
+        self._id = 0
+
+    # -- page / collection construction ---------------------------------
+    def _make_page(self, url: str, title: str, html: str) -> MPage:
+        s = extract_schema(url, html)
+        return MPage(
+            url=url,
+            title=title,
+            link_schema=s["link_schema"],
+            out_links=s["out_links"],
+            label_values=s["label_values"],
+            html=html,
+        )
+
+    def _collections(self, page: MPage) -> list[LinkCollection]:
+        out = []
+        for xp, hrefs in page.out_links.items():
+            out.append(
+                LinkCollection(page, _xpath_from_default(page, xp), list(hrefs))
+            )
+        return out
+
+    # -- model as ClusterStats over MPages -------------------------------
+    def _model_stats(self) -> list[ClusterStats]:
+        return [c for c, _pages in self.model]
+
+    def _cluster_of_page(self, page: MPage):
+        for c, pages in self.model:
+            if page in pages:
+                return c, pages
+        return None, []
+
+    def _outgoing_urls(self, cluster_pages: list[MPage]) -> int:
+        return sum(p.urls_size for p in cluster_pages) or 1
+
+    def _priority(self, lc: LinkCollection):
+        c, pages = self._cluster_of_page(lc.page)
+        singleton = 0 if (c is not None and c.size == 1) else 1
+        density = len(lc.links) / self._outgoing_urls(pages)
+        return (singleton, -density)
+
+    # -- the state machine ------------------------------------------------
+    def run(self) -> NavigationModel:
+        queue: list[LinkCollection] = []
+        final_url, title, html = self.fetcher.fetch(self.site)
+        self.site = final_url.rstrip("/") or final_url
+        seed = self._make_page(final_url, title, html)
+        self.visited[final_url] = seed
+        self.redirects[self.site] = final_url
+        seed.classified = True
+        self._id += 1
+        self.model.append((seed.to_stats(str(self._id)), [seed]))
+        queue.extend(self._collections(seed))
+
+        while queue:
+            queue.sort(key=self._priority)
+            collection = queue.pop(0)
+            new_pages = self._fetch_collection(collection, queue)
+            if not new_pages:
+                continue
+            # cluster -> inspect -> (refine loop) -> update
+            while True:
+                candidates = self._cluster(new_pages)
+                action = self._inspect(collection, new_pages, candidates)
+                if action == "update":
+                    break
+                if action == "refine":
+                    if self._refine(collection):
+                        new_pages = self._fetch_collection(collection, queue)
+                        if not new_pages:
+                            break
+                        continue
+                    collection.refinable = False
+                    continue  # re-inspect with refinable=False
+                if action == "getLinks":  # menu refetch-all escalation
+                    new_pages = self._fetch_collection(collection, queue)
+                    if not new_pages:
+                        break
+                    continue
+            if new_pages:
+                self._update(collection, new_pages, candidates, queue)
+        return self.finalize()
+
+    def _fetch_collection(
+        self, collection: LinkCollection, queue: list
+    ) -> list[MPage]:
+        new_pages: list[MPage] = []
+        for href in collection.links_to_fetch(self.site):
+            url = urljoin(self.site + "/", href)
+            url = url.rstrip("/") if url.rstrip("/") != self.site else url
+            known = self.visited.get(self.redirects.get(url, url))
+            if known is not None:
+                new_pages.append(known)
+                continue
+            if self.fetched >= self.model_pages:
+                queue.clear()
+                return new_pages
+            try:
+                final, title, html = self.fetcher.fetch(url)
+            except LookupError:
+                continue
+            self.fetched += 1
+            page = self.visited.get(final)
+            if page is None:
+                page = self._make_page(final, title, html)
+                self.visited[final] = page
+            self.redirects[url] = final
+            new_pages.append(page)
+        return new_pages
+
+    def _cluster(self, new_pages: list[MPage]) -> list[list[MPage]]:
+        """C1 group by default link schema + C2 label split + C3 collapse
+        (DynamicModeler.cluster:214-241), over the new pages only."""
+        groups: dict[tuple, list[MPage]] = {}
+        for p in new_pages:
+            groups.setdefault(tuple(sorted(p.link_schema)), []).append(p)
+        candidates = list(groups.values())
+        # label split
+        split_off = []
+        for pages in candidates:
+            texts: dict[tuple, int] = {}
+            for p in pages:
+                for kv in p.label_values.items():
+                    texts[kv] = texts.get(kv, 0) + 1
+            class_labels = {xp for (xp, _t), n in texts.items() if n >= 2}
+            removed = [
+                p
+                for p in pages
+                if p.label_values and not class_labels <= set(p.label_values)
+            ]
+            for p in removed:
+                pages.remove(p)
+            if removed:
+                split_off.append(removed)
+        candidates = [c for c in candidates if c] + split_off
+        candidates.sort(key=len, reverse=True)
+        # C3 collapse below min distance (page-set jaccard on schemas)
+        merged = collapsed(
+            [self._pages_stats(c) for c in candidates],
+            lambda a, b: distance(a, b) < self.min_distance,
+        )
+        by_cid = {id(c): c for c in candidates}
+        return [
+            sum((by_cid[int(m)] for m in st.members), []) for st in merged
+        ]
+
+    def _pages_stats(self, pages: list[MPage]) -> ClusterStats:
+        st = pages[0].to_stats(str(id(pages)))
+        for p in pages[1:]:
+            st = st.merge(p.to_stats(str(id(pages))))
+        st.members = [str(id(pages))]
+        return st
+
+    def _inspect(
+        self, collection: LinkCollection, new_pages: list, candidates: list
+    ) -> str:
+        """C5 decision table (DynamicModeler.inspect:272-310)."""
+        pages, clusters = len(new_pages), len(candidates)
+        if pages == 3:
+            if clusters == 1:
+                collection.ltype = "list"
+            elif clusters == 2:
+                if collection.refinable:
+                    collection.finer = True
+                    return "refine"
+                collection.ltype = "list"
+            else:
+                if collection.refinable:
+                    collection.finer = True
+                    return "refine"
+                collection.ltype = "menu"
+                if len(collection.links) > 3 and collection.max_fetches == 3:
+                    collection.max_fetches = len(collection.links)
+                    return "getLinks"
+        elif pages == 2:
+            collection.ltype = "list" if clusters == 1 else "menu"
+        elif pages == 1:
+            if collection.refinable and not collection.finer:
+                return "refine"
+            collection.ltype = "singleton"
+        return "update"
+
+    def _refine(self, collection: LinkCollection) -> bool:
+        """C6 XPath refinement search (changeXPath:354-385)."""
+        page = collection.page
+        xp = collection.xpath
+        snapshot = [t for t in xp.tags]  # tags are mutated in place
+        import copy
+
+        original = copy.deepcopy(xp)
+        while xp.refine(collection.finer):
+            links = _eval_xpath_hrefs(page, xp)
+            if links != collection.links and len(set(links)) < page.urls_size:
+                collection.links = links
+                return True
+        collection.xpath = original
+        del snapshot
+        return False
+
+    def _update(self, collection, new_pages, candidates, queue) -> None:
+        """C4 MDL merge + C7 page-link recording (update:312-330)."""
+        fresh = [[p for p in c if not p.classified] for c in candidates]
+        fresh = [c for c in fresh if c]
+        if fresh:
+            idf = _global_idf(self.visited.values())
+            cost = CostModel(idf)
+            model_stats = {st.cid: (st, pages) for st, pages in self.model}
+            merged = mdl_update(
+                [st for st, _p in self.model],
+                [self._pages_stats(c) for c in fresh],
+                cost,
+            )
+            by_mid = {str(id(c)): c for c in fresh}
+            new_model = []
+            for st in merged:
+                pages: list[MPage] = []
+                for m in st.members:
+                    if m in model_stats:
+                        pages.extend(model_stats[m][1])
+                    elif m in by_mid:
+                        pages.extend(by_mid[m])
+                st.members = [st.cid]
+                new_model.append((st, pages))
+            self.model = new_model
+        # page links from parent to the sampled pages
+        collection.page.page_links.append(
+            (collection.xpath.get(), collection.ltype or "singleton", new_pages)
+        )
+        for p in new_pages:
+            if not p.classified:
+                p.classified = True
+                queue.extend(self._collections(p))
+
+    # -- finalize ---------------------------------------------------------
+    def finalize(self) -> NavigationModel:
+        """C8 collapses + C9-C11 graph (finalizeModel/finalUpdate)."""
+        stats = []
+        pagemap = {}
+        for st, pages in self.model:
+            stats.append(st)
+            pagemap[st.cid] = pages
+        merged = collapsed(stats, lambda a, b: distance(a, b) < self.min_distance)
+        clusters = []
+        for st in merged:
+            pages = []
+            for m in st.members:
+                pages.extend(pagemap.get(m, []))
+            clusters.append((st, pages))
+        return _to_graph(clusters, self.visited, self.redirects, self.site)
+
+
+# -- helpers ----------------------------------------------------------------
+
+
+def _xpath_from_default(page: MPage, default: str) -> XPath:
+    """Rebuild a refinable XPath object for a default path by locating a
+    matching anchor chain in the page HTML."""
+    from smart_crawler_spark.modeler.schema import _chain, _TreeBuilder
+
+    tb = _TreeBuilder()
+    tb.feed(page.html)
+    for a in tb.anchors:
+        xp = XPath(_chain(a))
+        if xp.default == default:
+            return xp
+    # fallback: opaque, unrefinable
+    xp = XPath([("a", [])])
+    xp.tags = []
+    return xp
+
+
+def _eval_xpath_hrefs(page: MPage, xp: XPath) -> list[str]:
+    """Evaluate a refined xpath version against the page's anchors by
+    structural match of the lattice state."""
+    from smart_crawler_spark.modeler.schema import _chain, _TreeBuilder
+
+    tb = _TreeBuilder()
+    tb.feed(page.html)
+    want = xp.get()
+    out = []
+    for a in tb.anchors:
+        cand = XPath(_chain(a))
+        if _matches(cand, want):
+            href = dict(a.attrs).get("href")
+            if href:
+                out.append(href)
+    return out
+
+
+def _matches(cand: XPath, want: str) -> bool:
+    """True if the anchor (via its finest path) satisfies the xpath
+    string ``want`` — segment-wise suffix match with attr predicates."""
+    finest = cand.finest()
+    want_parts = [p for p in want.lstrip("/").split("/") if p]
+    have_parts = [p for p in finest.lstrip("/").split("/") if p]
+    anchored = want.startswith("/") and not want.startswith("//")
+    if anchored and len(want_parts) != len(have_parts):
+        return False
+    if len(want_parts) > len(have_parts):
+        return False
+    for wp, hp in zip(reversed(want_parts), reversed(have_parts)):
+        if not _seg_match(wp, hp):
+            return False
+    return True
+
+
+def _seg_match(want: str, have: str) -> bool:
+    import re
+
+    wname = want.split("[", 1)[0]
+    hname = have.split("[", 1)[0]
+    if wname != hname:
+        return False
+    have_attrs = dict(re.findall(r'@([\w:-]+)="([^"]*)"', have))
+    for attr, val in re.findall(r'@([\w:-]+)(?:="([^"]*)")?', want):
+        if attr not in have_attrs:
+            return False
+        if val and have_attrs[attr] != val:
+            return False
+    return True
+
+
+def _global_idf(pages) -> dict[str, float]:
+    import math
+
+    pages = list(pages)
+    n = len(pages)
+    df: dict[str, int] = {}
+    for p in pages:
+        for xp in p.schema:
+            df[xp] = df.get(xp, 0) + 1
+    return {xp: math.log(n / d) for xp, d in df.items()}
+
+
+def _to_graph(clusters, visited, redirects, site) -> NavigationModel:
+    """C9-C11: replay page links into typed class links with the
+    reference precedence (list > menu > singleton on conflicts,
+    Page.buildLinks menu→list downgrade) and positional menu items."""
+    page2cid = {}
+    names = {}
+    for i, (st, pages) in enumerate(clusters):
+        titles = sorted({p.title for p in pages})[:3]
+        names[i] = f"{i}_" + ",".join(titles)
+        for p in pages:
+            page2cid[p.url] = i
+
+    # type precedence per (src, base xpath): list > menu > singleton
+    # (ListPageLink/MenuPageLink/SinglePageLink override rules)
+    _PREC = {"list": 2, "menu": 1, "singleton": 0}
+    type_by_key: dict[tuple, str] = {}
+    raw: list[tuple] = []  # (src, base_xpath, ltype, dst_cids)
+    for i, (st, pages) in enumerate(clusters):
+        for p in pages:
+            for xpath, ltype, dsts in p.page_links:
+                dst_cids = [
+                    page2cid[d.url] for d in dsts if d.url in page2cid
+                ]
+                if not dst_cids:
+                    continue
+                if ltype == "menu" and len(set(dst_cids)) == 1:
+                    ltype = "list"  # Page.buildLinks:253-261 downgrade
+                key = (i, xpath)
+                if key not in type_by_key or _PREC[ltype] > _PREC[type_by_key[key]]:
+                    type_by_key[key] = ltype
+                raw.append((i, xpath, ltype, dst_cids))
+
+    edges: dict[tuple, dict] = {}
+    for i, xpath, ltype, dst_cids in raw:
+        winner = type_by_key[(i, xpath)]
+        if ltype != winner:
+            continue
+        if winner == "menu":
+            for pos, dc in enumerate(dst_cids):
+                edges.setdefault(
+                    (i, f"({xpath})[{pos + 1}]", dc),
+                    {"t": "menu", "mt": "fixed"},
+                )
+        else:
+            for dc in set(dst_cids):
+                edges.setdefault((i, xpath, dc), {"t": winner, "mt": None})
+
+    root_cid = page2cid.get(redirects.get(site, site)) or page2cid.get(
+        site
+    ) or page2cid.get(site + "/") or 0
+    model = NavigationModel(root=names[root_cid])
+    for (src, xpath, dc), e in sorted(
+        edges.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2])
+    ):
+        model.class_links.append(
+            {
+                "src_class": names[src],
+                "xpath": xpath,
+                "dst_class": names[dc],
+                "link_type": e["t"],
+                "anchor_text": None,
+                "menu_href": None,
+                "menu_type": e["mt"],
+            }
+        )
+    model.assign_depths()
+    return model
