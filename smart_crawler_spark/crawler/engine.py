@@ -149,11 +149,14 @@ class CrawlEngine:
                 break
             t0 = time.monotonic()
 
-            frontier = frontier.join(
-                batch.select("url", "page_class"),
-                ["url", "page_class"],
+            # null-safe key: the same URL may sit in the frontier twice
+            # with different form params (distinct pages per F1 identity)
+            fp_key = F.coalesce(F.col("form_params"), F.lit(""))
+            frontier = frontier.withColumn("_fp", fp_key).join(
+                batch.select("url", "page_class", fp_key.alias("_fp")),
+                ["url", "page_class", "_fp"],
                 "left_anti",
-            )
+            ).drop("_fp")
 
             if self.checkpoint and (
                 rnd % cfg.checkpoint_every == 0 or cfg.crash_at_round == rnd

@@ -82,13 +82,19 @@ def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
         F.col("dst_depth").alias("class_depth"),
     )
     classified = exploded.join(F.broadcast(model), ["src_class", "xpath"], "inner")
+    # form links encode a future POST as "url>k=v;k=v" (E2,
+    # model/CrawlURL.java:46-56, factories/CrawlURLFactory.java:33-44)
+    form_params = F.when(
+        F.col("url").contains(">"), F.substring_index("url", ">", -1)
+    ).otherwise(F.lit(None).cast("string"))
+    plain_url = F.substring_index("url", ">", 1)
     # link_seq reproduces the reference's sequential enqueue order within
     # one source page: model-file edge order, then position in the node list
     return classified.select(
-        "url", "host", "page_class",
+        plain_url.alias("url"), "host", "page_class",
         F.col("class_depth"),
         F.col("page_class").alias("class_name"),
-        F.lit(None).cast("string").alias("form_params"),
+        form_params.alias("form_params"),
         "src_depth", "src_class", "src_url",
         (F.col("edge_pos").cast("long") * 1_000_000_000 + F.col("href_pos")).alias(
             "link_seq"

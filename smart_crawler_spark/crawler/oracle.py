@@ -87,11 +87,15 @@ def crawl_site(
         depth = model.depths.get(cls)
         if depth is None:
             return
-        key = seen_key(url)
+        # form links arrive as "url>k=v;..." (CrawlURLFactory.java:33-44)
+        form_params = None
+        if ">" in url:
+            url, form_params = url.split(">", 1)
+        key = seen_key(url, form_params)
         if key in res.seen:
             return
         res.seen.add(key)
-        bisect.insort(queue, _Entry(depth, cls, url, ""))
+        bisect.insort(queue, _Entry(depth, cls, url, form_params or ""))
 
     enqueue(seed_url, model.root)
     seq = 0

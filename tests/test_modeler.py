@@ -91,7 +91,7 @@ def test_model_graph_and_depths(spark, clustered):
     assert max_depth == 2
     # dir -> detail edge exists and is a list
     list_edges = [e for e in nav.class_links if e["link_type"] == "list"]
-    assert any(e["xpath"].startswith("//div[@id='content']") for e in list_edges)
+    assert any(e["xpath"].startswith('//div[@id="content"]') for e in list_edges)
 
 
 def test_reference_distance_formula():
