@@ -239,6 +239,60 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators on array columns (SURVEY §2.6: union/intersect/
+    except over schema sets)."""
+    vocab = ["spark", "window", "join", "hash", "table", "stream"]
+    docs = _t(spark, sf_dir, "documents")
+    ws = textops.word_set("text")
+    varr = F.array(*[F.lit(w) for w in vocab])
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_intersect(ws, varr)).alias("n_vocab_hits"),
+        F.size(F.array_except(ws, varr)).alias("n_other"),
+        F.size(F.array_union(ws, varr)).alias("n_union"),
+    ).orderBy("doc_id")
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 def asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each order ⋈ latest event of its (synthetic) user at
     or before the order date (Spark lacks ASOF; union+window pattern)."""
@@ -341,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "embedding_near_dup": embedding_near_dup,
         "sessionize": sessionize,
+        "word_set_ops": word_set_ops,
+        "rollup_revenue": rollup_revenue,
+        "q5_region_revenue": q5_region_revenue,
         "asof_latest_event": asof_latest_event,
         "distinct_counts": distinct_counts,
         "event_pivot": event_pivot,
@@ -553,6 +610,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(sim, 6) AS cos_sim
             FROM dots WHERE round(sim, 6) >= 0.3
             ORDER BY id_a, id_b
+        """,
+        "word_set_ops": f"""
+            WITH ws AS (SELECT doc_id, {wordset} AS w FROM documents),
+            v AS (SELECT ['spark','window','join','hash','table','stream'] AS varr)
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   len(list_intersect(w, varr)) AS n_vocab_hits,
+                   len(list_filter(w, x -> NOT list_contains(varr, x))) AS n_other,
+                   len(list_distinct(list_concat(w, varr))) AS n_union
+            FROM ws, v ORDER BY doc_id
+        """,
+        "rollup_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 2) AS total, count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority ASC NULLS FIRST,
+                     o_orderstatus ASC NULLS FIRST
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
         """,
         "asof_latest_event": """
             SELECT o_orderkey, user_id, event_id, event_type

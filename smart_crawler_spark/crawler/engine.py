@@ -185,8 +185,14 @@ class CrawlEngine:
             frontier = frontier.unionByName(
                 new.select(*frontier.columns)
             ).localCheckpoint(eager=True)
-            if n_new:
-                seen_filter.add(new.select("url_hash"))
+            # redirect targets join the seen set (E8: the adopted final
+            # URL is treated as visited, CrawlPage.java:55,140-141)
+            redirect_hashes = fetched_ok.filter(
+                F.col("redirect_to").isNotNull()
+            ).select(url_seen_key(F.col("final_url")).alias("url_hash"))
+            seen_filter.add(
+                new.select("url_hash").unionByName(redirect_hashes)
+            )
             seen_filter.materialize()
 
             # one combined per-host count pass (batch sizes + fetch-ok)

@@ -187,10 +187,13 @@ class SeenFilter:
         return definitely_new.unionByName(confirmed_new)
 
     def add(self, new_hashes: DataFrame, hash_col: str = "url_hash") -> None:
-        """Record hashes as seen (call with the batch actually enqueued)."""
+        """Record hashes as seen (call with the batch actually enqueued).
+
+        Idempotent: already-seen keys are dropped so the seen table stays
+        a set (redirect targets may be re-added, E8)."""
         fresh = self._with_shard(
             new_hashes.select(F.col(hash_col).alias("url_hash")).distinct()
-        )
+        ).join(self.seen, ["shard", "url_hash"], "left_anti")
         self.seen = self.seen.unionByName(fresh.select("url_hash", "shard"))
         if self.use_bloom:
             self.blooms = self._merge_blooms(self._build_blooms(fresh))

@@ -1,0 +1,109 @@
+"""Property test: on randomly generated model-consistent site graphs —
+with dangling links (404s), flaky pages (retries), redirects and
+duplicate hrefs — the engine's per-host crawl order, seen set and
+records match the reference-semantics oracle EXACTLY."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+from smart_crawler_spark.crawler.oracle import crawl_all
+from smart_crawler_spark.datagen.site import SITE_PAGES_SCHEMA
+from smart_crawler_spark.sources.targets import parse_target_rows
+
+
+def make_random_site(seed: int):
+    rng = random.Random(seed)
+    n_classes = rng.randint(3, 4)
+    classes = [f"c{i}" for i in range(n_classes)]
+    model_rows = []
+    # tree edges + random extras, each with its own xpath
+    for i in range(1, n_classes):
+        src = classes[rng.randrange(i)]
+        model_rows.append([src, "link", f"//x{i}", classes[i], "list"])
+    for _ in range(rng.randint(1, 3)):
+        a, b = rng.sample(range(n_classes), 2)
+        model_rows.append(
+            [classes[a], "link", f"//e{a}_{b}", classes[b], ""]
+        )
+    model_rows.append([classes[-1], "string", "//h1/text()", "title"])
+    model = parse_target_rows(model_rows)
+
+    pages_by_class = {
+        c: [f"http://r{seed}.test/{c}/p{j}" for j in range(rng.randint(1, 4))]
+        for c in classes
+    }
+    edges_by_src: dict[str, list] = {}
+    for e in model.class_links:
+        edges_by_src.setdefault(e["src_class"], []).append(e)
+
+    rows = []
+    for c, urls in pages_by_class.items():
+        for u in urls:
+            out = {}
+            for e in edges_by_src.get(c, []):
+                dsts = pages_by_class[e["dst_class"]]
+                hrefs = [rng.choice(dsts) for _ in range(rng.randint(0, 3))]
+                if rng.random() < 0.2:
+                    hrefs.append(f"http://r{seed}.test/dangling/{rng.random()}")
+                if hrefs:
+                    out[e["xpath"]] = hrefs
+            redirect = None
+            if rng.random() < 0.15 and len(urls) > 1:
+                redirect = rng.choice([x for x in urls if x != u])
+            rows.append(
+                {
+                    "url": u,
+                    "host": f"r{seed}.test",
+                    "true_class": c,
+                    "title": c,
+                    "link_schema": sorted(out),
+                    "label_schema": [],
+                    "out_links": out,
+                    "data_values": {"//h1/text()": f"T {u}"},
+                    "image_id": None,
+                    "caption_xpath": None,
+                    "redirect_to": redirect,
+                    "fetch_fail_n": 1 if rng.random() < 0.2 else 0,
+                }
+            )
+    seed_url = pages_by_class[model.root][0]
+    return model, rows, seed_url
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("max_tries", [1, 2])
+def test_engine_equals_oracle_on_random_graph(spark, tmp_path, seed, max_tries):
+    model, rows, seed_url = make_random_site(seed)
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages_df, model, str(tmp_path / f"s{seed}t{max_tries}"),
+        EngineConfig(budget_per_host=1, max_tries=max_tries),
+    )
+    res = eng.run([seed_url])
+    want = crawl_all(rows, model, [seed_url], max_tries=max_tries)
+
+    host = next(iter(want))
+    got_order = [
+        (r["seq"], r["url"], r["page_class"], r["fetched"])
+        for r in res.order.orderBy("seq").collect()
+    ]
+    assert got_order == [
+        (o["seq"], o["url"], o["page_class"], o["fetched"])
+        for o in want[host].order
+    ]
+    oracle_hashes = {
+        r["h"]
+        for r in spark.createDataFrame(
+            [(k,) for k in sorted(want[host].seen)], "k string"
+        ).select(F.xxhash64("k").alias("h")).collect()
+    }
+    assert {r["url_hash"] for r in res.seen.collect()} == oracle_hashes
+    got_recs = sorted(
+        (r["url"], tuple(r["fields"])) for r in res.records.collect()
+    )
+    assert got_recs == sorted(
+        (rec["url"], tuple(rec["fields"])) for rec in want[host].records
+    )
