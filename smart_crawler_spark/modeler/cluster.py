@@ -217,15 +217,34 @@ def distance(c1: ClusterStats, c2: ClusterStats) -> float:
     return len(s1 ^ s2) / union
 
 
-def collapsed(clusters: list[ClusterStats], pred) -> list[ClusterStats]:
+def collapsed(
+    clusters: list[ClusterStats], pred, allowed_pairs: set | None = None
+) -> list[ClusterStats]:
     """The reference's in-place pairwise collapse loop
     (``DynamicModeler.collapsed:224-241``): i ascending, j descending,
-    merge j into i when pred holds."""
+    merge j into i when pred holds. ``allowed_pairs`` (from the LSH
+    pruning) skips the predicate for pairs no member of which co-banded —
+    the loop order and merge semantics are unchanged."""
     items: list[ClusterStats | None] = list(clusters)
+
+    def may_match(a: ClusterStats, b: ClusterStats) -> bool:
+        if allowed_pairs is None:
+            return True
+        return any(
+            (m1, m2) in allowed_pairs or (m2, m1) in allowed_pairs
+            for m1 in a.members
+            for m2 in b.members
+        )
+
     for i in range(len(items)):
         for j in range(len(items) - 1, i, -1):
             ci, cj = items[i], items[j]
-            if ci is not None and cj is not None and pred(ci, cj):
+            if (
+                ci is not None
+                and cj is not None
+                and may_match(ci, cj)
+                and pred(ci, cj)
+            ):
                 items[i] = ci.merge(cj)
                 items[j] = None
     return [c for c in items if c is not None]
@@ -291,10 +310,38 @@ def mdl_update(
 # LSH pair pruning (scale path for C3 over many candidates)
 
 
-def lsh_schema_pairs(summaries: DataFrame, threshold: float = MIN_DISTANCE) -> DataFrame:
+def schema_minhash_sig(schema_col, num_perm: int = 32):
+    """Fixed-length MinHash signature of a set-valued (array) column,
+    entirely JVM-side: per-element xxhash64, then ``num_perm`` splitmix
+    remixes, min per permutation. Empty sets hash to a sentinel."""
+    elem_hashes = F.transform(schema_col, lambda x: F.xxhash64(x))
+    perms = []
+    for i in range(num_perm):
+        perms.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        elem_hashes, lambda h: F.xxhash64(h, F.lit(i))
+                    )
+                ),
+                F.lit(-(1 << 62)),
+            )
+        )
+    return F.array(*perms)
+
+
+def lsh_schema_pairs(
+    summaries: DataFrame,
+    threshold: float = MIN_DISTANCE,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
     """Candidate pairs with estimated schema distance < threshold via
     MinHash banding over schema sets — replaces the O(n²) loop input when
-    candidates are many. Verification stays exact on the driver."""
+    candidates are many (the C3 scale path). Distance < 0.2 means
+    Jaccard similarity > 0.8, so 16 bands × 2 rows catches such pairs
+    with P ≈ 1-(1-0.8²)¹⁶ ≈ 0.9997. Verification stays exact on the
+    driver over the pruned pair list."""
     from smart_crawler_spark.operators.minhash import lsh_candidate_pairs
 
     schema_col = F.array_union(
@@ -307,14 +354,9 @@ def lsh_schema_pairs(summaries: DataFrame, threshold: float = MIN_DISTANCE) -> D
     )
     sigs = summaries.select(
         F.col("candidate_id"),
-        F.transform(
-            F.array_sort(schema_col), lambda x: F.xxhash64(x)
-        ).alias("sig"),
+        schema_minhash_sig(schema_col, num_perm).alias("sig"),
     )
-    # reuse banding on the xpath-hash arrays as "signatures": here the
-    # schema sets are small, so band = the whole set hash works; for big
-    # schemas use minhash_signatures on the xpath strings instead.
-    return lsh_candidate_pairs(sigs, bands=4, id_col="candidate_id")
+    return lsh_candidate_pairs(sigs, bands=bands, id_col="candidate_id")
 
 
 # --------------------------------------------------------------------------
@@ -323,23 +365,37 @@ def lsh_schema_pairs(summaries: DataFrame, threshold: float = MIN_DISTANCE) -> D
 
 def cluster_pages(
     pages: DataFrame,
+    use_lsh_pairs: bool = False,
 ) -> tuple[list[ClusterStats], DataFrame]:
     """Full C1→C2→C3→C4→C8(schema part) pipeline.
 
+    ``use_lsh_pairs``: prune the C3/C8 pair loops with MinHash-LSH
+    banding (the scale path when candidate clusters are many).
     Returns (final clusters, page→cluster assignment DataFrame).
     """
     with_cand = candidate_clusters(pages).localCheckpoint()
     summaries = cluster_summaries(with_cand)
+    allowed = None
+    if use_lsh_pairs:
+        allowed = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_schema_pairs(summaries).collect()
+        }
     stats = [ClusterStats.from_row(r) for r in summaries.collect()]
     # candidates sorted size-desc (DynamicModeler.toCandidates:263)
     stats.sort(key=lambda c: (-c.size, c.cid))
     # C3 collapse below MIN_DISTANCE
-    stats = collapsed(stats, lambda a, b: distance(a, b) < MIN_DISTANCE)
+    stats = collapsed(
+        stats, lambda a, b: distance(a, b) < MIN_DISTANCE, allowed
+    )
     # C4 MDL merge, sequential (model starts empty -> candidates in order)
     cost = CostModel(global_idf(pages))
     model = mdl_update([], stats, cost)
-    # C8 final schema collapse
-    model = collapsed(model, lambda a, b: distance(a, b) < MIN_DISTANCE)
+    # C8 final schema collapse (same pruned pair set applies: merging
+    # only grows schemas, and near-duplicates were co-banded already)
+    model = collapsed(
+        model, lambda a, b: distance(a, b) < MIN_DISTANCE, allowed
+    )
     # page -> final cluster assignment
     mapping = [
         (member, i) for i, c in enumerate(model) for member in c.members

@@ -137,3 +137,19 @@ def test_label_schema_requires_repeated_text():
     )
     assert c.label_schema == {"//h1/text()"}
     assert c.label_df == {"//h1/text()": 2, "//p/text()": 2}
+
+
+def test_lsh_pair_pruning_equals_exact(spark):
+    """The LSH-pruned C3 collapse reaches the same final clusters as the
+    exact all-pairs loop on a wider multi-host corpus."""
+    from smart_crawler_spark.modeler.cluster import cluster_pages as cp
+
+    cfg = SiteConfig(n_hosts=3, dirs=3, chain=2, details_per_page=2, n_images=20)
+    pages = _modeler_input(generate_site_pages(spark, cfg)).localCheckpoint()
+    exact_model, exact_assign = cp(pages, use_lsh_pairs=False)
+    lsh_model, lsh_assign = cp(pages, use_lsh_pairs=True)
+    exact_sets = sorted(
+        tuple(sorted(c.urls)) for c in exact_model
+    )
+    lsh_sets = sorted(tuple(sorted(c.urls)) for c in lsh_model)
+    assert exact_sets == lsh_sets
