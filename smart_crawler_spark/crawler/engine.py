@@ -61,6 +61,23 @@ class EngineConfig:
     bloom: BloomConfig = field(default_factory=BloomConfig)
     checkpoint_every: int = 0  # 0 = no checkpointing
     crash_at_round: int | None = None  # stop right after that round's snapshot
+    # politeness (F4): when wait_ms > 0, the per-host budget is derived
+    # from the round duration instead of budget_per_host — the reference
+    # sleeps wait + U[0, random_pause) between per-host fetches
+    # (CrawlFrontier.java:132-139; defaults CrawlerSettings.java:49-50)
+    wait_ms: int = 0
+    random_pause_ms: int = 0
+    round_ms: int = 60_000
+
+    def effective_budget(self) -> int:
+        from smart_crawler_spark.frontier.queue import politeness_budget
+
+        if self.wait_ms or self.random_pause_ms:
+            return min(
+                self.budget_per_host if self.budget_per_host > 1 else 1 << 30,
+                politeness_budget(self.round_ms, self.wait_ms, self.random_pause_ms),
+            )
+        return self.budget_per_host
 
 
 @dataclass
@@ -230,6 +247,7 @@ class CrawlEngine:
     # -- stages -----------------------------------------------------------
     def _pick_batch(self, frontier: DataFrame, host_fetched: dict) -> DataFrame:
         cfg = self.cfg
+        budget = cfg.effective_budget()
         df = frontier
         if cfg.salt_buckets > 1:
             df = df.withColumn(
@@ -239,7 +257,7 @@ class CrawlEngine:
             w1 = Window.partitionBy("host", "_salt").orderBy(*FRONTIER_ORDER())
             df = (
                 df.withColumn("_r1", F.row_number().over(w1))
-                .filter(F.col("_r1") <= cfg.budget_per_host)
+                .filter(F.col("_r1") <= budget)
                 .drop("_salt", "_r1")
             )
         ranked = priority_rank(df, "host")
@@ -257,7 +275,7 @@ class CrawlEngine:
         else:
             ranked = ranked.withColumn("rem", F.lit(cfg.max_pages_per_host))
         return ranked.filter(
-            (F.col("rank") <= F.least(F.lit(cfg.budget_per_host), F.col("rem")))
+            (F.col("rank") <= F.least(F.lit(budget), F.col("rem")))
             & (F.col("rem") > 0)
         ).drop("rem")
 

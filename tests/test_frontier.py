@@ -105,3 +105,21 @@ def test_seen_filter_bloom_equals_exact(spark):
     got_bloom = sorted(r["url"] for r in bloom.filter_new(batch2).collect())
     assert got_exact == got_bloom
     assert len(got_exact) == 100 and all("/p2" in u or "/p1" in u for u in got_exact)
+
+
+def test_politeness_budget_math():
+    from smart_crawler_spark.frontier.queue import politeness_budget
+
+    # reference defaults: 2000ms + U[0,1000) => ~0.4 URLs/s/host
+    assert politeness_budget(60_000, 2000, 1000) == 24
+    assert politeness_budget(60_000, 0, 0) == 1 << 30  # tests run wait=0
+    assert politeness_budget(1000, 2000) == 1  # at least one per round
+
+
+def test_engine_config_politeness_budget():
+    from smart_crawler_spark.crawler.engine import EngineConfig
+
+    cfg = EngineConfig(budget_per_host=1 << 30, wait_ms=2000,
+                       random_pause_ms=1000, round_ms=60_000)
+    assert cfg.effective_budget() == 24
+    assert EngineConfig(budget_per_host=5).effective_budget() == 5
