@@ -144,13 +144,27 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def regex_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C12: golden-pattern regex join → count matrix per (pattern, lang)."""
-    docs = _t(spark, sf_dir, "documents")
-    pats = spark.createDataFrame(_REGEX_PATTERNS, "pat_name string, pattern string")
+    """C12: golden-pattern regex join → count matrix per (pattern, lang).
+
+    The pattern set is small and known, so the crossJoin+rlike(col) form
+    (which recompiles the regex per row) is rewritten as a union of
+    literal-pattern scans — each rlike compiles once per task and stays
+    in whole-stage codegen; Catalyst shares the one documents scan.
+    ~20× faster at sf0.1, identical semantics (the generic column-pattern
+    form lives in modeler/evaluate.py:count_matrix for dynamic goldens).
+    """
+    docs = _t(spark, sf_dir, "documents").select("text", "lang")
+    per_pat = [
+        docs.filter(F.col("text").rlike(pat)).select(
+            F.lit(name).alias("pat_name"), "lang"
+        )
+        for name, pat in _REGEX_PATTERNS
+    ]
+    unioned = per_pat[0]
+    for df in per_pat[1:]:
+        unioned = unioned.unionByName(df)
     return (
-        docs.crossJoin(F.broadcast(pats))
-        .filter(F.expr("text rlike pattern"))
-        .groupBy("pat_name", "lang")
+        unioned.groupBy("pat_name", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("pat_name", "lang")
     )
@@ -345,7 +359,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doubled corpus → every doc has an exact near-dup partner; LSH must
     recover those pairs (plus any true near-dups)."""
     docs = _doubled_docs(spark, sf_dir).filter(
-        (F.col("doc_id") % 100000) < 100
+        (F.col("doc_id") % 100000) < 1000
     )
     return minhash.minhash_near_dup_pairs(
         docs, threshold=0.8, num_perm=64, bands=16
@@ -353,7 +367,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _doubled_docs(spark, sf_dir).filter((F.col("doc_id") % 100000) < 100)
+    docs = _doubled_docs(spark, sf_dir).filter((F.col("doc_id") % 100000) < 1000)
     return minhash.simhash_near_dup_pairs(docs, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
@@ -366,6 +380,169 @@ def lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_bucketed_topk(
         queries, emb, k=5, bands=8, bits_per_band=4, dim=64
     ).orderBy("query_id", "rank")
+
+
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): orders with >=1 deep-discount lineitem,
+    counted per priority — the seen-set membership shape (§2.6 anti/semi
+    join) on the TPC-H-ish tables."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def table_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-level set ops (SURVEY §2.6: union/intersect/exceptAll
+    on DataFrames — schema union ModelPageClass.java:65-79)."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    return (
+        a.intersect(b)
+        .withColumn("op", F.lit("intersect"))
+        .unionByName(a.exceptAll(b).withColumn("op", F.lit("except")))
+        .orderBy("op", "k")
+    )
+
+
+def outlink_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 out-link classification: explode out_links maps, broadcast-join
+    the navigation model on (src_class, xpath) → pre-classified frontier
+    rows with form-param decoding and deterministic link_seq
+    (the real crawler operator, crawler/extract.py:extract_links)."""
+    from smart_crawler_spark.crawler.extract import extract_links
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    host = F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string"), F.lit(".test"))
+    base = F.concat(F.lit("http://"), host)
+    eid = F.col("event_id")
+    pages = ev.select(
+        F.when(F.col("event_type") == "click", F.lit("detail"))
+        .otherwise(F.lit("dir"))
+        .alias("page_class"),
+        F.lit(1).alias("class_depth"),
+        F.concat(base, F.lit("/p/"), eid.cast("string")).alias("url"),
+        host.alias("host"),
+        F.create_map(
+            F.lit("//div[@id='list']/a"),
+            F.array(
+                F.concat(base, F.lit("/p/"), ((eid * 2) % 9000).cast("string")),
+                F.concat(base, F.lit("/p/"), ((eid * 2) % 9000 + 1).cast("string")),
+            ),
+            F.lit("//ul[@id='menu']/li/a"),
+            F.array(F.concat(base, F.lit("/dir"), (eid % 4).cast("string"))),
+            F.lit("//form[@id='q']"),
+            F.array(F.concat(base, F.lit("/search>q="), (eid % 3).cast("string"))),
+        ).alias("out_links"),
+    )
+    model = spark.createDataFrame(
+        [
+            ("detail", "//div[@id='list']/a", 0, "detail", 2),
+            ("detail", "//ul[@id='menu']/li/a", 1, "dir", 1),
+            ("dir", "//div[@id='list']/a", 0, "detail", 2),
+            ("dir", "//form[@id='q']", 1, "search", 2),
+        ],
+        "src_class string, xpath string, edge_pos int, dst_class string,"
+        " dst_depth int",
+    )
+    return extract_links(pages, model).select(
+        "url", "host", "page_class", "class_depth", "form_params",
+        "src_url", "link_seq",
+    ).orderBy("src_url", "link_seq")
+
+
+def xpath_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 MDL weighting: per-term idf = ln(N/df) over exploded word sets
+    (the reference's ModelCostCalculator.java:52-59 idf over XPath sets,
+    here over document vocabularies) + the w/(idf+1) weight."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    words = docs.select(F.explode(textops.word_set("text")).alias("word"))
+    dfs = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    return (
+        dfs.crossJoin(F.broadcast(total))
+        .filter(F.col("df") >= 5)
+        .select(
+            "word",
+            "df",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.lit(1.0) / (idf + 1), 6).alias("weight"),
+        )
+        .orderBy("word")
+    )
+
+
+def cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 quality metrics as distributed aggregations: per-cluster
+    purity (max-class fraction) and cohesion (-Σ p·log p, via
+    ln(c) - Σ n·ln(n)/c) — ModelerEvaluator.java:107-277 formulas,
+    cluster=source, true class=lang."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.groupBy(F.col("source").alias("cluster_id"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = m.groupBy("cluster_id").agg(
+        F.sum("n").alias("csize"),
+        F.max("n").alias("mx"),
+        F.sum(F.col("n") * F.log("n")).alias("nln"),
+    )
+    return per.select(
+        "cluster_id",
+        "csize",
+        F.round(F.col("mx") / F.col("csize"), 6).alias("purity"),
+        F.round(
+            F.log(F.col("csize")) - F.col("nln") / F.col("csize"), 6
+        ).alias("cohesion"),
+    ).orderBy("cluster_id")
+
+
+def bfs_depths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 BFS depth assignment at data scale: iterative frontier-
+    expansion joins (operators/relational.py:bfs_depths) over a
+    deterministic synthetic edge table."""
+    from smart_crawler_spark.operators.relational import bfs_depths
+
+    edges = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            (F.col("event_id") % 97).alias("src"),
+            ((F.col("event_id") * 31 + 7) % 97).alias("dst"),
+        )
+        .distinct()
+    )
+    return bfs_depths(edges, start=0, max_depth=6).orderBy("node")
+
+
+def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image phash near-dup (operators/images.py): 4×16-bit block LSH
+    candidates + exact hamming verify, over deterministic synthetic
+    phashes (pairs of docs share one ⇒ planted hamming-0 dups)."""
+    from smart_crawler_spark.operators.images import phash_near_dup_pairs
+
+    ph = _t(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("image_id"),
+        (F.floor(F.col("doc_id") / 2) * F.lit(70368744177707) + 12345)
+        .cast("long")
+        .alias("phash"),
+    )
+    return phash_near_dup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -404,6 +581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": minhash_near_dup,
         "simhash_near_dup": simhash_near_dup,
         "lsh_embedding_topk": lsh_embedding_topk,
+        "q4_priority_semijoin": q4_priority_semijoin,
+        "table_set_ops": table_set_ops,
+        "outlink_classify": outlink_classify,
+        "xpath_idf": xpath_idf,
+        "cluster_metrics": cluster_metrics,
+        "bfs_depths": bfs_depths_q,
+        "phash_near_dup": phash_near_dup,
     }
 
 
@@ -696,5 +880,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_sessions,
                    max(n_events) AS max_session_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "q4_priority_semijoin": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_discount >= 0.08
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "table_set_ops": """
+            SELECT k, 'intersect' AS op FROM (
+                SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0
+                INTERSECT
+                SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 = 0
+            )
+            UNION ALL
+            SELECT k, 'except' AS op FROM (
+                SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0
+                EXCEPT
+                SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 = 0
+            )
+            ORDER BY op, k
+        """,
+        "outlink_classify": """
+            WITH pages AS (
+                SELECT event_id,
+                       'h' || (user_id % 7) || '.test' AS host,
+                       CASE WHEN event_type = 'click' THEN 'detail'
+                            ELSE 'dir' END AS src_class,
+                       'http://h' || (user_id % 7) || '.test' AS base
+                FROM events WHERE event_id < 4000
+            ),
+            links AS (
+                SELECT src_class, base || '/p/' || event_id AS src_url, host,
+                       '//div[@id=''list'']/a' AS xpath, 0 AS href_pos,
+                       base || '/p/' || ((event_id * 2) % 9000) AS href
+                FROM pages
+                UNION ALL
+                SELECT src_class, base || '/p/' || event_id, host,
+                       '//div[@id=''list'']/a', 1,
+                       base || '/p/' || ((event_id * 2) % 9000 + 1)
+                FROM pages
+                UNION ALL
+                SELECT src_class, base || '/p/' || event_id, host,
+                       '//ul[@id=''menu'']/li/a', 0,
+                       base || '/dir' || (event_id % 4)
+                FROM pages
+                UNION ALL
+                SELECT src_class, base || '/p/' || event_id, host,
+                       '//form[@id=''q'']', 0,
+                       base || '/search>q=' || (event_id % 3)
+                FROM pages
+            ),
+            model(m_class, m_xpath, edge_pos, dst_class, dst_depth) AS (VALUES
+                ('detail', '//div[@id=''list'']/a', 0, 'detail', 2),
+                ('detail', '//ul[@id=''menu'']/li/a', 1, 'dir', 1),
+                ('dir', '//div[@id=''list'']/a', 0, 'detail', 2),
+                ('dir', '//form[@id=''q'']', 1, 'search', 2))
+            SELECT split_part(href, '>', 1) AS url, host,
+                   dst_class AS page_class, dst_depth AS class_depth,
+                   CASE WHEN href LIKE '%>%'
+                        THEN split_part(href, '>', 2) END AS form_params,
+                   src_url,
+                   CAST(edge_pos AS BIGINT) * 1000000000 + href_pos AS link_seq
+            FROM links JOIN model
+              ON src_class = m_class AND xpath = m_xpath
+            ORDER BY src_url, link_seq
+        """,
+        "xpath_idf": f"""
+            WITH ws AS (SELECT doc_id, {wordset} AS w FROM documents),
+            ex AS (SELECT unnest(w) AS word FROM ws),
+            d AS (SELECT word, count(*) AS df FROM ex GROUP BY word),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT word, df,
+                   round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf,
+                   round(1.0 / (ln(CAST(n_docs AS DOUBLE) / df) + 1), 6)
+                       AS weight
+            FROM d, n WHERE df >= 5 ORDER BY word
+        """,
+        "cluster_metrics": """
+            WITH m AS (
+                SELECT source AS cluster_id, lang, count(*) AS n
+                FROM documents GROUP BY source, lang
+            ),
+            per AS (
+                SELECT cluster_id, CAST(sum(n) AS BIGINT) AS csize,
+                       max(n) AS mx, sum(n * ln(n)) AS nln
+                FROM m GROUP BY cluster_id
+            )
+            SELECT cluster_id, csize,
+                   round(CAST(mx AS DOUBLE) / csize, 6) AS purity,
+                   round(ln(csize) - nln / csize, 6) AS cohesion
+            FROM per ORDER BY cluster_id
+        """,
+        "bfs_depths": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT event_id % 97 AS src,
+                       (event_id * 31 + 7) % 97 AS dst
+                FROM events WHERE event_id < 2000
+            ),
+            bfs(node, depth) AS (
+                SELECT CAST(0 AS BIGINT), 0
+                UNION
+                SELECT e.dst, b.depth + 1
+                FROM bfs b JOIN e ON e.src = b.node
+                WHERE b.depth < 6
+            )
+            SELECT node, min(depth) AS depth FROM bfs
+            GROUP BY node ORDER BY node
+        """,
+        "phash_near_dup": """
+            WITH ph AS (
+                SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS image_id,
+                       CAST(doc_id // 2 AS BIGINT) * 70368744177707 + 12345
+                           AS phash
+                FROM documents
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM ph a JOIN ph b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            ORDER BY id_a, id_b
         """,
     }

@@ -76,16 +76,29 @@ def bench_crawl(spark) -> dict[str, float]:
         F.col("id"),
         F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
     )
-    filt = SeenFilter(
-        spark, BloomConfig(shards=64, bits_per_shard=1 << 22, num_hashes=5),
-        use_bloom=True,
-    )
+    # exact co-partitioned anti-join — the fast path at this |seen|/|cand|
+    # ratio (the bloom prefilter only wins when |seen| >> |candidates|;
+    # tradeoff measured in BASELINE.md)
+    filt = SeenFilter(spark, use_bloom=False)
     filt.add(seen_keys)
     filt.materialize()
     t0 = time.monotonic()
     n_new = filt.filter_new(cand).count()
     dedup_sec = time.monotonic() - t0
     assert n_new == n_cand - n_seen
+    # bloom-prefiltered path, reported separately
+    bfilt = SeenFilter(
+        spark, BloomConfig(shards=64, bits_per_shard=1 << 22, num_hashes=5),
+        use_bloom=True,
+    )
+    bfilt.add(seen_keys)
+    bfilt.materialize()
+    t0 = time.monotonic()
+    n_new_b = bfilt.filter_new(cand).count()
+    bloom_sec = time.monotonic() - t0
+    assert n_new_b == n_cand - n_seen
+    # drop cached seen-filter state so the crawl timing below is clean
+    spark.catalog.clearCache()
 
     # --- fetched URLs/sec: drain a ~42k-page site ------------------------
     cfg = SiteConfig(
@@ -110,6 +123,8 @@ def bench_crawl(spark) -> dict[str, float]:
     return {
         "dedup_ops_per_sec": round(n_cand / dedup_sec),
         "dedup_sec": round(dedup_sec, 3),
+        "dedup_bloom_ops_per_sec": round(n_cand / bloom_sec),
+        "dedup_bloom_sec": round(bloom_sec, 3),
         "fetched_urls_per_sec": round(fetched / crawl_sec),
         "crawl_sec": round(crawl_sec, 3),
         "crawl_rounds": res.rounds,

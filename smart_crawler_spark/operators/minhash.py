@@ -84,13 +84,18 @@ def _tokenize(text: str) -> list:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int,
+    id_col: str = "doc_id",
+    num_perm: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing >=1 band
     bucket. The join key is (band, hash(band slice)) — a shuffle
     equi-join; the pair explosion is bounded by bucket sizes, and the
-    groupBy dedups multi-band collisions."""
-    num_perm = len(signatures.select("sig").first()[0])
+    groupBy dedups multi-band collisions. Pass ``num_perm`` when known —
+    inferring it costs an extra job (and a full signature computation)."""
+    if num_perm is None:
+        num_perm = len(signatures.select("sig").first()[0])
     rows_per_band = num_perm // bands
     banded = signatures.select(
         F.col(id_col),
@@ -138,8 +143,11 @@ def minhash_near_dup_pairs(
     cross join never happens; cost is dominated by the two shuffles on
     (band, bucket) and id.
     """
-    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col)
-    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    # the signature UDF feeds both sides of the bucket self-join —
+    # persist so Arrow hashing runs once (at 100 TB: a materialized
+    # signatures table)
+    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col).persist()
+    cand = lsh_candidate_pairs(sigs, bands, id_col, num_perm=num_perm)
     ws = docs.select(F.col(id_col), word_set(text_col).alias("ws"))
     pairs = (
         cand.join(ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a")), "id_a")
@@ -192,7 +200,7 @@ def simhash_near_dup_pairs(
     blocks must match for hamming<=6 to be possible... pigeonhole: any
     pair with <=3 differing blocks shares >=1 identical 16-bit block),
     verified by popcount of xor."""
-    sh = simhash64(docs, text_col, id_col)
+    sh = simhash64(docs, text_col, id_col).persist()
     blocks = sh.select(
         F.col(id_col),
         "simhash",

@@ -70,6 +70,46 @@ def asof_join(
     )
 
 
+def bfs_depths(
+    edges: DataFrame,
+    start: int,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """First-visit BFS depth per reachable node (SURVEY C10,
+    ``model/PageClass.java:189-200`` — setHierarchy assigns each class
+    its first-visit depth from the root).
+
+    Iterative frontier-expansion join in the driver loop (the standard
+    Spark fixpoint pattern, SURVEY §2.6 'Iterative fixpoint');
+    ``localCheckpoint`` each round cuts lineage so the plan stays flat at
+    any graph diameter. The per-round work is one shuffle join on the
+    frontier — at 100 TB the edge table would be bucketed by ``src`` so
+    every round's join is co-partitioned.
+
+    Returns ``(node, depth)`` with depth = min BFS distance ≤ max_depth.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    visited = spark.createDataFrame([(start, 0)], "node long, depth int")
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._src)
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def pivot_counts(
     df: DataFrame, group_col: str, pivot_col: str, values: list[str]
 ) -> DataFrame:

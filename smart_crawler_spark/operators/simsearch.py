@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -83,7 +84,12 @@ def hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
 
 def simhash_bits(vec_col: Column, planes: np.ndarray) -> Column:
     """Sign bits of hyperplane projections as an int64 signature —
-    expressed with higher-order functions over the array column."""
+    expressed with higher-order functions over the array column.
+
+    (Kept for single-band use; the bucketed search below batches ALL
+    bands into one vectorized pandas UDF — one BLAS matmul per Arrow
+    batch — because a per-band literal-array expression tree explodes
+    codegen size at bands × bits × dim literals.)"""
     v = vec_col.cast("array<double>")
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -98,6 +104,28 @@ def simhash_bits(vec_col: Column, planes: np.ndarray) -> Column:
         )
         sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return sig
+
+
+def band_buckets_udf(dim: int, bands: int, bits_per_band: int, seed0: int = 101):
+    """Vectorized pandas UDF: embedding -> array<long> of per-band LSH
+    bucket keys. One (batch × dim) @ (dim × bands·bits) matmul per Arrow
+    batch; sign bits packed per band."""
+    from pyspark.sql.functions import pandas_udf
+
+    all_planes = np.vstack(
+        [hyperplanes(dim, bits_per_band, seed=seed0 + b) for b in range(bands)]
+    )  # (bands*bits, dim)
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        proj = mat @ all_planes.T  # (n, bands*bits)
+        bits = (proj > 0).reshape(len(mat), bands, bits_per_band)
+        keys = (bits * weights).sum(axis=2).astype(np.int64)  # (n, bands)
+        return pd.Series(list(keys))
+
+    return buckets
 
 
 def lsh_bucketed_topk(
@@ -118,23 +146,16 @@ def lsh_bucketed_topk(
     """
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
+    buckets = band_buckets_udf(dim, bands, bits_per_band)
 
     def with_buckets(df: DataFrame, name: str) -> DataFrame:
         out = df.select(
             F.col(id_col).alias(name), F.col(vec_col).alias(f"_{name}_v")
         )
-        rows = []
-        for b in range(bands):
-            planes = hyperplanes(dim, bits_per_band, seed=101 + b)
-            rows.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    simhash_bits(F.col(f"_{name}_v"), planes).alias("bucket"),
-                )
-            )
-        return out.withColumn("_bk", F.explode(F.array(*rows))).select(
-            name, f"_{name}_v", F.col("_bk.band").alias("band"),
-            F.col("_bk.bucket").alias("bucket"),
+        return out.select(
+            name,
+            f"_{name}_v",
+            F.posexplode(buckets(F.col(f"_{name}_v"))).alias("band", "bucket"),
         )
 
     qb = with_buckets(queries, "query_id")
