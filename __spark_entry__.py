@@ -545,6 +545,159 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")
 
 
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (north_rule skew handling): partial
+    agg on (key, salt) bounds any task's input, final agg merges the 32
+    partials per key. Semantics identical to a plain groupBy — the oracle
+    is the unsalted GROUP BY."""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(32))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum("l_quantity").alias("pq"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("pr"),
+        F.count(F.lit(1)).alias("pn"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("pq"), 2).alias("sum_qty"),
+            F.round(F.sum("pr"), 2).alias("sum_revenue"),
+            F.sum("pn").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q17): lineitems under 20% of
+    their part's mean quantity. De-correlated as per-part avg agg +
+    broadcast joins (part side is small after the brand filter)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thr = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li_b.join(F.broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def brand_top_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via max(struct(...)) aggregation — a map-side-
+    combinable alternative to the window row_number pattern (no per-group
+    sort, one shuffle of pre-aggregated partials; the right shape when
+    K=1 and groups are many)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.max(F.struct("p_retailprice", "p_partkey")).alias("m"))
+        .select(
+            "p_brand",
+            F.col("m.p_partkey").alias("top_partkey"),
+            F.round("m.p_retailprice", 2).alias("top_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame aggregation: per-user rolling mean over the last 5
+    events (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per brand (linear interpolation —
+    same definition as SQL quantile_cont)."""
+    part = _t(spark, sf_dir, "part")
+    pct = lambda p: F.round(  # noqa: E731
+        F.percentile(F.col("p_retailprice"), F.lit(p)), 4
+    )
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.5).alias("p50"),
+            pct(0.75).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (the batch analog of the
+    Structured Streaming windowed agg in streaming/ingest.py; 1-hour
+    windows align with date_trunc)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type",
+            "n_events", "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -588,6 +741,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": cluster_metrics,
         "bfs_depths": bfs_depths_q,
         "phash_near_dup": phash_near_dup,
+        "skew_salted_agg": skew_salted_agg,
+        "q17_small_quantity": q17_small_quantity,
+        "cube_order_counts": cube_order_counts,
+        "brand_top_part": brand_top_part,
+        "rolling_avg_events": rolling_avg_events,
+        "ntile_quartiles": ntile_quartiles,
+        "price_percentiles": price_percentiles,
+        "hourly_event_windows": hourly_event_windows,
     }
 
 
@@ -990,6 +1151,82 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(depth) AS depth FROM bfs
             GROUP BY node ORDER BY node
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q17_small_quantity": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = part.p_partkey
+              )
+        """,
+        "cube_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST
+        """,
+        "brand_top_part": """
+            SELECT p_brand, p_partkey AS top_partkey,
+                   round(p_retailprice, 2) AS top_price
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey DESC
+                ) AS rn FROM part
+            ) WHERE rn = 1 ORDER BY p_brand
+        """,
+        "rolling_avg_events": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ), 6) AS roll_avg
+            FROM events WHERE user_id < 100
+            ORDER BY user_id, event_id
+        """,
+        "ntile_quartiles": """
+            SELECT o_orderpriority, quartile, count(*) AS n,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM (
+                SELECT o_orderpriority, o_totalprice,
+                       ntile(4) OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice ASC, o_orderkey ASC
+                       ) AS quartile
+                FROM orders
+            )
+            GROUP BY o_orderpriority, quartile
+            ORDER BY o_orderpriority, quartile
+        """,
+        "price_percentiles": """
+            SELECT p_brand,
+                   round(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+                   round(quantile_cont(p_retailprice, 0.5), 4) AS p50,
+                   round(quantile_cont(p_retailprice, 0.75), 4) AS p75,
+                   count(*) AS n
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "hourly_event_windows": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY win_start, event_type
         """,
         "phash_near_dup": """
             WITH ph AS (
