@@ -545,6 +545,66 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")
 
 
+_ROBOTS_TEXTS = {
+    "h0.test": "User-agent: *\nDisallow: /p/\nAllow: /p/1",
+    "h1.test": "User-agent: *\nDisallow: /p/7$",
+    "h3.test": "User-agent: *\nDisallow: /",
+    "h4.test": "User-agent: *\nAllow: /p/\nDisallow: /p/",
+}
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt enforcement (frontier/robots.py): RFC 9309
+    longest-match allow/disallow evaluated in a vectorized Arrow UDF over
+    synthesized frontier URLs; oracle replicates the longest-match
+    decision relationally (prefix + exact rules, allow wins ties)."""
+    from smart_crawler_spark.frontier.robots import RobotsPolicy, filter_allowed
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".test"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/p/"), F.col("event_id").cast("string"))
+        ),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("?k="), (F.col("event_id") % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    df = ev.select(
+        "event_id",
+        url.alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")
+        ).alias("host"),
+    )
+    policy = RobotsPolicy(_ROBOTS_TEXTS)
+    return filter_allowed(df, policy).orderBy("event_id", "url")
+
+
+def image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload pipeline (input_hint axis): generate the
+    deterministic image+caption corpus distributed (mapInPandas), decode
+    every PNG in Arrow-batched UDFs, recompute dims + phash, and check
+    the per-row invariant (operators/images.py:verify_decode_invariant).
+    The oracle predicts the outcome from the generation rule: png rows
+    (idx % 10 != 9) decode and verify; jpeg rows hit the codec stub."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import verify_decode_invariant
+
+    corpus = generate_images(spark, 500, jpeg_every=10)
+    return (
+        verify_decode_invariant(corpus)
+        .select(
+            "image_id", "fmt", "ok",
+            F.coalesce("invariant_ok", F.lit(False)).alias("invariant_ok"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (north_rule skew handling): partial
     agg on (key, salt) bounds any task's input, final agg merges the 32
@@ -741,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": cluster_metrics,
         "bfs_depths": bfs_depths_q,
         "phash_near_dup": phash_near_dup,
+        "robots_filter": robots_filter,
+        "image_decode_verify": image_decode_verify,
         "skew_salted_agg": skew_salted_agg,
         "q17_small_quantity": q17_small_quantity,
         "cube_order_counts": cube_order_counts,
@@ -1151,6 +1213,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(depth) AS depth FROM bfs
             GROUP BY node ORDER BY node
+        """,
+        "robots_filter": """
+            WITH u AS (
+                SELECT event_id,
+                       'h' || (user_id % 5) || '.test' AS host,
+                       CASE WHEN event_id % 11 = 0 THEN '/'
+                            ELSE '/p/' || event_id END AS path,
+                       CASE WHEN event_id % 7 = 0
+                            THEN '?k=' || (event_id % 3) ELSE '' END AS q
+                FROM events WHERE event_id < 2000
+            ),
+            uu AS (
+                SELECT event_id, 'http://' || host || path || q AS url,
+                       host, path || q AS pathq
+                FROM u
+            ),
+            r(host, allow, pattern, plen, is_exact) AS (VALUES
+                ('h0.test', false, '/p/', 3, false),
+                ('h0.test', true,  '/p/1', 4, false),
+                ('h1.test', false, '/p/7', 5, true),
+                ('h3.test', false, '/', 1, false),
+                ('h4.test', true,  '/p/', 3, false),
+                ('h4.test', false, '/p/', 3, false)),
+            m AS (
+                SELECT uu.event_id, r.allow, r.plen
+                FROM uu JOIN r ON uu.host = r.host
+                 AND (CASE WHEN r.is_exact THEN uu.pathq = r.pattern
+                      ELSE starts_with(uu.pathq, r.pattern) END)
+            ),
+            best AS (
+                SELECT event_id, allow FROM (
+                    SELECT event_id, allow, row_number() OVER (
+                        PARTITION BY event_id
+                        ORDER BY plen DESC, allow DESC) AS rn
+                    FROM m) WHERE rn = 1
+            )
+            SELECT uu.event_id, uu.url, uu.host
+            FROM uu LEFT JOIN best USING (event_id)
+            WHERE coalesce(best.allow, true)
+            ORDER BY event_id, url
+        """,
+        "image_decode_verify": """
+            SELECT 'img' || i AS image_id,
+                   CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
+                   i % 10 <> 9 AS ok,
+                   i % 10 <> 9 AS invariant_ok
+            FROM range(500) t(i)
+            ORDER BY image_id
         """,
         "skew_salted_agg": """
             SELECT l_returnflag,

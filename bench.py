@@ -100,9 +100,9 @@ def bench_crawl(spark) -> dict[str, float]:
     # drop cached seen-filter state so the crawl timing below is clean
     spark.catalog.clearCache()
 
-    # --- fetched URLs/sec: drain a ~42k-page site ------------------------
+    # --- fetched URLs/sec: drain a ~108k-page site -----------------------
     cfg = SiteConfig(
-        n_hosts=16, dirs=4, chain=3, details_per_page=120, n_images=1000,
+        n_hosts=16, dirs=4, chain=3, details_per_page=500, n_images=1000,
         skew_factor=3,
     )
     pages = generate_site_pages(spark, cfg).localCheckpoint()
@@ -112,7 +112,7 @@ def bench_crawl(spark) -> dict[str, float]:
     try:
         eng = CrawlEngine(
             spark, pages, model, workdir,
-            EngineConfig(budget_per_host=1200, salt_buckets=8, use_bloom=False),
+            EngineConfig(budget_per_host=6000, salt_buckets=8, use_bloom=False),
         )
         t0 = time.monotonic()
         res = eng.run([f"http://{cfg.host(k)}/" for k in range(cfg.n_hosts)])

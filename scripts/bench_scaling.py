@@ -111,6 +111,40 @@ nl, dt = timed(lambda: deduped)
 out["links"] = {{"rows": N_PAGES * 3, "sec": round(dt, 3),
                  "rows_per_sec": round(N_PAGES * 3 / dt), "deduped": nl}}
 
+# --- crawl: end-to-end engine drain of a deterministic synthetic site ----
+# (the north-rule metric itself: fetched URLs/sec at both parallelism
+# levels; one timed run — the engine is round-based, rerunning it would
+# re-crawl, so no warm-up min-of-3 here)
+import tempfile, shutil
+from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+from smart_crawler_spark.datagen.site import (SiteConfig, generate_site_pages,
+                                              target_tsv)
+from smart_crawler_spark.sources.targets import load_target_tsv
+# flat site (chain=1, fat dirs) so the detail round carries ~0.5M URLs:
+# per-round driver overhead (~constant vs cluster size) amortizes and the
+# measured scaling reflects the kernels, as it would at production batch
+# sizes (millions of URLs/round)
+site = SiteConfig(n_hosts=16, dirs=4, chain=1,
+                  details_per_page=int(8000 * scale), n_images=1000,
+                  skew_factor=2)
+pages = generate_site_pages(spark, site).localCheckpoint()
+n_pages = pages.count()
+workdir = tempfile.mkdtemp(prefix="scaling_crawl_")
+try:
+    eng = CrawlEngine(spark, pages, load_target_tsv(target_tsv(site)), workdir,
+                      EngineConfig(budget_per_host=int(70000 * scale),
+                                   salt_buckets=8, use_bloom=False))
+    t0 = time.monotonic()
+    res = eng.run([f"http://{{site.host(k)}}/" for k in range(site.n_hosts)])
+    dt = time.monotonic() - t0
+    fetched = res.order.filter("fetched").count()
+    assert fetched == n_pages, (fetched, n_pages)
+finally:
+    shutil.rmtree(workdir, ignore_errors=True)
+out["crawl"] = {{"rows": fetched, "sec": round(dt, 3),
+                 "rows_per_sec": round(fetched / dt),
+                 "rounds": res.rounds}}
+
 print("RESULT " + json.dumps(out))
 spark.stop()
 """

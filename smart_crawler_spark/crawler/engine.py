@@ -34,7 +34,8 @@ from pyspark.sql.window import Window
 from smart_crawler_spark.crawler.extract import (
     extract_links,
     extract_records,
-    fetch_batch,
+    fetch_batch_resolved,
+    resolve_redirects,
 )
 from smart_crawler_spark.frontier.canonical import (
     canonical_relative_url,
@@ -98,9 +99,12 @@ class CrawlEngine:
         model,
         workdir: str,
         cfg: EngineConfig | None = None,
+        robots=None,
     ):
         self.spark = spark
-        self.site_pages = site_pages
+        # redirect adoption is corpus-static: resolve once, materialize,
+        # so each round's fetch is a single equi-join (E8)
+        self.site_pages = resolve_redirects(site_pages).localCheckpoint(eager=True)
         self.model = model
         self.workdir = workdir
         self.cfg = cfg or EngineConfig()
@@ -113,6 +117,17 @@ class CrawlEngine:
         )
         self._order_dir = os.path.join(workdir, "crawl_order")
         self._records_dir = os.path.join(workdir, "records")
+        # robots.txt (RobotsPolicy | None): disallowed URLs never enter
+        # the frontier or the seen set; per-host Crawl-delay tightens the
+        # politeness budget (round_ms / delay fetches per round)
+        self.robots = robots
+        self._host_delay_budgets: dict[str, int] = {}
+        if robots is not None:
+            for h, delay_ms in robots.crawl_delays_ms().items():
+                if delay_ms > 0:
+                    self._host_delay_budgets[h] = max(
+                        1, self.cfg.round_ms // delay_ms
+                    )
 
     # -- seed bootstrap --------------------------------------------------
     def seed_frontier(self, seeds: list[str]) -> DataFrame:
@@ -133,6 +148,13 @@ class CrawlEngine:
         seen_filter = SeenFilter(self.spark, cfg.bloom, use_bloom=cfg.use_bloom)
         metrics: list[dict] = []
 
+        def robots_ok(df: DataFrame) -> DataFrame:
+            if self.robots is None:
+                return df
+            from smart_crawler_spark.frontier.robots import filter_allowed
+
+            return filter_allowed(df, self.robots)
+
         if resume:
             snap = self.checkpoint.latest()
             if snap is None:
@@ -149,7 +171,7 @@ class CrawlEngine:
             }
             rnd = snap.round
         else:
-            frontier = self.seed_frontier(seeds).localCheckpoint()
+            frontier = robots_ok(self.seed_frontier(seeds)).localCheckpoint()
             seed_hashes = frontier.select(
                 url_seen_key(F.col("url"), F.col("form_params")).alias("url_hash")
             )
@@ -185,7 +207,7 @@ class CrawlEngine:
                     # links/records not yet produced
                     return self._result(rnd, frontier, seen_filter, metrics)
 
-            fetched = fetch_batch(batch, self.site_pages, cfg.max_tries)
+            fetched = fetch_batch_resolved(batch, self.site_pages, cfg.max_tries)
             fetched = fetched.localCheckpoint(eager=True)
             self._append_order(rnd, fetched, host_seq)
             fetched_ok = fetched.filter("fetch_ok")
@@ -195,7 +217,7 @@ class CrawlEngine:
             ).write.mode("append").parquet(self._records_dir)
 
             links = extract_links(fetched_ok, self.class_links)
-            new = self._dedup_links(links, seen_filter)
+            new = self._dedup_links(robots_ok(links), seen_filter)
             new = new.localCheckpoint(eager=True)
             n_new = new.count()
 
@@ -261,6 +283,24 @@ class CrawlEngine:
                 .drop("_salt", "_r1")
             )
         ranked = priority_rank(df, "host")
+        if self._host_delay_budgets:
+            # robots Crawl-delay: per-host budget = round_ms / delay
+            hb = self.spark.createDataFrame(
+                list(self._host_delay_budgets.items()), "host string, _hb int"
+            )
+            ranked = (
+                ranked.join(F.broadcast(hb), "host", "left")
+                .filter(F.col("rank") <= F.least(F.lit(budget), F.coalesce("_hb", F.lit(budget))))
+                .drop("_hb")
+            )
+            budget_applied = True
+        else:
+            budget_applied = False
+        if cfg.max_pages_per_host >= (1 << 30):
+            # unbounded: skip the remaining-budget join entirely
+            if budget_applied:
+                return ranked.drop("rank")
+            return ranked.filter(F.col("rank") <= budget).drop("rank")
         if host_fetched:
             rem = self.spark.createDataFrame(
                 [

@@ -22,40 +22,66 @@ from pyspark.sql import functions as F
 _CONTENT_COLS = ["out_links", "data_values", "image_id", "title", "true_class"]
 
 
-def fetch_batch(batch: DataFrame, site_pages: DataFrame, max_tries: int) -> DataFrame:
-    """Join the batch with the page corpus; resolve retries + redirects.
+def resolve_redirects(site_pages: DataFrame) -> DataFrame:
+    """Pre-adopt redirect-target content into the corpus (one-time).
 
-    Returns the batch with content columns, ``final_url``, ``fetch_ok``
-    and ``attempts``.
+    Redirect adoption (``actors/CrawlPage.java:55,140-141``) is a static
+    property of the corpus, not of a crawl round — resolving it once
+    turns the per-round fetch into a single equi-join instead of two.
+    The caller should materialize the result (engine does, at init).
     """
-    pages = site_pages.select(
-        "url", "redirect_to", "fetch_fail_n", *_CONTENT_COLS
-    )
-    fetched = batch.join(pages, "url", "left")
-    fetched = fetched.withColumn(
-        "fetch_ok",
-        F.col("true_class").isNotNull()
-        & (F.coalesce(F.col("fetch_fail_n"), F.lit(0)) < F.lit(max_tries)),
-    ).withColumn(
-        "attempts",
-        F.least(F.coalesce(F.col("fetch_fail_n"), F.lit(0)) + 1, F.lit(max_tries)),
-    )
-    # redirect adoption: pull the target page's content
     tgt = site_pages.select(
         F.col("url").alias("redirect_to"),
         *[F.col(c).alias(f"_t_{c}") for c in _CONTENT_COLS],
     )
-    fetched = fetched.join(tgt, "redirect_to", "left")
+    resolved = site_pages.join(tgt, "redirect_to", "left")
     for c in _CONTENT_COLS:
-        fetched = fetched.withColumn(
+        resolved = resolved.withColumn(
             c,
             F.when(
                 F.col("redirect_to").isNotNull(), F.col(f"_t_{c}")
             ).otherwise(F.col(c)),
         ).drop(f"_t_{c}")
-    return fetched.withColumn(
-        "final_url", F.coalesce(F.col("redirect_to"), F.col("url"))
+    return resolved
+
+
+def fetch_batch_resolved(
+    batch: DataFrame, resolved_pages: DataFrame, max_tries: int
+) -> DataFrame:
+    """Join the batch with a redirect-resolved corpus: one equi-join.
+
+    Returns the batch with content columns, ``final_url``, ``fetch_ok``
+    and ``attempts`` (retries are column arithmetic — the reference
+    re-fetches the same URL immediately up to ``max_tries``).
+    """
+    pages = resolved_pages.select(
+        "url", "redirect_to", "fetch_fail_n", *_CONTENT_COLS
     )
+    fetched = batch.join(pages, "url", "left")
+    return (
+        fetched.withColumn(
+            "fetch_ok",
+            F.col("true_class").isNotNull()
+            & (F.coalesce(F.col("fetch_fail_n"), F.lit(0)) < F.lit(max_tries)),
+        )
+        .withColumn(
+            "attempts",
+            F.least(
+                F.coalesce(F.col("fetch_fail_n"), F.lit(0)) + 1, F.lit(max_tries)
+            ),
+        )
+        .withColumn("final_url", F.coalesce(F.col("redirect_to"), F.col("url")))
+    )
+
+
+def fetch_batch(batch: DataFrame, site_pages: DataFrame, max_tries: int) -> DataFrame:
+    """Join the batch with the page corpus; resolve retries + redirects.
+
+    Convenience form for one-shot calls; iterative callers (the engine)
+    resolve redirects once via ``resolve_redirects`` and use
+    ``fetch_batch_resolved`` per round.
+    """
+    return fetch_batch_resolved(batch, resolve_redirects(site_pages), max_tries)
 
 
 def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
