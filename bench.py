@@ -112,7 +112,7 @@ def bench_crawl(spark) -> dict[str, float]:
     try:
         eng = CrawlEngine(
             spark, pages, model, workdir,
-            EngineConfig(budget_per_host=6000, salt_buckets=8, use_bloom=False),
+            EngineConfig(budget_per_host=6000, salt_buckets=0, use_bloom=False),
         )
         t0 = time.monotonic()
         res = eng.run([f"http://{cfg.host(k)}/" for k in range(cfg.n_hosts)])

@@ -104,3 +104,48 @@ def test_frontier_order_total_and_deterministic(spark):
     a = [r["url"] for r in pick_batch(df, 5).orderBy("url").collect()]
     b = [r["url"] for r in pick_batch(df.repartition(7), 5).orderBy("url").collect()]
     assert a == b  # partitioning must not change the selected batch
+
+
+def test_pick_batch_window_group_limit(spark):
+    """pick_batch's rank<=k filter must plan as Partial+Final
+    WindowGroupLimit (map-side top-K before the shuffle) — the skew
+    defense the default (salt_buckets=0) path relies on."""
+    from smart_crawler_spark.frontier.queue import pick_batch
+
+    front = spark.range(1000).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 7)).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    plan = _formatted(pick_batch(front, budget_per_host=10, salt_buckets=0))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_pick_batch_salted_equals_plain(spark):
+    """Both skew paths must produce the identical batch (exact top-K
+    under the frontier total order)."""
+    from smart_crawler_spark.frontier.queue import pick_batch
+
+    front = spark.range(5000).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 3 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 11))
+        ).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.when(F.col("id") % 17 == 0, F.lit("a=1")).otherwise(
+            F.lit(None).cast("string")
+        ).alias("form_params"),
+    )
+    plain = {
+        tuple(r) for r in pick_batch(front, 25, salt_buckets=0).collect()
+    }
+    salted = {
+        tuple(r) for r in pick_batch(front, 25, salt_buckets=16).collect()
+    }
+    assert plain == salted and len(plain) > 0
