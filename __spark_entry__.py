@@ -545,6 +545,88 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")
 
 
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming frontier ingestion (streaming/ingest.py):
+    candidate URLs arrive as JSON files, availableNow micro-batches are
+    canonicalized + hashed and deduped against the persisted seen
+    snapshot inside foreachBatch (exact F1 anti-join per micro-batch,
+    cross-batch state via the seen parquet). The final frontier content
+    is the distinct candidate set — which the oracle states in SQL."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        read_candidate_stream,
+        start_frontier_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ingest_")
+    cand_dir = f"{base}/candidates"
+    try:
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 6000)
+        n = (F.col("event_id") % 1500).cast("string")
+        (
+            ev.select(
+                F.concat(
+                    F.lit("http://h"),
+                    (F.col("event_id") % 4).cast("string"),
+                    F.lit(".test/p/"),
+                    n,
+                ).alias("url"),
+                F.when(F.col("event_id") % 1500 % 3 == 0, F.lit("detail"))
+                .otherwise(F.lit("dir"))
+                .alias("page_class"),
+                ((F.col("event_id") % 1500) % 3).cast("int").alias("class_depth"),
+                F.lit(None).cast("string").alias("form_params"),
+                F.col("ts").alias("event_ts"),
+            )
+            .repartition(24)  # >16 files => availableNow runs 2 micro-batches
+            .write.mode("overwrite")
+            .json(cand_dir)
+        )
+        q = start_frontier_ingest(
+            read_candidate_stream(spark, cand_dir),
+            seen_dir=f"{base}/seen",
+            frontier_out=f"{base}/frontier",
+            checkpoint_dir=f"{base}/ckpt",
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{base}/frontier")
+            .select("url", "host", "page_class", "class_depth")
+            .orderBy("url")
+        )
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("url")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimation (§2.6: approx_count_distinct at
+    10^10 scale, where exact countDistinct would shuffle every key).
+    Rows-only check: HLL estimates are engine-specific; the exact
+    column is cross-checked by the distinct_counts oracle query."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 _ROBOTS_TEXTS = {
     "h0.test": "User-agent: *\nDisallow: /p/\nAllow: /p/1",
     "h1.test": "User-agent: *\nDisallow: /p/7$",
@@ -801,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": cluster_metrics,
         "bfs_depths": bfs_depths_q,
         "phash_near_dup": phash_near_dup,
+        "streaming_ingest_dedup": streaming_ingest_dedup,
+        "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
         "skew_salted_agg": skew_salted_agg,
@@ -1213,6 +1297,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(depth) AS depth FROM bfs
             GROUP BY node ORDER BY node
+        """,
+        "streaming_ingest_dedup": """
+            SELECT DISTINCT
+                   'http://h' || (event_id % 4) || '.test/p/'
+                       || (event_id % 1500) AS url,
+                   'h' || (event_id % 4) || '.test' AS host,
+                   CASE WHEN (event_id % 1500) % 3 = 0 THEN 'detail'
+                        ELSE 'dir' END AS page_class,
+                   CAST((event_id % 1500) % 3 AS INT) AS class_depth
+            FROM events WHERE event_id < 6000
+            ORDER BY url
         """,
         "robots_filter": """
             WITH u AS (

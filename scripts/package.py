@@ -1,0 +1,30 @@
+"""Build dist/smart_crawler_spark.zip for spark-submit --py-files.
+
+Usage:
+    python scripts/package.py
+    spark-submit --py-files dist/smart_crawler_spark.zip jobs/crawl_job.py ...
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str | None = None) -> str:
+    out = out or os.path.join(REPO, "dist", "smart_crawler_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pkg = os.path.join(REPO, "smart_crawler_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())
