@@ -209,16 +209,34 @@ class CrawlEngine:
 
             fetched = fetch_batch_resolved(batch, self.site_pages, cfg.max_tries)
             fetched = fetched.localCheckpoint(eager=True)
-            self._append_order(rnd, fetched, host_seq)
             fetched_ok = fetched.filter("fetch_ok")
 
-            extract_records(fetched_ok, self.data_links).withColumn(
-                "round", F.lit(rnd)
-            ).write.mode("append").parquet(self._records_dir)
+            # the two sinks and the link-dedup pipeline are independent
+            # given the materialized batch — run them as concurrent Spark
+            # jobs (round wall time = max, not sum; on a cluster these
+            # schedule onto free executor slots)
+            from concurrent.futures import ThreadPoolExecutor
 
-            links = extract_links(fetched_ok, self.class_links)
-            new = self._dedup_links(robots_ok(links), seen_filter)
-            new = new.localCheckpoint(eager=True)
+            def _write_order():
+                self._append_order(rnd, fetched, host_seq)
+
+            def _write_records():
+                extract_records(fetched_ok, self.data_links).withColumn(
+                    "round", F.lit(rnd)
+                ).write.mode("append").parquet(self._records_dir)
+
+            def _new_links():
+                links = extract_links(fetched_ok, self.class_links)
+                new = self._dedup_links(robots_ok(links), seen_filter)
+                return new.localCheckpoint(eager=True)
+
+            with ThreadPoolExecutor(3) as pool:
+                f_order = pool.submit(_write_order)
+                f_records = pool.submit(_write_records)
+                f_new = pool.submit(_new_links)
+                f_order.result()
+                f_records.result()
+                new = f_new.result()
             n_new = new.count()
 
             frontier = frontier.unionByName(
