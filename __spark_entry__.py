@@ -531,9 +531,10 @@ def bfs_depths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image phash near-dup (operators/images.py): 4×16-bit block LSH
-    candidates + exact hamming verify, over deterministic synthetic
-    phashes (pairs of docs share one ⇒ planted hamming-0 dups)."""
+    """Image phash near-dup (operators/images.py): block LSH with the
+    pigeonhole recall guarantee (max_hamming+1 blocks) + exact hamming
+    verify, over deterministic synthetic phashes (pairs of docs share
+    one ⇒ planted hamming-0 dups); oracle = DuckDB brute force."""
     from smart_crawler_spark.operators.images import phash_near_dup_pairs
 
     ph = _t(spark, sf_dir, "documents").select(

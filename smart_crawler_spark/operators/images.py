@@ -191,29 +191,39 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def _hamming_blocks(col: str, max_hamming: int) -> list:
+    """Block decomposition for exact-recall hamming LSH: with B >
+    max_hamming blocks, any pair within the distance differs in at most
+    max_hamming blocks, so at least one block is identical (pigeonhole).
+    64 bits are split into B near-equal spans; wider max_hamming ⇒ more,
+    narrower blocks ⇒ bigger buckets — the standard recall/cost dial of
+    multi-index hamming search."""
+    n_blocks = min(max(max_hamming + 1, 2), 16)
+    base, extra = divmod(64, n_blocks)
+    out, off = [], 0
+    for b in range(n_blocks):
+        width = base + (1 if b < extra else 0)
+        out.append(
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(col, off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+        )
+        off += width
+    return out
+
+
 def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate images by phash hamming distance, candidates via
-    4×16-bit block LSH (pigeonhole: hamming<=6 ⇒ >=1 identical block
-    when <=3 blocks differ... any pair with <=3 differing BITS spread
-    over 4 blocks shares a block; for <=6 it still holds unless bits
-    land in all 4 blocks — acceptable recall for near-dup grouping,
-    exact verification on candidates)."""
+    """Near-duplicate images by phash hamming distance: block-LSH
+    candidates with **guaranteed recall** (max_hamming+1 blocks ⇒ every
+    pair within the distance shares >=1 identical block, pigeonhole),
+    exact popcount verification on candidates."""
     blocks = images.select(
         F.col("image_id"),
         F.col("phash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright("phash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*_hamming_blocks("phash", max_hamming))).alias("bk"),
     ).select("image_id", "phash", "bk.block", "bk.key")
     left = blocks.select(
         F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"),

@@ -195,25 +195,16 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash near-dup: candidates via 4×16-bit block LSH (two of four
-    blocks must match for hamming<=6 to be possible... pigeonhole: any
-    pair with <=3 differing blocks shares >=1 identical 16-bit block),
-    verified by popcount of xor."""
+    """SimHash near-dup: block-LSH candidates with guaranteed recall
+    (max_hamming+1 blocks ⇒ any pair within the distance shares >=1
+    identical block, pigeonhole), verified by popcount of xor."""
+    from smart_crawler_spark.operators.images import _hamming_blocks
+
     sh = simhash64(docs, text_col, id_col).persist()
     blocks = sh.select(
         F.col(id_col),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*_hamming_blocks("simhash", max_hamming))).alias("bk"),
     ).select(id_col, "simhash", "bk.block", "bk.key")
     left = blocks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key"

@@ -83,3 +83,34 @@ def test_phash_near_dup_finds_duplicates(spark):
 def test_video_stub():
     with pytest.raises(NotImplementedError):
         sample_frames(None)
+
+
+def test_phash_lsh_recall_guarantee(spark):
+    """Pairs at hamming exactly max_hamming whose differing bits are
+    spread across MORE than 4 of the old 16-bit blocks — the pigeonhole
+    guarantee (max_hamming+1 blocks) must still find them."""
+    base = 0x0123456789ABCDEF
+    # 6 flipped bits in 6 different 8-bit regions (bits 0,16,32,48,8,24):
+    # under 4x16-bit blocking ALL four blocks differ -> old scheme missed
+    spread = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+                     | (1 << 8) | (1 << 24))
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "far"],
+                "phash": pd.array(
+                    [base, spread, base ^ ((1 << 63) - 1)], dtype="int64"
+                ),
+            }
+        )
+    )
+    from smart_crawler_spark.operators.images import phash_near_dup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert ("a", "b", 6) in got
+    assert all(p[:2] != ("a", "far") and p[:2] != ("b", "far") for p in got)
