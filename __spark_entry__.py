@@ -382,6 +382,18 @@ def lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only): deterministic coarse quantizer (stride-
+    seeded Lloyd iterations as DataFrame aggs), inverted-file cell join,
+    n_probe nearest cells per query — the bucketed-scan scale path
+    next to lsh_embedding_topk (operators/simsearch.py:ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return simsearch.ivf_topk(
+        queries, emb, k=5, n_cells=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (EXISTS): orders with >=1 deep-discount lineitem,
     counted per priority — the seen-set membership shape (§2.6 anti/semi
@@ -688,6 +700,31 @@ def image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain broadcast joins (supplier ⋈ nation ⋈ region) +
+    per-region stats with an arg-max top supplier — touches every
+    remaining testdata table."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+            F.max(F.struct("s_acctbal", "s_suppkey")).alias("m"),
+        )
+        .select(
+            "r_name", "n_suppliers", "avg_acctbal",
+            F.col("m.s_suppkey").alias("top_suppkey"),
+            F.round("m.s_acctbal", 2).alias("top_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (north_rule skew handling): partial
     agg on (key, salt) bounds any task's input, final agg merges the 32
@@ -877,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": minhash_near_dup,
         "simhash_near_dup": simhash_near_dup,
         "lsh_embedding_topk": lsh_embedding_topk,
+        "ivf_embedding_topk": ivf_embedding_topk,
         "q4_priority_semijoin": q4_priority_semijoin,
         "table_set_ops": table_set_ops,
         "outlink_classify": outlink_classify,
@@ -888,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
+        "supplier_region_stats": supplier_region_stats,
         "skew_salted_agg": skew_salted_agg,
         "q17_small_quantity": q17_small_quantity,
         "cube_order_counts": cube_order_counts,
@@ -1357,6 +1396,31 @@ def oracle_sql() -> dict[str, str]:
                    i % 10 <> 9 AS invariant_ok
             FROM range(500) t(i)
             ORDER BY image_id
+        """,
+        "supplier_region_stats": """
+            WITH j AS (
+                SELECT r_name, s_suppkey, s_acctbal FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+            ),
+            s AS (
+                SELECT r_name, count(*) AS n_suppliers,
+                       round(avg(s_acctbal), 4) AS avg_acctbal
+                FROM j GROUP BY r_name
+            ),
+            t AS (
+                SELECT r_name, s_suppkey AS top_suppkey,
+                       round(s_acctbal, 2) AS top_acctbal
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY r_name
+                        ORDER BY s_acctbal DESC, s_suppkey DESC
+                    ) AS rn FROM j
+                ) WHERE rn = 1
+            )
+            SELECT s.r_name, n_suppliers, avg_acctbal,
+                   top_suppkey, top_acctbal
+            FROM s JOIN t USING (r_name) ORDER BY r_name
         """,
         "skew_salted_agg": """
             SELECT l_returnflag,
