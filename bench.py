@@ -43,6 +43,11 @@ HEADLINE = [
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
+    # one-time session warm-up (JVM codegen + parquet footer cache) so
+    # per-query timings measure the query, not cold-start
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        1
+    ).count()
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.monotonic()
