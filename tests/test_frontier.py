@@ -105,6 +105,13 @@ def test_seen_filter_bloom_equals_exact(spark):
     got_bloom = sorted(r["url"] for r in bloom.filter_new(batch2).collect())
     assert got_exact == got_bloom
     assert len(got_exact) == 100 and all("/p2" in u or "/p1" in u for u in got_exact)
+    # force the sharded-cogroup probe layout (the 10^10-key path where
+    # the bitmaps don't fit a broadcast) — must agree with broadcast
+    cogroup = SeenFilter(spark, cfg, use_bloom=True)
+    cogroup.BROADCAST_BLOOM_MAX_BYTES = 0
+    cogroup.add(batch1.select("url_hash"))
+    got_cg = sorted(r["url"] for r in cogroup.filter_new(batch2).collect())
+    assert got_cg == got_exact
 
 
 def test_politeness_budget_math():
