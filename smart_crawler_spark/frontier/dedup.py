@@ -66,13 +66,20 @@ def _splitmix_probes(keys: np.ndarray, k: int, nbits: int) -> np.ndarray:
     """
     out = np.empty((k, len(keys)), dtype=np.uint64)
     z = keys.astype(np.uint64)
-    golden = np.uint64(0x9E3779B97F4A7C15)
-    for i in range(k):
-        x = z + np.uint64(i + 1) * golden
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
-        out[i] = x % np.uint64(nbits)
+    # increments precomputed with Python ints (wraparound explicit) —
+    # a NumPy scalar multiply here overflows with a RuntimeWarning per
+    # probe call, drowning out real warnings in the hottest operator
+    incs = [
+        np.uint64(((i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        for i in range(k)
+    ]
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        for i in range(k):
+            x = z + incs[i]
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            out[i] = x % np.uint64(nbits)
     return out
 
 

@@ -57,8 +57,11 @@ class HostRobots:
 
 def parse_robots(text: str, agent: str = "*") -> HostRobots:
     """Parse one robots.txt for ``agent``: RFC 9309 group selection —
-    the group whose user-agent token is the longest match for our agent
-    wins; ``*`` is the least-specific fallback. Empty Disallow = no rule.
+    the user-agent token that is the longest *prefix* of our agent
+    product token wins, and the rules of ALL groups matching at that
+    specificity are merged (§2.2.1: multiple groups for the same agent
+    combine); ``*`` is the least-specific fallback. Empty Disallow = no
+    rule. Crawl-delay across merged groups takes the max (conservative).
     """
     groups: list[tuple[list[str], HostRobots]] = []
     cur: tuple[list[str], HostRobots] | None = None
@@ -91,19 +94,30 @@ def parse_robots(text: str, agent: str = "*") -> HostRobots:
                 pass
 
     agent_l = agent.lower()
-    best: HostRobots | None = None
-    best_spec = -1
+
+    def _spec(ua: str) -> int:
+        """-1 = no match; 0 = wildcard; else prefix-match length."""
+        if ua == "*":
+            return 0
+        return len(ua) if agent_l.startswith(ua) else -1
+
+    best_spec = max(
+        (_spec(ua) for uas, _ in groups for ua in uas), default=-1
+    )
+    if best_spec < 0:
+        return HostRobots()
+    merged = HostRobots()
     for uas, hr in groups:
-        for ua in uas:
-            if ua == "*":
-                spec = 0
-            elif ua in agent_l:
-                spec = len(ua)
-            else:
-                continue
-            if spec > best_spec:
-                best, best_spec = hr, spec
-    return best if best is not None else HostRobots()
+        if not any(_spec(ua) == best_spec for ua in uas):
+            continue
+        merged.rules.extend(hr.rules)
+        if hr.crawl_delay_s is not None:
+            merged.crawl_delay_s = (
+                hr.crawl_delay_s
+                if merged.crawl_delay_s is None
+                else max(merged.crawl_delay_s, hr.crawl_delay_s)
+            )
+    return merged
 
 
 def decide(rules: list[RobotsRule], path: str) -> bool:

@@ -197,8 +197,19 @@ def _hamming_blocks(col: str, max_hamming: int) -> list:
     max_hamming blocks, so at least one block is identical (pigeonhole).
     64 bits are split into B near-equal spans; wider max_hamming ⇒ more,
     narrower blocks ⇒ bigger buckets — the standard recall/cost dial of
-    multi-index hamming search."""
-    n_blocks = min(max(max_hamming + 1, 2), 16)
+    multi-index hamming search.
+
+    The guarantee needs max_hamming+1 blocks of >=1 bit, so over a
+    64-bit hash it only holds for max_hamming <= 15 with 4-bit blocks
+    (and degrades to ever-smaller buckets before that); reject larger
+    radii instead of silently returning an approximate filter."""
+    if max_hamming >= 16:
+        raise ValueError(
+            f"max_hamming={max_hamming}: pigeonhole recall over a 64-bit "
+            "hash requires max_hamming <= 15 (needs max_hamming+1 "
+            "non-empty blocks); use a multi-probe or exact scan instead"
+        )
+    n_blocks = max(max_hamming + 1, 2)
     base, extra = divmod(64, n_blocks)
     out, off = [], 0
     for b in range(n_blocks):

@@ -17,8 +17,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smart_crawler_spark.operators.textops import word_set
-
 _MERSENNE = (1 << 61) - 1
 
 
@@ -82,6 +80,29 @@ def _tokenize(text: str) -> list:
     return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
+def shingle_set(text_col, n: int = 3):
+    """Distinct n-gram shingles of a text column as a native array
+    expression (JVM-side, no Python) — the EXACT similarity domain the
+    minhash signatures approximate, so LSH-candidate + this-verify is a
+    consistent pipeline. Mirrors _shingle_hashes: texts with fewer than
+    ``n`` tokens collapse to the single joined-token shingle."""
+    toks = F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    n_t = F.size(toks)
+    # greatest() keeps the sequence ascending (and element_at >= 1) on the
+    # short-text rows where this branch's value is discarded by the when()
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_t - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(n_t >= n, F.array_distinct(tri)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int,
@@ -135,11 +156,15 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH candidates verified by exact word-set Jaccard >= threshold.
+    """LSH candidates verified by exact shingle-set Jaccard >= threshold.
 
     End-to-end: shingle+minhash (Arrow UDF) → band bucket join →
-    verification join back to word sets → exact filter. At 100 TB the
-    cross join never happens; cost is dominated by the two shuffles on
+    verification join back to the exact distinct-shingle sets → exact
+    filter. Verification uses the SAME similarity domain the signatures
+    approximate (n-gram shingle Jaccard), so the output is exactly the
+    true near-dup pair set wherever the banding's recall holds — which
+    makes it brute-force-oracle-checkable. At 100 TB the cross join
+    never happens; cost is dominated by the two shuffles on
     (band, bucket) and id.
     """
     # the signature UDF feeds both sides of the bucket self-join —
@@ -147,7 +172,7 @@ def minhash_near_dup_pairs(
     # signatures table)
     sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col).persist()
     cand = lsh_candidate_pairs(sigs, bands, id_col, num_perm=num_perm)
-    ws = docs.select(F.col(id_col), word_set(text_col).alias("ws"))
+    ws = docs.select(F.col(id_col), shingle_set(text_col, shingle_n).alias("ws"))
     pairs = (
         cand.join(ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a")), "id_a")
         .join(ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b")), "id_b")
@@ -160,13 +185,37 @@ def minhash_near_dup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _md5_token_hash(token: str) -> int:
+    """Stable 64-bit token hash = first 16 hex chars of md5, as uint64.
+
+    Chosen over SipHash because it is reproducible by any SQL engine
+    (DuckDB: ``('0x' || substr(md5(t), 1, 16))::UBIGINT``) — that makes
+    the whole SimHash pipeline oracle-checkable end-to-end. Computed
+    once per *distinct* vocabulary term (cached), never per occurrence,
+    so the hot path stays vectorized numpy."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash over word tokens (vectorized numpy in mapInPandas):
-    per-token FNV hash, bit-majority vote weighted by term frequency."""
+    md5-derived per-token hash (see _md5_token_hash — SQL-reproducible),
+    bit-majority vote weighted by term frequency; votes==0 → bit 0."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab: dict[str, int] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+
+        def h64(tok: str) -> int:
+            v = vocab.get(tok)
+            if v is None:
+                v = vocab[tok] = _md5_token_hash(tok)
+            return v
+
         for pdf in batches:
             out = []
             for text in pdf[text_col].astype(str):
@@ -174,13 +223,15 @@ def simhash64(
                 if not toks:
                     out.append(0)
                     continue
-                hs = _shingle_hashes(toks, 1)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                h = np.uint64(0)
-                for i in range(64):
-                    if votes[i] > 0:
-                        h |= np.uint64(1) << np.uint64(i)
+                uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                hs = np.fromiter(
+                    (h64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+                )
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+                h = (weights[votes > 0]).sum(dtype=np.uint64)
                 out.append(int(h.astype(np.int64)))
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 

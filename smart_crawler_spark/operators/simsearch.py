@@ -292,6 +292,50 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs via the scale plan: hyperplane-LSH
+    band buckets generate candidates (self equi-join on (band, bucket) —
+    never an all-pairs cross join), then exact cosine verifies each
+    candidate. Because verification is exact, the output equals the true
+    >=threshold pair set wherever banding recall holds; at near-dup
+    thresholds (cos >= ~0.9) sign-bit agreement is high, so modest
+    bands/bits give recall ~1. The exact cross-join variant below stays
+    as the small-scale baseline."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    buckets = band_buckets_udf(dim, bands, bits_per_band)
+    banded = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col("vid").alias("id_a"), F.col("_v").alias("_va"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("vid").alias("id_b"), F.col("_v").alias("_vb"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

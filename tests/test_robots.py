@@ -61,6 +61,47 @@ def test_parse_multi_ua_group_and_empty_disallow():
     assert parse_robots(txt, agent="c").rules == []  # empty Disallow = none
 
 
+def test_parse_merges_equal_specificity_groups():
+    # RFC 9309 §2.2.1: two groups matching at the same specificity
+    # combine — the second '*' group's rules must not be dropped
+    txt = """
+    User-agent: *
+    Disallow: /a/
+    Crawl-delay: 1
+
+    User-agent: specialbot
+    Disallow: /s/
+
+    User-agent: *
+    Disallow: /b/
+    Crawl-delay: 3
+    """
+    star = parse_robots(txt, agent="mybot")
+    assert [r.pattern for r in star.rules] == ["/a/", "/b/"]
+    assert star.crawl_delay_s == 3.0  # max across merged groups
+    # the specific group beats '*' and does NOT merge with it
+    spec = parse_robots(txt, agent="specialbot/1.0")
+    assert [r.pattern for r in spec.rules] == ["/s/"]
+
+
+def test_parse_ua_prefix_not_substring():
+    # group token matches as a prefix of the agent product token, not
+    # substring-anywhere ('bot' must not capture 'somebot')
+    txt = """
+    User-agent: bot
+    Disallow: /bot/
+
+    User-agent: *
+    Disallow: /all/
+    """
+    assert [r.pattern for r in parse_robots(txt, agent="somebot").rules] == [
+        "/all/"
+    ]
+    assert [r.pattern for r in parse_robots(txt, agent="bot/2.0").rules] == [
+        "/bot/"
+    ]
+
+
 @pytest.mark.parametrize(
     "rules_txt,path,expected",
     [
