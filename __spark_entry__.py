@@ -746,11 +746,15 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-payload pipeline (input_hint axis): generate the
-    deterministic image+caption corpus distributed (mapInPandas), decode
-    every PNG in Arrow-batched UDFs, recompute dims + phash, and check
-    the per-row invariant (operators/images.py:verify_decode_invariant).
-    The oracle predicts the outcome from the generation rule: png rows
-    (idx % 10 != 9) decode and verify; jpeg rows hit the codec stub."""
+    deterministic mixed PNG/JPEG corpus distributed (mapInPandas),
+    decode every payload in Arrow-batched UDFs (pure-numpy codecs:
+    functions/png.py, functions/jpeg.py), recompute dims + phash, and
+    check the per-row invariant (operators/images.py:
+    verify_decode_invariant). The oracle predicts the outcome from the
+    generation rule: every row decodes and verifies — PNG exactly
+    (lossless), JPEG at quality 98 where the roundtrip stays >= 40 dB
+    and the 8x8 average-phash is bit-identical (measured, deterministic
+    corpus)."""
     from smart_crawler_spark.datagen.images import generate_images
     from smart_crawler_spark.operators.images import verify_decode_invariant
 
@@ -1461,8 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_verify": """
             SELECT 'img' || i AS image_id,
                    CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
-                   i % 10 <> 9 AS ok,
-                   i % 10 <> 9 AS invariant_ok
+                   true AS ok,
+                   true AS invariant_ok
             FROM range(500) t(i)
             ORDER BY image_id
         """,

@@ -42,7 +42,11 @@ from smart_crawler_spark.frontier.canonical import (
     url_host,
     url_seen_key,
 )
-from smart_crawler_spark.frontier.checkpoint import CrawlCheckpoint, partition_metrics
+from smart_crawler_spark.frontier.checkpoint import (
+    HOST_STATS_SCHEMA,
+    CrawlCheckpoint,
+    partition_metrics,
+)
 from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
 from smart_crawler_spark.frontier.queue import FRONTIER_ORDER, priority_rank
 
@@ -58,7 +62,12 @@ class EngineConfig:
     max_pages_per_host: int = 1 << 30
     max_tries: int = 1
     salt_buckets: int = 0
-    use_bloom: bool = False
+    # False = exact anti-join; True = always probe the bloom prefilter;
+    # "auto" = maintain bitmaps but probe only in rounds where
+    # |seen| >= AUTO_BLOOM_RATIO × |last round's new URLs| — the
+    # measured crossover where the prefilter beats the plain anti-join
+    # (BASELINE.md: bloom loses badly at |seen| ≈ |cand|)
+    use_bloom: bool | str = False
     bloom: BloomConfig = field(default_factory=BloomConfig)
     checkpoint_every: int = 0  # 0 = no checkpointing
     crash_at_round: int | None = None  # stop right after that round's snapshot
@@ -143,9 +152,12 @@ class CrawlEngine:
         )
 
     # -- main loop --------------------------------------------------------
+    AUTO_BLOOM_RATIO = 8  # probe bloom when |seen| >= ratio × |cand est|
+
     def run(self, seeds: list[str] | None = None, resume: bool = False) -> CrawlResult:
         cfg = self.cfg
-        seen_filter = SeenFilter(self.spark, cfg.bloom, use_bloom=cfg.use_bloom)
+        seen_filter = SeenFilter(self.spark, cfg.bloom, use_bloom=bool(cfg.use_bloom))
+        auto_bloom = cfg.use_bloom == "auto"
         metrics: list[dict] = []
 
         def robots_ok(df: DataFrame) -> DataFrame:
@@ -165,10 +177,7 @@ class CrawlEngine:
                 seen_filter.blooms = seen_filter._build_blooms(
                     seen_filter._with_shard(snap.seen.select("url_hash"))
                 ).localCheckpoint()
-            host_seq = {k: int(v) for k, v in snap.extras["host_seq"].items()}
-            host_fetched = {
-                k: int(v) for k, v in snap.extras["host_fetched"].items()
-            }
+            host_stats = snap.host_stats.localCheckpoint(eager=True)
             rnd = snap.round
         else:
             frontier = robots_ok(self.seed_frontier(seeds)).localCheckpoint()
@@ -177,11 +186,23 @@ class CrawlEngine:
             )
             seen_filter.add(seed_hashes)
             seen_filter.materialize()
-            host_seq, host_fetched, rnd = {}, {}, 0
+            host_stats = self.spark.createDataFrame([], HOST_STATS_SCHEMA)
+            rnd = 0
+
+        # driver-side scalars for the auto bloom-vs-exact choice: the
+        # seen-set size estimate and last round's new-URL count (the
+        # candidate-volume proxy). Two ints — never per-host state.
+        seen_est = seen_filter.seen.count() if auto_bloom else 0
+        last_new: int | None = None
 
         while True:
             rnd += 1
-            batch = self._pick_batch(frontier, host_fetched)
+            if auto_bloom:
+                cand_est = last_new if last_new is not None else seen_est
+                prefer_bloom = seen_est >= self.AUTO_BLOOM_RATIO * max(cand_est, 1)
+            else:
+                prefer_bloom = None
+            batch = self._pick_batch(frontier, host_stats)
             batch = batch.localCheckpoint(eager=True)
             if batch.isEmpty():
                 rnd -= 1
@@ -201,7 +222,7 @@ class CrawlEngine:
                 rnd % cfg.checkpoint_every == 0 or cfg.crash_at_round == rnd
             ):
                 frontier = frontier.localCheckpoint(eager=True)
-                self._snapshot(rnd, frontier, seen_filter, batch, host_seq, host_fetched)
+                self._snapshot(rnd, frontier, seen_filter, batch, host_stats)
                 if cfg.crash_at_round == rnd:
                     # simulated mid-round kill: batch is in flight, its
                     # links/records not yet produced
@@ -211,14 +232,14 @@ class CrawlEngine:
             fetched = fetched.localCheckpoint(eager=True)
             fetched_ok = fetched.filter("fetch_ok")
 
-            # the two sinks and the link-dedup pipeline are independent
-            # given the materialized batch — run them as concurrent Spark
-            # jobs (round wall time = max, not sum; on a cluster these
-            # schedule onto free executor slots)
+            # the two sinks, the link-dedup pipeline, and the host-stats
+            # roll-up are independent given the materialized batch — run
+            # them as concurrent Spark jobs (round wall time = max, not
+            # sum; on a cluster these schedule onto free executor slots)
             from concurrent.futures import ThreadPoolExecutor
 
             def _write_order():
-                self._append_order(rnd, fetched, host_seq)
+                self._append_order(rnd, fetched, host_stats)
 
             def _write_records():
                 extract_records(fetched_ok, self.data_links).withColumn(
@@ -227,16 +248,23 @@ class CrawlEngine:
 
             def _new_links():
                 links = extract_links(fetched_ok, self.class_links)
-                new = self._dedup_links(robots_ok(links), seen_filter)
+                new = self._dedup_links(
+                    robots_ok(links), seen_filter, prefer_bloom
+                )
                 return new.localCheckpoint(eager=True)
 
-            with ThreadPoolExecutor(3) as pool:
+            def _roll_stats():
+                return self._update_host_stats(host_stats, fetched)
+
+            with ThreadPoolExecutor(4) as pool:
                 f_order = pool.submit(_write_order)
                 f_records = pool.submit(_write_records)
                 f_new = pool.submit(_new_links)
+                f_stats = pool.submit(_roll_stats)
                 f_order.result()
                 f_records.result()
                 new = f_new.result()
+                host_stats, n_batch, n_ok = f_stats.result()
             n_new = new.count()
 
             frontier = frontier.unionByName(
@@ -252,40 +280,26 @@ class CrawlEngine:
             )
             seen_filter.materialize()
 
-            # one combined per-host count pass (batch sizes + fetch-ok)
-            host_rows = (
-                fetched.groupBy("host")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_if(F.col("fetch_ok")).alias("ok_n"),
-                )
-                .collect()
-            )
-            batch_hosts = {r["host"]: r["n"] for r in host_rows}
-            ok_hosts = {r["host"]: r["ok_n"] for r in host_rows if r["ok_n"]}
-            for h, n in batch_hosts.items():
-                host_seq[h] = host_seq.get(h, 0) + n
-            for h, n in ok_hosts.items():
-                host_fetched[h] = host_fetched.get(h, 0) + n
-            metrics.append(
-                {
-                    "round": rnd,
-                    "batch": sum(batch_hosts.values()),
-                    "fetched": sum(ok_hosts.values()),
-                    "new_urls": n_new,
-                    "sec": time.monotonic() - t0,
-                }
-            )
+            m = {
+                "round": rnd,
+                "batch": n_batch,
+                "fetched": n_ok,
+                "new_urls": n_new,
+                "sec": time.monotonic() - t0,
+            }
+            if auto_bloom:
+                m["dedup_path"] = "bloom" if prefer_bloom else "exact"
+                seen_est += n_new
+                last_new = n_new
+            metrics.append(m)
             if self.checkpoint and rnd % cfg.checkpoint_every == 0:
                 # post-round snapshot (in-flight drained)
-                self._snapshot(
-                    rnd, frontier, seen_filter, None, host_seq, host_fetched
-                )
+                self._snapshot(rnd, frontier, seen_filter, None, host_stats)
 
         return self._result(rnd, frontier, seen_filter, metrics)
 
     # -- stages -----------------------------------------------------------
-    def _pick_batch(self, frontier: DataFrame, host_fetched: dict) -> DataFrame:
+    def _pick_batch(self, frontier: DataFrame, host_stats: DataFrame) -> DataFrame:
         cfg = self.cfg
         budget = cfg.effective_budget()
         df = frontier
@@ -300,44 +314,80 @@ class CrawlEngine:
                 .filter(F.col("_r1") <= budget)
                 .drop("_salt", "_r1")
             )
-        ranked = priority_rank(df, "host")
+        # rank <= budget FIRST, directly on the window output: Spark
+        # plans it as a map-side Partial WindowGroupLimit (the skew
+        # defense); any join inserted between row_number and this filter
+        # would defeat the pushdown and re-shuffle whole hot hosts
+        ranked = priority_rank(df, "host").filter(F.col("rank") <= budget)
         if self._host_delay_budgets:
-            # robots Crawl-delay: per-host budget = round_ms / delay
+            # robots Crawl-delay tightens AFTER the group-limit: the
+            # budget join only sees <= budget rows per host
             hb = self.spark.createDataFrame(
                 list(self._host_delay_budgets.items()), "host string, _hb int"
             )
             ranked = (
                 ranked.join(F.broadcast(hb), "host", "left")
-                .filter(F.col("rank") <= F.least(F.lit(budget), F.coalesce("_hb", F.lit(budget))))
+                .filter(F.col("rank") <= F.coalesce("_hb", F.lit(budget)))
                 .drop("_hb")
             )
-            budget_applied = True
-        else:
-            budget_applied = False
         if cfg.max_pages_per_host >= (1 << 30):
             # unbounded: skip the remaining-budget join entirely
-            if budget_applied:
-                return ranked.drop("rank")
-            return ranked.filter(F.col("rank") <= budget).drop("rank")
-        if host_fetched:
-            rem = self.spark.createDataFrame(
-                [
-                    (h, max(cfg.max_pages_per_host - n, 0))
-                    for h, n in host_fetched.items()
-                ],
-                "host string, rem int",
+            return ranked.drop("rank")
+        # per-host page budget (F5) from the host_stats TABLE — at
+        # millions of hosts this is a (post-limit) equi-join, never a
+        # collected dict; AQE broadcasts it while it is small
+        stats = host_stats.select("host", F.col("fetched").alias("_hf"))
+        return (
+            ranked.join(stats, "host", "left")
+            .withColumn(
+                "_rem",
+                F.lit(cfg.max_pages_per_host) - F.coalesce("_hf", F.lit(0)),
             )
-            ranked = ranked.join(F.broadcast(rem), "host", "left").withColumn(
-                "rem", F.coalesce("rem", F.lit(cfg.max_pages_per_host))
-            )
-        else:
-            ranked = ranked.withColumn("rem", F.lit(cfg.max_pages_per_host))
-        return ranked.filter(
-            (F.col("rank") <= F.least(F.lit(budget), F.col("rem")))
-            & (F.col("rem") > 0)
-        ).drop("rem")
+            .filter((F.col("rank") <= F.col("_rem")) & (F.col("_rem") > 0))
+            .drop("rank", "_hf", "_rem")
+        )
 
-    def _dedup_links(self, links: DataFrame, seen_filter: SeenFilter) -> DataFrame:
+    def _update_host_stats(
+        self, host_stats: DataFrame, fetched: DataFrame
+    ) -> tuple[DataFrame, int, int]:
+        """Merge this round's per-host counts into the stats table and
+        return (new_stats, batch_total, fetched_total). One full-outer
+        join + eager checkpoint; the scalar totals ride along from the
+        same pre-aggregated per-host counts (driver holds two ints, not
+        a dict of hosts)."""
+        rc = (
+            fetched.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count_if(F.col("fetch_ok")).alias("_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged = (
+            host_stats.join(rc, "host", "full_outer")
+            .select(
+                "host",
+                (F.coalesce("seq", F.lit(0)) + F.coalesce("_n", F.lit(0)))
+                .cast("long")
+                .alias("seq"),
+                (F.coalesce("fetched", F.lit(0)) + F.coalesce("_ok", F.lit(0)))
+                .cast("long")
+                .alias("fetched"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = rc.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("_ok"), F.lit(0)).alias("ok"),
+        ).collect()[0]
+        return merged, int(tot["n"]), int(tot["ok"])
+
+    def _dedup_links(
+        self,
+        links: DataFrame,
+        seen_filter: SeenFilter,
+        prefer_bloom: bool | None = None,
+    ) -> DataFrame:
         # intra-batch: first enqueuer wins, in the order the reference's
         # sequential loop would enqueue (source priority, then link_seq)
         cand = links.withColumn(
@@ -357,25 +407,19 @@ class CrawlEngine:
         first = first.withColumn(
             "url_hash", url_seen_key(F.col("url"), F.col("form_params"))
         )
-        return seen_filter.filter_new(first)
+        return seen_filter.filter_new(first, prefer_bloom=prefer_bloom)
 
-    def _append_order(self, rnd: int, fetched: DataFrame, host_seq: dict) -> None:
-        base = (
-            self.spark.createDataFrame(
-                list(host_seq.items()), "host string, base long"
-            )
-            if host_seq
-            else None
-        )
+    def _append_order(self, rnd: int, fetched: DataFrame, host_stats: DataFrame) -> None:
         df = fetched.withColumn(
             "rank", F.row_number().over(Window.partitionBy("host").orderBy(*FRONTIER_ORDER()))
         )
-        if base is not None:
-            df = df.join(F.broadcast(base), "host", "left").withColumn(
-                "base", F.coalesce("base", F.lit(0))
-            )
-        else:
-            df = df.withColumn("base", F.lit(0))
+        # pre-round per-host sequence base from the stats table (first
+        # round: empty table, coalesce 0); plain equi-join — AQE
+        # broadcasts the small side
+        base = host_stats.select("host", F.col("seq").alias("base"))
+        df = df.join(base, "host", "left").withColumn(
+            "base", F.coalesce("base", F.lit(0))
+        )
         df.select(
             F.lit(rnd).alias("round"),
             "host",
@@ -385,7 +429,7 @@ class CrawlEngine:
             F.col("fetch_ok").alias("fetched"),
         ).write.mode("append").parquet(self._order_dir)
 
-    def _snapshot(self, rnd, frontier, seen_filter, in_flight, host_seq, host_fetched):
+    def _snapshot(self, rnd, frontier, seen_filter, in_flight, host_stats):
         in_flight_df = (
             in_flight
             if in_flight is not None
@@ -400,7 +444,7 @@ class CrawlEngine:
             seen_filter.seen,
             in_flight_df.select(*frontier.columns),
             m,
-            extras={"host_seq": host_seq, "host_fetched": host_fetched},
+            host_stats,
         )
 
     def _result(self, rnd, frontier, seen_filter, metrics) -> CrawlResult:

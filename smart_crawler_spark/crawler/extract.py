@@ -106,8 +106,49 @@ def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
         F.col("src_class"), F.col("xpath"), F.col("edge_pos"),
         F.col("dst_class").alias("page_class"),
         F.col("dst_depth").alias("class_depth"),
+        *(
+            [F.col("link_type").alias("_lt")]
+            if "link_type" in class_links.columns
+            else [F.lit("").alias("_lt")]
+        ),
     )
-    classified = exploded.join(F.broadcast(model), ["src_class", "xpath"], "inner")
+    # fixed-menu model edges are href-predicated (xpath[@href="..."],
+    # MenuItem.getXpath) — they classify by (menu base xpath, href
+    # value), not by key equality with the page's out_links keys
+    _HREF_RE = r'^(.*)\[@href="(.*)"\]$'
+    is_href_menu = (F.col("_lt") == "menu") & F.col("xpath").rlike(
+        r'\[@href=".*"\]$'
+    )
+    model_plain = model.filter(~is_href_menu).drop("_lt")
+    model_href = (
+        model.filter(is_href_menu)
+        .select(
+            F.col("src_class").alias("_m_src"),
+            F.regexp_extract("xpath", _HREF_RE, 1).alias("_m_base"),
+            F.regexp_extract("xpath", _HREF_RE, 2).alias("_m_href"),
+            "edge_pos", "page_class", "class_depth",
+        )
+    )
+    plain = exploded.join(
+        F.broadcast(model_plain), ["src_class", "xpath"], "inner"
+    )
+    # out_links may key menus positionally ((base)[i]) or by base xpath
+    ebase = F.when(
+        F.col("xpath").rlike(r"^\(.*\)\[\d+\]$"),
+        F.regexp_extract("xpath", r"^\((.*)\)\[\d+\]$", 1),
+    ).otherwise(F.col("xpath"))
+    by_href = (
+        exploded.withColumn("_ebase", ebase)
+        .join(
+            F.broadcast(model_href),
+            (F.col("src_class") == F.col("_m_src"))
+            & (F.col("_ebase") == F.col("_m_base"))
+            & (F.col("url") == F.col("_m_href")),
+            "inner",
+        )
+        .drop("_ebase", "_m_src", "_m_base", "_m_href")
+    )
+    classified = plain.unionByName(by_href)
     # form links encode a future POST as "url>k=v;k=v" (E2,
     # model/CrawlURL.java:46-56, factories/CrawlURLFactory.java:33-44)
     form_params = F.when(

@@ -24,7 +24,6 @@ final seen set, and all extracted records against this oracle.
 
 from __future__ import annotations
 
-import bisect
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
@@ -68,8 +67,15 @@ def crawl_site(
     seed_url: str,
     max_pages: int = 1 << 30,
     max_tries: int = 1,
+    frontier_heap: int | None = None,
 ) -> OracleResult:
-    """Crawl one site exactly as the reference frontier would."""
+    """Crawl one site exactly as the reference frontier would.
+
+    ``frontier_heap`` models the reference's in-memory cap
+    (``frontierheap``, default 10k): when the frontier outgrows it, the
+    dequeue order degrades toward FIFO across spill batches
+    (``CrawlQueue.java:138-204`` via frontier/spill.py). Default None =
+    unbounded (never spills — the order the Spark engine matches)."""
     res = OracleResult()
     links_by_class: dict[str, list[dict]] = {}
     for e in model.class_links:
@@ -78,8 +84,9 @@ def crawl_site(
     for d in model.data_links:
         data_by_class.setdefault(d["src_class"], []).append(d)
 
-    queue: list[_Entry] = []
-    in_queue: dict[str, str] = {}
+    from smart_crawler_spark.frontier.spill import UNBOUNDED, BoundedFrontierQueue
+
+    queue = BoundedFrontierQueue(frontier_heap or UNBOUNDED)
 
     def enqueue(url: str, cls: str) -> None:
         # unknown class -> dropped BEFORE the visited set, like
@@ -95,13 +102,13 @@ def crawl_site(
         if key in res.seen:
             return
         res.seen.add(key)
-        bisect.insort(queue, _Entry(depth, cls, url, form_params or ""))
+        queue.add(_Entry(depth, cls, url, form_params or ""))
 
     enqueue(seed_url, model.root)
     seq = 0
     fetched = 0
-    while queue and fetched < max_pages:
-        e = queue.pop(0)
+    while len(queue) and fetched < max_pages:
+        e = queue.next()
         seq += 1
         page = pages.get(e.url)
         ok = page is not None and page.get("fetch_fail_n", 0) < max_tries

@@ -5,9 +5,10 @@ caption string, phash bigint). Pixels are a pure function of the image
 index (seeded PCG64 per id), so any two runs — and the Python oracle —
 agree byte-for-byte. fmt='png' rows carry a real PNG (this repo's pure
 numpy codec; lossless → decode allclose is exact). fmt='jpeg' rows carry
-a deterministic marked fake payload (no JPEG codec in the sandbox); the
-decode operator raises NotImplementedError for them unless fakes are
-allowed (operators/images.py), but the Spark plumbing is format-agnostic.
+a real baseline JPEG (functions/jpeg.py) at quality 98 — chosen so the
+lossy roundtrip stays above the PSNR>=40dB invariant even on this
+corpus' half-noise pixels (measured worst case 43.5 dB, and the 8x8
+average-phash survives bit-identically).
 
 Generation is distributed: ``spark.range(n)`` → ``mapInPandas`` — no
 driver-side materialization, scales to any corpus size.
@@ -21,7 +22,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from smart_crawler_spark.functions.jpeg import encode_jpeg
 from smart_crawler_spark.functions.png import encode_png, perceptual_hash
+
+JPEG_QUALITY = 98  # keeps the lossy roundtrip >= 40 dB on this corpus
 
 IMAGES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -58,8 +62,7 @@ def image_row(idx: int, jpeg_every: int = 0) -> dict:
     if fmt == "png":
         data = encode_png(px)
     else:
-        # deterministic fake payload, clearly marked (no JPEG codec here)
-        data = b"FAKEJPEG\x00" + px.tobytes()[:64]
+        data = encode_jpeg(px, quality=JPEG_QUALITY)
     return {
         "image_id": f"img{idx}",
         "bytes": data,

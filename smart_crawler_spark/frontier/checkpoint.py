@@ -29,7 +29,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_PARTS = ("frontier", "seen", "in_flight", "metrics")
+_PARTS = ("frontier", "seen", "in_flight", "metrics", "host_stats")
+
+# per-host crawl counters live in a TABLE, not driver memory: at 10^10
+# URLs / millions of hosts a python dict (and its JSON trip through the
+# manifest) is a driver-memory + serialization bottleneck
+HOST_STATS_SCHEMA = "host string, seq long, fetched long"
 
 
 @dataclass
@@ -39,6 +44,7 @@ class Snapshot:
     seen: DataFrame
     in_flight: DataFrame
     metrics: DataFrame
+    host_stats: DataFrame
     extras: dict
 
 
@@ -58,10 +64,12 @@ class CrawlCheckpoint:
         seen: DataFrame,
         in_flight: DataFrame,
         metrics: DataFrame,
+        host_stats: DataFrame,
         extras: dict | None = None,
     ) -> None:
         d = self._dir(rnd)
-        for name, df in zip(_PARTS, (frontier, seen, in_flight, metrics)):
+        parts = (frontier, seen, in_flight, metrics, host_stats)
+        for name, df in zip(_PARTS, parts):
             df.write.mode("overwrite").parquet(os.path.join(d, name))
         manifest = {
             "round": rnd,
@@ -99,6 +107,7 @@ class CrawlCheckpoint:
             seen=dfs["seen"],
             in_flight=dfs["in_flight"],
             metrics=dfs["metrics"],
+            host_stats=dfs["host_stats"],
             extras=manifest.get("extras", {}),
         )
 

@@ -163,14 +163,27 @@ class SeenFilter:
     # bitmap slice per partition (the 10^10-key layout)
     BROADCAST_BLOOM_MAX_BYTES = 64 << 20
 
-    def filter_new(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+    def filter_new(
+        self,
+        candidates: DataFrame,
+        hash_col: str = "url_hash",
+        prefer_bloom: bool | None = None,
+    ) -> DataFrame:
         """Return candidates whose url_hash is not in the seen set.
 
         Candidates may contain intra-batch duplicates; the caller dedups
         those (they need priority-aware resolution, not hash dropping).
+
+        ``prefer_bloom=False`` forces the exact anti-join for this call
+        even when bitmaps exist — the engine's auto mode measures that
+        the bloom prefilter only wins when |seen| >> |candidates|
+        (BASELINE.md crossover) and picks per round.
         """
         cand = self._with_shard(candidates, hash_col)
-        if not self.use_bloom or self.blooms is None:
+        use_bloom = self.use_bloom if prefer_bloom is None else (
+            self.use_bloom and prefer_bloom
+        )
+        if not use_bloom or self.blooms is None:
             return cand.join(self.seen, ["shard", "url_hash"], "left_anti").drop("shard")
 
         total_bytes = self.cfg.shards * (self.cfg.bits_per_shard // 8)

@@ -3,10 +3,9 @@
 The sandbox has no PIL/opencv, so the image payload pipeline uses this
 codec: encode is deterministic (zlib level 6, filter 0), decode is exact
 (PNG is lossless → the decoded-pixel allclose invariant is exact; PSNR is
-infinite). JPEG is NOT implemented — rows with fmt='jpeg' carry a
-deterministic fake payload and decode raises NotImplementedError behind a
-clearly-marked gate (see operators/images.py); the Spark-side plumbing
-(schema, batching, UDF signatures) is identical for both formats.
+infinite). The lossy counterpart is the baseline JPEG codec in
+functions/jpeg.py; the Spark-side plumbing (schema, batching, UDF
+signatures) is identical for both formats.
 
 Only 8-bit RGB (colour type 2), filter 0 — all this engine emits.
 """

@@ -24,10 +24,16 @@ Faithful pieces:
   menu→list downgrade and link-type precedence
   (``finalUpdate:425-433``, ``Page.buildLinks:253-261``).
 
-Divergence (documented): menu item xpaths are always positional
-``(xpath)[i]`` (the form the reference's own target files use, e.g.
-``targets/localhost_target.csv``); the reference uses href-predicated
-xpaths for fixed menus and positional only for mutable ones.
+Menu item xpaths follow the reference's Menu/MenuItem semantics
+(``model/Menu.java:51-59``, ``model/MenuItem.java:80-117``): a menu is
+*mutable* iff any item was reached from >=2 source pages whose href
+lists are disjoint (the menu shows different links on different pages,
+so hrefs can't address items) — mutable menus emit positional
+``(xpath)[i]`` items; *fixed* menus (same links everywhere) emit
+href-predicated ``xpath[@href="..."]`` items, byte-compatible with the
+reference's saved models (``StaticModelerTest.java:113-118``).
+Hand-written positional targets (``targets/localhost_target.csv``)
+remain first-class through the loader (``sources/targets.py``).
 """
 
 from __future__ import annotations
@@ -57,7 +63,10 @@ class MPage:
     label_values: dict[str, str]
     html: str = ""
     classified: bool = False
-    page_links: list = field(default_factory=list)  # (xpath, type, text, [urls])
+    # (xpath, type, dst_pages, dst_hrefs) — hrefs captured at record time
+    # like MenuPageLink's constructor (MenuPageLink.java:11-15)
+    page_links: list = field(default_factory=list)
+    href: str | None = None  # last href used to reach this page (Page.setHref)
 
     @property
     def urls_size(self) -> int:
@@ -248,6 +257,7 @@ class DynamicModeler:
             url = url.rstrip("/") if url.rstrip("/") != self.site else url
             known = self.visited.get(self.redirects.get(url, url))
             if known is not None:
+                known.href = href  # Page.setHref on every visit
                 new_pages.append(known)
                 continue
             if self.fetched >= self.model_pages:
@@ -263,6 +273,7 @@ class DynamicModeler:
                 page = self._make_page(final, title, html)
                 self.visited[final] = page
             self.redirects[url] = final
+            page.href = href
             new_pages.append(page)
         return new_pages
 
@@ -380,9 +391,15 @@ class DynamicModeler:
                 st.members = [st.cid]
                 new_model.append((st, pages))
             self.model = new_model
-        # page links from parent to the sampled pages
+        # page links from parent to the sampled pages; hrefs captured NOW
+        # (MenuPageLink's constructor snapshot of p.getHref())
         collection.page.page_links.append(
-            (collection.xpath.get(), collection.ltype or "singleton", new_pages)
+            (
+                collection.xpath.get(),
+                collection.ltype or "singleton",
+                new_pages,
+                [p.href for p in new_pages],
+            )
         )
         for p in new_pages:
             if not p.classified:
@@ -493,7 +510,10 @@ def _global_idf(pages) -> dict[str, float]:
 def _to_graph(clusters, visited, redirects, site) -> NavigationModel:
     """C9-C11: replay page links into typed class links with the
     reference precedence (list > menu > singleton on conflicts,
-    Page.buildLinks menu→list downgrade) and positional menu items."""
+    Page.buildLinks menu→list downgrade) and Menu/MenuItem typing:
+    fixed menus emit href-predicated items, mutable menus positional
+    index blocks (Menu.setType + MenuItem.useIndexes/getXpath,
+    Menu.java:51-59, MenuItem.java:80-117)."""
     page2cid = {}
     names = {}
     for i, (st, pages) in enumerate(clusters):
@@ -506,36 +526,77 @@ def _to_graph(clusters, visited, redirects, site) -> NavigationModel:
     # (ListPageLink/MenuPageLink/SinglePageLink override rules)
     _PREC = {"list": 2, "menu": 1, "singleton": 0}
     type_by_key: dict[tuple, str] = {}
-    raw: list[tuple] = []  # (src, base_xpath, ltype, dst_cids)
+    raw: list[tuple] = []  # (src, base_xpath, ltype, dst_cids, src_url, hrefs)
     for i, (st, pages) in enumerate(clusters):
         for p in pages:
-            for xpath, ltype, dsts in p.page_links:
-                dst_cids = [
-                    page2cid[d.url] for d in dsts if d.url in page2cid
+            for xpath, ltype, dsts, hrefs in p.page_links:
+                pairs = [
+                    (page2cid[d.url], h)
+                    for d, h in zip(dsts, hrefs)
+                    if d.url in page2cid
                 ]
-                if not dst_cids:
+                if not pairs:
                     continue
+                dst_cids = [dc for dc, _ in pairs]
                 if ltype == "menu" and len(set(dst_cids)) == 1:
                     ltype = "list"  # Page.buildLinks:253-261 downgrade
                 key = (i, xpath)
                 if key not in type_by_key or _PREC[ltype] > _PREC[type_by_key[key]]:
                     type_by_key[key] = ltype
-                raw.append((i, xpath, ltype, dst_cids))
+                raw.append((i, xpath, ltype, pairs, p.url))
 
     edges: dict[tuple, dict] = {}
-    for i, xpath, ltype, dst_cids in raw:
+    # menus accumulate Menu/MenuItem state: item (= destination class)
+    # -> {source page url -> [hrefs]}, insertion-ordered like Menu.items
+    menus: dict[tuple, dict] = {}
+    for i, xpath, ltype, pairs, src_url in raw:
         winner = type_by_key[(i, xpath)]
         if ltype != winner:
             continue
         if winner == "menu":
-            for pos, dc in enumerate(dst_cids):
-                edges.setdefault(
-                    (i, f"({xpath})[{pos + 1}]", dc),
-                    {"t": "menu", "mt": "fixed"},
+            items = menus.setdefault((i, xpath), {})
+            for dc, href in pairs:
+                items.setdefault(dc, {}).setdefault(src_url, []).append(
+                    href if href is not None else ""
                 )
         else:
-            for dc in set(dst_cids):
+            for dc in {dc for dc, _ in pairs}:
                 edges.setdefault((i, xpath, dc), {"t": winner, "mt": None})
+
+    for (i, xpath), items in menus.items():
+        # MenuItem.isMutable: >=2 source pages whose href lists are
+        # disjoint (checked on the first two, source-url order pinned
+        # for determinism); Menu.setType: any mutable item => mutable
+        def _item_mutable(pages: dict) -> bool:
+            if len(pages) <= 1:
+                return False
+            first, second = sorted(pages)[:2]
+            return not (set(pages[first]) & set(pages[second]))
+
+        if any(_item_mutable(pg) for pg in items.values()):
+            # MenuItem.useIndexes: consecutive positional blocks across
+            # items in insertion order, sized by the first page's list
+            idx = 1
+            for dc, pages in items.items():
+                for _ in pages[sorted(pages)[0]]:
+                    edges.setdefault(
+                        (i, f"({xpath})[{idx}]", dc),
+                        {"t": "menu", "mt": "mutable"},
+                    )
+                    idx += 1
+        else:
+            # fixed: one href-predicated item per distinct href
+            for dc, pages in items.items():
+                seen_h: set = set()
+                for src in sorted(pages):
+                    for h in pages[src]:
+                        if h in seen_h:
+                            continue
+                        seen_h.add(h)
+                        edges.setdefault(
+                            (i, f'{xpath}[@href="{h}"]', dc),
+                            {"t": "menu", "mt": "fixed"},
+                        )
 
     root_cid = page2cid.get(redirects.get(site, site)) or page2cid.get(
         site

@@ -59,15 +59,18 @@ def class_links_from_pages(assigned: DataFrame) -> DataFrame:
     """Aggregate page links into typed class links (C9 + C11).
 
     Typing per (src_cluster, xpath):
-    - the xpath fans out to MULTIPLE destination clusters → a **menu**:
-      one indexed edge ``(xpath)[i]`` per position, destination = the
-      majority cluster at that position (cf. ``Menu``/``MenuItem``
-      positional indexing, ``MenuItem.java:99-117``); mutable if a
-      position's destination URL varies across source pages
-      (``MenuItem.isMutable():80-84``);
+    - the xpath fans out to MULTIPLE destination clusters → a **menu**,
+      typed by the reference's Menu/MenuItem semantics (``Menu.java:
+      51-59``, ``MenuItem.java:80-117``): an item (destination cluster)
+      is *mutable* iff two source pages' href lists for it are disjoint;
+      any mutable item makes the whole menu mutable → positional
+      ``(xpath)[i]`` edges; otherwise fixed → one href-predicated
+      ``xpath[@href=...]`` edge per distinct href;
     - single destination cluster, >1 href per page → **list**;
     - otherwise → **singleton** (e.g. NEXT self-links).
     """
+    from pyspark.sql import Window
+
     pl = page_links(assigned)
     per_xpath = pl.groupBy("src_cluster", "xpath").agg(
         F.countDistinct("dst_cluster").alias("n_dst_clusters"),
@@ -76,12 +79,42 @@ def class_links_from_pages(assigned: DataFrame) -> DataFrame:
     )
     pl2 = pl.join(per_xpath, ["src_cluster", "xpath"])
 
-    menus = (
-        pl2.filter(F.col("n_dst_clusters") > 1)
+    menu_pl = pl2.filter(F.col("n_dst_clusters") > 1)
+    # MenuItem.isMutable distributed: per item (= dst cluster), compare
+    # the two lexicographically-first source pages' href sets
+    item_pages = menu_pl.groupBy(
+        "src_cluster", "xpath", "dst_cluster", "src_url"
+    ).agg(F.collect_set("dst_url").alias("hrefs"))
+    w2 = Window.partitionBy("src_cluster", "xpath", "dst_cluster").orderBy(
+        "src_url"
+    )
+    first2 = item_pages.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= 2
+    )
+    menu_mut = (
+        first2.groupBy("src_cluster", "xpath", "dst_cluster")
+        .agg(
+            F.min_by("hrefs", "_rn").alias("h1"),
+            F.max_by("hrefs", "_rn").alias("h2"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .select(
+            "src_cluster",
+            "xpath",
+            (
+                (F.col("np") >= 2)
+                & (F.size(F.array_intersect("h1", "h2")) == 0)
+            ).alias("im"),
+        )
+        .groupBy("src_cluster", "xpath")
+        .agg(F.max("im").alias("is_mutable"))
+    )
+    pl3 = menu_pl.join(menu_mut, ["src_cluster", "xpath"])
+    menus_mutable = (
+        pl3.filter(F.col("is_mutable"))
         .groupBy("src_cluster", "xpath", "pos")
         .agg(
             F.mode("dst_cluster").alias("dst_cluster"),
-            F.countDistinct("dst_url").alias("n_dst_urls"),
             F.count(F.lit(1)).alias("n_edges"),
         )
         .select(
@@ -92,12 +125,26 @@ def class_links_from_pages(assigned: DataFrame) -> DataFrame:
             ).alias("xpath"),
             "dst_cluster",
             F.lit("menu").alias("link_type"),
-            F.when(F.col("n_dst_urls") > 1, F.lit("mutable"))
-            .otherwise(F.lit("fixed"))
-            .alias("menu_type"),
+            F.lit("mutable").alias("menu_type"),
             "n_edges",
         )
     )
+    menus_fixed = (
+        pl3.filter(~F.col("is_mutable"))
+        .groupBy("src_cluster", "xpath", "dst_cluster", "dst_url")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(
+            "src_cluster",
+            F.concat(
+                "xpath", F.lit('[@href="'), "dst_url", F.lit('"]')
+            ).alias("xpath"),
+            "dst_cluster",
+            F.lit("menu").alias("link_type"),
+            F.lit("fixed").alias("menu_type"),
+            "n_edges",
+        )
+    )
+    menus = menus_mutable.unionByName(menus_fixed)
     flat = (
         pl2.filter(F.col("n_dst_clusters") <= 1)
         .groupBy("src_cluster", "xpath", "dst_cluster")

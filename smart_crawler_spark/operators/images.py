@@ -3,10 +3,13 @@
 The corpus is the input_hint table: (image_id, bytes, w, h, fmt,
 caption, phash). Decoded pixels NEVER become a Spark type — they live as
 numpy arrays inside Arrow-batched ``mapInPandas`` UDFs; only derived
-features/bytes come back out. All shapes below are real and tested; the
-JPEG decode itself is STUBBED (no codec in this sandbox): rows with
-fmt='jpeg' raise NotImplementedError under ``on_unsupported='error'``
-or are passed through/skipped under 'null'/'skip'.
+features/bytes come back out. PNG decodes through the pure-numpy codec
+in functions/png.py (lossless → exact invariant); JPEG through the
+baseline codec in functions/jpeg.py (lossy → PSNR>=40dB invariant;
+quality 98 keeps the 8x8 average-phash bit-identical on this corpus).
+Unknown formats raise NotImplementedError under
+``on_unsupported='error'`` or are passed through/skipped under
+'null'/'skip'.
 
 Operators: decode+verify (the per-row allclose/PSNR>=40dB invariant),
 resize (nearest-neighbor, re-encoded PNG), channel/luma features, and
@@ -38,9 +41,10 @@ _DECODE_SCHEMA = (
 def _decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
-    # STUB: no JPEG codec in this sandbox. The Spark-side plumbing
-    # (schema, batching, partitioning) is identical; a real deployment
-    # plugs a codec in here.
+    if fmt == "jpeg":
+        from smart_crawler_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(f"no decoder for fmt={fmt!r} in this sandbox")
 
 

@@ -83,6 +83,30 @@ class NavigationModel:
         )
 
 
+def _menu_nav_xpath(href_col: str, menu_xpath: str) -> tuple[str, str | None]:
+    """Reconstruct a menu row's navigation xpath the way the reference
+    loads it (``PageClass.loadMenuLink:302-314`` + ``MenuItem.getXpath:
+    108-117``): column 2 holds the item's href (fixed menus) or its
+    positional ``(xp)[i]`` form (mutable menus, menu-xpath column
+    empty). Digits → positional ``(key)[i]``; anything else with a menu
+    xpath → href predicate ``key[@href="href"]`` — byte-equal to the
+    reference's saved models (``StaticModelerTest.java:113-118``).
+    A plain xpath with no menu column passes through unchanged (this
+    repo's own earlier dialect)."""
+    import re
+
+    key, anchor = menu_xpath, href_col
+    if not menu_xpath and href_col.startswith("("):
+        j = href_col.rfind(")")
+        key = href_col[1:j]
+        anchor = re.sub(r"\[([0-9]+)\]", r"\1", href_col[j + 1 :])
+    if anchor.isdigit():
+        return f"({key})[{anchor}]", anchor
+    if key:
+        return f'{key}[@href="{anchor}"]', anchor
+    return href_col, None
+
+
 def parse_target_rows(rows: list[list[str]]) -> NavigationModel:
     model: NavigationModel | None = None
     for r in rows:
@@ -98,6 +122,9 @@ def parse_target_rows(rows: list[list[str]]) -> NavigationModel:
                 ltype = ""
             else:
                 ltype = "singleton"
+            menu_href = r[5] or None
+            if ltype == "menu":
+                xpath, menu_href = _menu_nav_xpath(xpath, r[5])
             model.class_links.append(
                 {
                     "src_class": src,
@@ -105,7 +132,7 @@ def parse_target_rows(rows: list[list[str]]) -> NavigationModel:
                     "dst_class": dst,
                     "link_type": ltype,
                     "anchor_text": subtype if ltype == "singleton" else None,
-                    "menu_href": r[5] or None,
+                    "menu_href": menu_href,
                     "menu_type": r[6] or None,
                 }
             )

@@ -132,6 +132,26 @@ def test_batch_mode_same_seen_and_records(spark, site, tmp_path):
     assert res.rounds < 14  # politeness budget shrinks rounds
 
 
+def test_auto_bloom_path_selection(spark, site, tmp_path):
+    """use_bloom='auto': each round picks bloom vs exact from the
+    |seen|/|candidates| ratio; results must equal the exact path and
+    the chosen path is reported in metrics (dedup_path)."""
+    model, pages, seeds, oracle = site
+    exact = _engine_results(
+        spark, site, tmp_path / "auto_exact",
+        EngineConfig(budget_per_host=3),
+    )
+    auto = _engine_results(
+        spark, site, tmp_path / "auto_bloom",
+        EngineConfig(budget_per_host=3, use_bloom="auto"),
+    )
+    assert {r["url_hash"] for r in auto.seen.collect()} == {
+        r["url_hash"] for r in exact.seen.collect()
+    }
+    paths = {m.get("dedup_path") for m in auto.metrics}
+    assert paths <= {"bloom", "exact"} and paths  # reported every round
+
+
 def test_page_budget(spark, site, tmp_path):
     model, pages, seeds, oracle = site
     res = _engine_results(

@@ -32,11 +32,66 @@ def test_root_and_depths(nav):
     assert max(model.depths.values()) == 2
 
 
-def test_home_menu_indexed(nav):
+def test_home_menu_href_predicated(nav):
+    """The home menu shows the same links on its one source page ⇒
+    FIXED ⇒ href-predicated items (MenuItem.getXpath hrefXPath form,
+    the shape StaticModelerTest.java:113-118 pins for saved models)."""
     _dm, model = nav
     home_edges = [e for e in model.class_links if e["src_class"] == model.root]
-    menu_xps = {e["xpath"] for e in home_edges if e["link_type"] == "menu"}
-    assert f"({MENU_XP})[1]" in menu_xps  # DynamicModelerTest toDirectory
+    menu_edges = [e for e in home_edges if e["link_type"] == "menu"]
+    menu_xps = {e["xpath"] for e in menu_edges}
+    base = f"http://{CFG.host(0)}"
+    assert f'{MENU_XP}[@href="{base}/dir0"]' in menu_xps
+    assert all(e["menu_type"] == "fixed" for e in menu_edges)
+
+
+def test_mutable_menu_positional_blocks():
+    """A menu whose items carry disjoint hrefs on two source pages is
+    MUTABLE ⇒ positional index blocks across items (Menu.setType +
+    MenuItem.useIndexes, Menu.java:51-59 / MenuItem.java:99-105)."""
+    from smart_crawler_spark.modeler.dynamic import MPage, _to_graph
+
+    def mk(url, title):
+        return MPage(url=url, title=title, link_schema=[], out_links={},
+                     label_values={})
+
+    a, b = mk("http://s/a", "A"), mk("http://s/a2", "A")
+    d1, d2 = mk("http://s/d1", "D"), mk("http://s/d2", "D")
+    # same menu xpath on both pages; hrefs disjoint across pages
+    a.page_links.append(("//u/li/a", "menu", [d1, d2], ["/p1", "/q1"]))
+    b.page_links.append(("//u/li/a", "menu", [d1, d2], ["/p2", "/q2"]))
+    clusters = [
+        (a.to_stats("A"), [a, b]),
+        (d1.to_stats("D1"), [d1]),
+        (d2.to_stats("D2"), [d2]),
+    ]
+    model = _to_graph(clusters, {}, {}, "http://s/a")
+    menu_edges = [e for e in model.class_links if e["link_type"] == "menu"]
+    assert {e["xpath"] for e in menu_edges} == {"(//u/li/a)[1]", "(//u/li/a)[2]"}
+    assert all(e["menu_type"] == "mutable" for e in menu_edges)
+
+
+def test_fixed_menu_href_items_multi_page():
+    """Same menu with identical hrefs on both pages stays FIXED ⇒ one
+    href-predicated item per distinct href."""
+    from smart_crawler_spark.modeler.dynamic import MPage, _to_graph
+
+    def mk(url, title):
+        return MPage(url=url, title=title, link_schema=[], out_links={},
+                     label_values={})
+
+    a, b = mk("http://s/a", "A"), mk("http://s/a2", "A")
+    d1, d2 = mk("http://s/d1", "D"), mk("http://s/d2", "D")
+    a.page_links.append(("//u/li/a", "menu", [d1, d2], ["/p1", "/q1"]))
+    b.page_links.append(("//u/li/a", "menu", [d1, d2], ["/p1", "/q1"]))
+    clusters = [
+        (a.to_stats("A"), [a, b]),
+        (d1.to_stats("D1"), [d1]),
+        (d2.to_stats("D2"), [d2]),
+    ]
+    model = _to_graph(clusters, {}, {}, "http://s/a")
+    menu_xps = {e["xpath"] for e in model.class_links if e["link_type"] == "menu"}
+    assert menu_xps == {'//u/li/a[@href="/p1"]', '//u/li/a[@href="/q1"]'}
 
 
 def test_dir_list_and_next(nav):

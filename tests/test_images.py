@@ -20,33 +20,38 @@ def images(spark):
     return generate_images(spark, 40, jpeg_every=10).localCheckpoint()
 
 
-def test_decode_invariant_all_png_rows(spark, images):
+def test_decode_invariant_all_rows(spark, images):
     inv = verify_decode_invariant(images)
-    png = inv.filter("fmt = 'png'")
-    assert png.count() == 36
-    assert png.filter(~F.col("invariant_ok")).count() == 0
-    # jpeg rows are gated, not silently wrong
-    assert inv.filter("fmt = 'jpeg' and ok").count() == 0
+    png, jpg = inv.filter("fmt = 'png'"), inv.filter("fmt = 'jpeg'")
+    assert png.count() == 36 and jpg.count() == 4
+    assert inv.filter(~F.col("invariant_ok")).count() == 0
+    # jpeg at quality 98 keeps dims AND the exact phash (measured
+    # roundtrip hamming 0 on this corpus)
+    assert jpg.filter("ok and invariant_ok").count() == 4
 
 
 def test_decode_matches_reference_pixels(spark, images):
     rep = verify_against_reference(images)
-    png_ok = rep.filter("allclose").count()
-    assert png_ok == 36  # lossless: exact equality (PSNR = inf >= 40dB)
-    assert rep.filter("allclose is null").count() == 4  # stubs
+    # png lossless: exact equality; jpeg lossy: PSNR >= 40 dB
+    assert rep.filter("allclose").count() == 36
+    assert rep.filter("psnr_ok").count() == 40
+    assert rep.filter("psnr_ok is null").count() == 0
 
 
 def test_unsupported_gate_raises(spark, images):
+    weird = images.withColumn(
+        "fmt", F.when(F.col("fmt") == "jpeg", F.lit("tiff")).otherwise(F.col("fmt"))
+    )
     with pytest.raises(Exception, match="no decoder"):
-        decode_features(images, on_unsupported="error").collect()
-    n = decode_features(images, on_unsupported="skip").count()
+        decode_features(weird, on_unsupported="error").collect()
+    n = decode_features(weird, on_unsupported="skip").count()
     assert n == 36
 
 
 def test_resize_shapes(spark, images):
     out = resize_images(images, 16, 12)
     rows = out.collect()
-    assert len(rows) == 36
+    assert len(rows) == 40  # jpeg rows decode and resize too
     from smart_crawler_spark.functions.png import decode_png
 
     px = decode_png(bytes(rows[0]["bytes"]))

@@ -125,6 +125,66 @@ def test_pick_batch_window_group_limit(spark):
     assert "Partial" in plan and "Final" in plan
 
 
+def test_pick_batch_global_limit_take_ordered(spark):
+    """The page-budget cap (F5) must plan as TakeOrderedAndProject
+    (bounded per-task heap + driver merge), never a single-partition
+    row_number window funnelling the whole batch through one task."""
+    from smart_crawler_spark.frontier.queue import pick_batch
+
+    front = spark.range(1000).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 7)).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    import re
+
+    capped = pick_batch(front, budget_per_host=10, global_limit=17)
+    plan = _formatted(capped)
+    assert "TakeOrderedAndProject" in plan
+    # exactly one Window node (the per-host rank), none unpartitioned
+    win_nodes = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(win_nodes) == 1, plan
+    rows = capped.collect()
+    assert len(rows) == 17
+    # the cap keeps the best rows under the frontier total order
+    want = sorted(
+        pick_batch(front, budget_per_host=10).collect(),
+        key=lambda r: (r["class_depth"], r["class_name"], r["url"]),
+    )[:17]
+    assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in want)
+
+
+def test_engine_robots_budget_keeps_group_limit(spark):
+    """With robots Crawl-delay budgets, the per-host budget join must sit
+    AFTER the rank<=k filter so the map-side WindowGroupLimit survives
+    (hot-host rounds must not regress to full-shuffle ranking)."""
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.frontier.robots import RobotsPolicy
+
+    front = spark.range(1000).select(
+        F.concat(F.lit("http://s0/"), F.col("id")).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 7)).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    robots = RobotsPolicy({"s0": "User-agent: *\nCrawl-delay: 2"})
+    eng = CrawlEngine.__new__(CrawlEngine)
+    eng.spark = spark
+    eng.cfg = EngineConfig(budget_per_host=10)
+    eng._host_delay_budgets = {"s0": 5}
+    from smart_crawler_spark.frontier.checkpoint import HOST_STATS_SCHEMA
+
+    stats = spark.createDataFrame([], HOST_STATS_SCHEMA)
+    plan = _formatted(eng._pick_batch(front, stats))
+    assert "WindowGroupLimit" in plan
+    assert robots.crawl_delays_ms() == {"s0": 2000}
+
+
 def test_pick_batch_salted_equals_plain(spark):
     """Both skew paths must produce the identical batch (exact top-K
     under the frontier total order)."""

@@ -45,6 +45,47 @@ def test_bad_input():
         encode_png(np.zeros((4, 4), dtype=np.uint8))
 
 
-def test_jpeg_rows_are_marked_fakes():
+def test_jpeg_rows_are_real_jpegs():
     row = image_row(9, jpeg_every=10)
-    assert row["fmt"] == "jpeg" and row["bytes"].startswith(b"FAKEJPEG")
+    assert row["fmt"] == "jpeg"
+    assert row["bytes"][:2] == b"\xff\xd8" and row["bytes"][-2:] == b"\xff\xd9"
+
+
+# ---------------------------------------------------------------- jpeg
+
+
+def test_jpeg_roundtrip_psnr_and_phash():
+    from smart_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from smart_crawler_spark.functions.png import perceptual_hash, psnr
+
+    for idx, (w, h) in [(9, (48, 40)), (3, (33, 27)), (7, (8, 8))]:
+        px = image_pixels(idx, w, h)
+        dec = decode_jpeg(encode_jpeg(px, quality=98))
+        assert dec.shape == px.shape
+        assert psnr(px, dec) >= 40.0
+    # phash stability under quality-98 recompression (the dedup invariant)
+    px = image_pixels(19, 64, 56)
+    dec = decode_jpeg(encode_jpeg(px, quality=98))
+    assert perceptual_hash(px) == perceptual_hash(dec)
+
+
+def test_jpeg_quality_dial_and_determinism():
+    from smart_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from smart_crawler_spark.functions.png import psnr
+
+    px = image_pixels(5, 48, 40)
+    lo, hi = encode_jpeg(px, quality=50), encode_jpeg(px, quality=95)
+    assert len(lo) < len(hi)  # coarser quantization compresses harder
+    assert psnr(px, decode_jpeg(lo)) < psnr(px, decode_jpeg(hi))
+    assert encode_jpeg(px, quality=95) == hi  # bitwise deterministic
+
+
+def test_jpeg_decoder_gates():
+    from smart_crawler_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2 must gate, not silently mis-decode
+    bad = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bad + b"\xff\xd9")

@@ -65,5 +65,7 @@ def test_snapshot_lineage_metrics(spark, site, tmp_path):
     snap = ckpt.latest()
     # per-partition lineage rows present with the snapshot's round stamp
     assert {"partition_id", "frontier_rows", "round"} <= set(snap.metrics.columns)
-    assert snap.extras["host_fetched"]
+    # per-host counters are a snapshot TABLE (never a driver dict)
+    stats = {r["host"]: (r["seq"], r["fetched"]) for r in snap.host_stats.collect()}
+    assert stats and all(s >= f > 0 for s, f in stats.values())
     assert snap.seen.filter(F.col("url_hash").isNull()).count() == 0

@@ -42,6 +42,31 @@ def test_generated_target_parses():
     assert detail_fields == ["title", "caption", "photo", "back"]
 
 
+def test_menu_rows_reference_dialect():
+    """Menu rows load per PageClass.loadMenuLink + MenuItem.getXpath:
+    fixed-menu rows (href + menu xpath + 'fixed') become href-predicated
+    navigation xpaths byte-equal to the reference's saved models
+    (StaticModelerTest.java:113-118); positional rows ((xp)[i], empty
+    menu columns — targets/localhost_target.csv) stay positional."""
+    menu_xp = '/html/body/div/div/div/ul[@id="menu"]/li/a'
+    tsv = "\n".join(
+        [
+            f"home\tlink\t/table.html\ttable\tmenu\t{menu_xp}\tfixed",
+            f"home\tlink\t/about.html\tabout\tmenu\t{menu_xp}\tfixed",
+            "home\tlink\t(//ul[@id='menu']/li/a)[1]\tdir1\tmenu",
+            "table\tstring\t//h1/text()",
+        ]
+    )
+    m = load_target_tsv(tsv)
+    xps = {e["xpath"]: e for e in m.class_links}
+    assert f'{menu_xp}[@href="/table.html"]' in xps
+    assert f'{menu_xp}[@href="/about.html"]' in xps
+    assert "(//ul[@id='menu']/li/a)[1]" in xps  # positional unchanged
+    fixed = xps[f'{menu_xp}[@href="/table.html"]']
+    assert fixed["menu_type"] == "fixed" and fixed["menu_href"] == "/table.html"
+    assert fixed["dst_class"] == "table" and m.depths["table"] == 1
+
+
 def test_spark_views(spark):
     m = load_target_tsv(TSV)
     cl = m.class_links_df(spark)

@@ -145,9 +145,11 @@ def test_html_to_model_pipeline(spark):
     by_type = {}
     for e in nav.class_links:
         by_type.setdefault(e["link_type"], []).append(e)
-    # home menu rebuilt as indexed fixed-menu edges
+    # home menu rebuilt as href-predicated fixed-menu edges (the menu
+    # shows the same links on every source page => FIXED, MenuItem
+    # hrefXPath form)
     menu_xps = {e["xpath"] for e in by_type.get("menu", [])}
-    assert f"({MENU_XP})[1]" in menu_xps
+    assert f'{MENU_XP}[@href="http://{CFG.host(0)}/dir0"]' in menu_xps
     assert all(e["menu_type"] == "fixed" for e in by_type.get("menu", []))
     # dir list + NEXT singleton recovered
     assert any(e["xpath"] == LIST_XP for e in by_type.get("list", []))
