@@ -235,13 +235,16 @@ class CrawlEngine:
             # the two sinks, the link-dedup pipeline, and the host-stats
             # roll-up are independent given the materialized batch — run
             # them as concurrent Spark jobs (round wall time = max, not
-            # sum; on a cluster these schedule onto free executor slots)
+            # sum; on a cluster these schedule onto free executor slots).
+            # NOTE: deferring the sinks across rounds was measured SLOWER
+            # (local FIFO scheduling queues the next round's critical
+            # jobs behind the sink writes) — keep them in-round.
             from concurrent.futures import ThreadPoolExecutor
 
-            def _write_order():
-                self._append_order(rnd, fetched, host_stats)
+            def _write_order(rnd=rnd, fetched=fetched, hs=host_stats):
+                self._append_order(rnd, fetched, hs)
 
-            def _write_records():
+            def _write_records(rnd=rnd, fetched_ok=fetched_ok):
                 extract_records(fetched_ok, self.data_links).withColumn(
                     "round", F.lit(rnd)
                 ).write.mode("append").parquet(self._records_dir)
@@ -250,8 +253,8 @@ class CrawlEngine:
                 links = extract_links(fetched_ok, self.class_links)
                 new = self._dedup_links(
                     robots_ok(links), seen_filter, prefer_bloom
-                )
-                return new.localCheckpoint(eager=True)
+                ).localCheckpoint(eager=True)
+                return new, new.count()
 
             def _roll_stats():
                 return self._update_host_stats(host_stats, fetched)
@@ -263,22 +266,32 @@ class CrawlEngine:
                 f_stats = pool.submit(_roll_stats)
                 f_order.result()
                 f_records.result()
-                new = f_new.result()
+                new, n_new = f_new.result()
                 host_stats, n_batch, n_ok = f_stats.result()
-            n_new = new.count()
 
-            frontier = frontier.unionByName(
-                new.select(*frontier.columns)
-            ).localCheckpoint(eager=True)
-            # redirect targets join the seen set (E8: the adopted final
-            # URL is treated as visited, CrawlPage.java:55,140-141)
-            redirect_hashes = fetched_ok.filter(
-                F.col("redirect_to").isNotNull()
-            ).select(url_seen_key(F.col("final_url")).alias("url_hash"))
-            seen_filter.add(
-                new.select("url_hash").unionByName(redirect_hashes)
-            )
-            seen_filter.materialize()
+            # the frontier union and the seen-set update both depend only
+            # on the checkpointed `new` — run them concurrently too
+            def _next_frontier():
+                return frontier.unionByName(
+                    new.select(*frontier.columns)
+                ).localCheckpoint(eager=True)
+
+            def _update_seen():
+                # redirect targets join the seen set (E8: the adopted
+                # final URL is treated as visited, CrawlPage.java:55,140-141)
+                redirect_hashes = fetched_ok.filter(
+                    F.col("redirect_to").isNotNull()
+                ).select(url_seen_key(F.col("final_url")).alias("url_hash"))
+                seen_filter.add(
+                    new.select("url_hash").unionByName(redirect_hashes)
+                )
+                seen_filter.materialize()
+
+            with ThreadPoolExecutor(2) as pool:
+                f_front = pool.submit(_next_frontier)
+                f_seen = pool.submit(_update_seen)
+                frontier = f_front.result()
+                f_seen.result()
 
             m = {
                 "round": rnd,
@@ -355,13 +368,11 @@ class CrawlEngine:
         join + eager checkpoint; the scalar totals ride along from the
         same pre-aggregated per-host counts (driver holds two ints, not
         a dict of hosts)."""
-        rc = (
-            fetched.groupBy("host")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.count_if(F.col("fetch_ok")).alias("_ok"),
-            )
-            .localCheckpoint(eager=True)
+        # no checkpoint on rc: both consumers recompute one cheap
+        # groupBy over the already-checkpointed `fetched`
+        rc = fetched.groupBy("host").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_if(F.col("fetch_ok")).alias("_ok"),
         )
         merged = (
             host_stats.join(rc, "host", "full_outer")
