@@ -769,6 +769,52 @@ def image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-payload pipeline: deterministic uncompressed .y4m clips
+    generated distributed, every-5th frame sampled + decoded in
+    Arrow-batched mapInPandas (operators/images.py:sample_frames,
+    functions/y4m.py), each sampled frame verified against the reference
+    pixel generator at PSNR>=40dB (YCbCr 4:4:4 quantization roundtrips
+    ~48 dB). The oracle predicts the sampled (video, frame) grid and the
+    invariant outcome from the generation rule."""
+    from smart_crawler_spark.datagen.images import (
+        generate_videos,
+        video_frame_pixels,
+    )
+    from smart_crawler_spark.functions.png import decode_png, psnr
+    from smart_crawler_spark.operators.images import sample_frames
+
+    vids = generate_videos(spark, 60, n_frames=12)
+    sampled = sample_frames(vids, every_n=5)
+
+    import pandas as pd
+
+    def verify(batches):
+        for pdf in batches:
+            rows = []
+            for vid, fno, data, w, h in zip(
+                pdf["video_id"], pdf["frame_no"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                ref = video_frame_pixels(int(vid[3:]), int(fno), int(w), int(h))
+                got = decode_png(bytes(data))
+                rows.append(
+                    {
+                        "video_id": vid,
+                        "frame_no": int(fno),
+                        "w": int(w),
+                        "h": int(h),
+                        "psnr_ok": bool(psnr(ref, got) >= 40.0),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_no", "w", "h", "psnr_ok"]
+            )
+
+    return sampled.mapInPandas(
+        verify, "video_id string, frame_no int, w int, h int, psnr_ok boolean"
+    ).orderBy("video_id", "frame_no")
+
+
 def supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-chain broadcast joins (supplier ⋈ nation ⋈ region) +
     per-region stats with an arg-max top supplier — touches every
@@ -995,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
+        "video_frame_sample": video_frame_sample,
         "supplier_region_stats": supplier_region_stats,
         "skew_salted_agg": skew_salted_agg,
         "q17_small_quantity": q17_small_quantity,
@@ -1469,6 +1516,14 @@ def oracle_sql() -> dict[str, str]:
                    true AS invariant_ok
             FROM range(500) t(i)
             ORDER BY image_id
+        """,
+        "video_frame_sample": """
+            SELECT 'vid' || v AS video_id, CAST(f AS INT) AS frame_no,
+                   CAST(32 + (v % 3) * 16 AS INT) AS w,
+                   CAST(24 + (v % 2) * 16 AS INT) AS h,
+                   true AS psnr_ok
+            FROM range(60) t(v), (VALUES (0), (5), (10)) s(f)
+            ORDER BY video_id, frame_no
         """,
         "supplier_region_stats": """
             WITH j AS (

@@ -84,3 +84,51 @@ def generate_images(
             yield pd.DataFrame([image_row(int(i), jpeg_every) for i in pdf["id"]])
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------- video
+
+VIDEOS_SCHEMA = (
+    "video_id string, bytes binary, fmt string, n_frames int, w int, h int"
+)
+
+
+def video_frame_pixels(vid: int, frame: int, w: int, h: int) -> np.ndarray:
+    """Deterministic frame pixels (same generator family as images)."""
+    return image_pixels(30_000_017 + vid * 1000 + frame, w, h)
+
+
+def video_row(vid: int, n_frames: int = 12) -> dict:
+    from smart_crawler_spark.functions.y4m import encode_y4m
+
+    w = 32 + (vid % 3) * 16
+    h = 24 + (vid % 2) * 16
+    frames = np.stack(
+        [video_frame_pixels(vid, f, w, h) for f in range(n_frames)]
+    )
+    return {
+        "video_id": f"vid{vid}",
+        "bytes": encode_y4m(frames),
+        "fmt": "y4m",
+        "n_frames": n_frames,
+        "w": w,
+        "h": h,
+    }
+
+
+def generate_videos(
+    spark: SparkSession,
+    n: int,
+    n_frames: int = 12,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic uncompressed .y4m clips, generated distributed."""
+    parts = partitions or min(max(1, n // 32), 64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([video_row(int(i), n_frames) for i in pdf["id"]])
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, VIDEOS_SCHEMA
+    )

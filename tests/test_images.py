@@ -85,9 +85,54 @@ def test_phash_near_dup_finds_duplicates(spark):
     assert ("a", "b") not in pairs and ("a_noisy", "b") not in pairs
 
 
-def test_video_stub():
+def test_y4m_roundtrip_and_sampling(spark):
+    import numpy as np
+
+    from smart_crawler_spark.datagen.images import (
+        generate_videos,
+        video_frame_pixels,
+    )
+    from smart_crawler_spark.functions.png import decode_png, psnr
+    from smart_crawler_spark.functions.y4m import decode_y4m, encode_y4m
+
+    # codec roundtrip: YCbCr 4:4:4 quantization only (>= 40 dB)
+    frames = np.stack([video_frame_pixels(1, f, 48, 40) for f in range(4)])
+    dec, meta = decode_y4m(encode_y4m(frames))
+    assert dec.shape == frames.shape and meta["n_frames"] == 4
+    assert min(psnr(frames[i], dec[i]) for i in range(4)) >= 40.0
+
+    # distributed sampling: every 5th of 12 frames -> 0, 5, 10
+    vids = generate_videos(spark, 6, n_frames=12)
+    out = sample_frames(vids, every_n=5).collect()
+    assert len(out) == 18
+    assert sorted({r["frame_no"] for r in out}) == [0, 5, 10]
+    r = next(x for x in out if x["video_id"] == "vid2" and x["frame_no"] == 5)
+    got = decode_png(bytes(r["bytes"]))
+    ref = video_frame_pixels(2, 5, r["w"], r["h"])
+    assert got.shape == ref.shape and psnr(ref, got) >= 40.0
+
+
+def test_y4m_decoder_gates():
+    from smart_crawler_spark.functions.y4m import decode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a y4m")
     with pytest.raises(NotImplementedError):
-        sample_frames(None)
+        decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n")
+
+
+def test_video_compressed_codec_gate(spark):
+    import pandas as pd
+
+    vids = spark.createDataFrame(
+        pd.DataFrame(
+            {"video_id": ["v0"], "bytes": [b"\x00\x01"], "fmt": ["h264"]}
+        )
+    )
+    with pytest.raises(Exception, match="no video decoder"):
+        sample_frames(vids, every_n=2).collect()
+
+
 
 
 def test_phash_lsh_recall_guarantee(spark):
