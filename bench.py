@@ -37,6 +37,11 @@ HEADLINE = [
     "simhash_near_dup",
     "embedding_topk",
     "lsh_embedding_topk",
+    "ivf_embedding_topk",
+    "embedding_near_dup",
+    "phash_near_dup",
+    "image_decode_verify",
+    "video_frame_sample",
 ]
 
 

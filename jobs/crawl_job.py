@@ -44,6 +44,12 @@ def main() -> None:
     p.add_argument("--workdir", required=True)
     p.add_argument("--master", default=None, help="only for local runs; "
                    "under spark-submit leave unset")
+    p.add_argument(
+        "--conf", default=None, metavar="MASTER_CONF",
+        help="HOCON run config (reference master.conf dialect, "
+        "sources/config.py); its first seed's wait/randompause/"
+        "maxfailures and the crawling.pages budget override the flags",
+    )
     args = p.parse_args()
 
     from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
@@ -62,14 +68,27 @@ def main() -> None:
         details_per_page=args.details,
     )
     pages = generate_site_pages(spark, site).localCheckpoint()
+    cfg = EngineConfig(
+        budget_per_host=args.budget,
+        salt_buckets=args.salt_buckets,
+        use_bloom=args.use_bloom,
+        checkpoint_every=args.checkpoint_every,
+    )
+    if args.conf:
+        from smart_crawler_spark.sources.config import load_settings_file
+
+        settings = load_settings_file(args.conf)
+        if settings.seeds:
+            seed_cfg = settings.seeds[0]
+            cfg = seed_cfg.engine_config(
+                settings,
+                budget_per_host=args.budget,
+                salt_buckets=args.salt_buckets,
+                use_bloom=args.use_bloom,
+                checkpoint_every=args.checkpoint_every,
+            )
     engine = CrawlEngine(
-        spark, pages, load_target_tsv(target_tsv(site)), args.workdir,
-        EngineConfig(
-            budget_per_host=args.budget,
-            salt_buckets=args.salt_buckets,
-            use_bloom=args.use_bloom,
-            checkpoint_every=args.checkpoint_every,
-        ),
+        spark, pages, load_target_tsv(target_tsv(site)), args.workdir, cfg
     )
     seeds = [f"http://{site.host(k)}/" for k in range(site.n_hosts)]
     t0 = time.monotonic()

@@ -100,6 +100,32 @@ class BloomConfig:
     shards: int = 64
     bits_per_shard: int = 1 << 20  # 128 KiB/shard; size for expected keys/shard
     num_hashes: int = 5
+    # prefilter layout: "bloom" (dense bitmap, OR-mergeable, grow-only)
+    # or "cuckoo" (fingerprint table, frontier/cuckoo.py — supports
+    # DELETE for recrawl-expiry semantics; merge = fingerprint re-place)
+    kind: str = "bloom"
+    cuckoo_buckets: int = 1 << 15  # 4 slots each → ~124k keys/shard @0.95
+
+    def blob_bytes(self) -> int:
+        if self.kind == "cuckoo":
+            return self.cuckoo_buckets * 4 * 2  # slots × uint16
+        return self.bits_per_shard // 8
+
+
+def _bloom_probe(blob: bytes, keys: np.ndarray, cfg: "BloomConfig") -> np.ndarray:
+    bitmap = np.frombuffer(blob, dtype=np.uint8)
+    pos = _splitmix_probes(keys, cfg.num_hashes, cfg.bits_per_shard)
+    return _test_bits(bitmap, pos)
+
+
+def _cuckoo_probe(blob: bytes, keys: np.ndarray, cfg: "BloomConfig") -> np.ndarray:
+    from smart_crawler_spark.frontier.cuckoo import CuckooFilter
+
+    return CuckooFilter.from_bytes(blob).contains(keys)
+
+
+def _probe_fn(cfg: "BloomConfig"):
+    return _cuckoo_probe if cfg.kind == "cuckoo" else _bloom_probe
 
 
 class SeenFilter:
@@ -126,13 +152,20 @@ class SeenFilter:
         cfg = self.cfg
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            bitmap = np.zeros(cfg.bits_per_shard // 8, dtype=np.uint8)
-            pos = _splitmix_probes(
-                pdf["url_hash"].to_numpy(), cfg.num_hashes, cfg.bits_per_shard
-            )
-            _set_bits(bitmap, pos.ravel())
+            keys = pdf["url_hash"].to_numpy()
+            if cfg.kind == "cuckoo":
+                from smart_crawler_spark.frontier.cuckoo import CuckooFilter
+
+                f = CuckooFilter(cfg.cuckoo_buckets)
+                f.add(keys.astype(np.uint64))
+                blob = f.to_bytes()
+            else:
+                bitmap = np.zeros(cfg.bits_per_shard // 8, dtype=np.uint8)
+                pos = _splitmix_probes(keys, cfg.num_hashes, cfg.bits_per_shard)
+                _set_bits(bitmap, pos.ravel())
+                blob = bitmap.tobytes()
             return pd.DataFrame(
-                {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [bitmap.tobytes()]}
+                {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [blob]}
             )
 
         return hashes.groupBy("shard").applyInPandas(build, BLOOM_SCHEMA)
@@ -140,16 +173,31 @@ class SeenFilter:
     def _merge_blooms(self, new_blooms: DataFrame) -> DataFrame:
         if self.blooms is None:
             return new_blooms
+        cfg = self.cfg
 
         def merge(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            maps = [
-                np.frombuffer(b, dtype=np.uint8)
-                for b in list(left["bitmap"]) + list(right["bitmap"])
-            ]
-            out = maps[0].copy()
-            for m in maps[1:]:
-                out |= m
-            return pd.DataFrame({"shard": [int(_key[0])], "bitmap": [out.tobytes()]})
+            blobs = list(left["bitmap"]) + list(right["bitmap"])
+            if cfg.kind == "cuckoo":
+                from smart_crawler_spark.frontier.cuckoo import CuckooFilter
+
+                base = CuckooFilter.from_bytes(blobs[0])
+                for b in blobs[1:]:
+                    other = CuckooFilter.from_bytes(b)
+                    bks, slots = np.nonzero(other.table)
+                    fps = other.table[bks, slots]
+                    # re-place entries at their stored bucket (valid:
+                    # bucket pairs are symmetric under _alt_bucket)
+                    left_mask = base._bulk_place(bks.astype(np.int64), fps)
+                    for j in np.nonzero(left_mask)[0]:
+                        base._insert_with_kicks(int(bks[j]), np.uint16(fps[j]))
+                out_blob = base.to_bytes()
+            else:
+                maps = [np.frombuffer(b, dtype=np.uint8) for b in blobs]
+                out = maps[0].copy()
+                for m in maps[1:]:
+                    out |= m
+                out_blob = out.tobytes()
+            return pd.DataFrame({"shard": [int(_key[0])], "bitmap": [out_blob]})
 
         return (
             self.blooms.groupBy("shard")
@@ -186,20 +234,21 @@ class SeenFilter:
         if not use_bloom or self.blooms is None:
             return cand.join(self.seen, ["shard", "url_hash"], "left_anti").drop("shard")
 
-        total_bytes = self.cfg.shards * (self.cfg.bits_per_shard // 8)
+        total_bytes = self.cfg.shards * self.cfg.blob_bytes()
         if total_bytes <= self.BROADCAST_BLOOM_MAX_BYTES:
             return self._filter_new_broadcast(cand)
 
         cfg = self.cfg
+        probe_fn = _probe_fn(cfg)
 
         def probe(_key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
             keys = cand_pdf["url_hash"].to_numpy()
             if bloom_pdf.empty:
                 maybe = np.zeros(len(keys), dtype=np.int32)
             else:
-                bitmap = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
-                pos = _splitmix_probes(keys, cfg.num_hashes, cfg.bits_per_shard)
-                maybe = _test_bits(bitmap, pos).astype(np.int32)
+                maybe = probe_fn(
+                    bloom_pdf["bitmap"].iloc[0], keys.astype(np.uint64), cfg
+                ).astype(np.int32)
             return pd.DataFrame(
                 {"shard": cand_pdf["shard"], "url_hash": keys, "maybe_seen": maybe}
             )
@@ -231,9 +280,7 @@ class SeenFilter:
             # one dense (shards, bytes) matrix: probe indexes rows by
             # shard; a Spark broadcast variable ships it once per
             # executor (a closure copy would ship per TASK)
-            dense = np.zeros(
-                (cfg.shards, cfg.bits_per_shard // 8), dtype=np.uint8
-            )
+            dense = np.zeros((cfg.shards, cfg.blob_bytes()), dtype=np.uint8)
             for r in self.blooms.collect():
                 dense[int(r["shard"])] = np.frombuffer(
                     r["bitmap"], dtype=np.uint8
@@ -241,20 +288,39 @@ class SeenFilter:
             self._dense_cache = self.spark.sparkContext.broadcast(dense)
         bc = self._dense_cache
 
-        @pandas_udf("boolean")
-        def maybe_seen(shard: pd.Series, keys: pd.Series) -> pd.Series:
-            dense = bc.value
-            sh = shard.to_numpy(dtype=np.int64)
-            ks = keys.to_numpy().astype(np.uint64)
-            pos = _splitmix_probes(ks, cfg.num_hashes, cfg.bits_per_shard)
-            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
-            masks = np.left_shift(
-                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
-            )
-            hit = np.ones(len(ks), dtype=bool)
-            for k in range(cfg.num_hashes):
-                hit &= (dense[sh, byte_idx[k]] & masks[k]) != 0
-            return pd.Series(hit)
+        if cfg.kind == "cuckoo":
+
+            @pandas_udf("boolean")
+            def maybe_seen(shard: pd.Series, keys: pd.Series) -> pd.Series:
+                from smart_crawler_spark.frontier.cuckoo import CuckooFilter
+
+                dense = bc.value
+                sh = shard.to_numpy(dtype=np.int64)
+                ks = keys.to_numpy().astype(np.uint64)
+                hit = np.zeros(len(ks), dtype=bool)
+                for s in np.unique(sh):  # <= cfg.shards groups per batch
+                    m = sh == s
+                    hit[m] = CuckooFilter.from_bytes(
+                        dense[s].tobytes()
+                    ).contains(ks[m])
+                return pd.Series(hit)
+
+        else:
+
+            @pandas_udf("boolean")
+            def maybe_seen(shard: pd.Series, keys: pd.Series) -> pd.Series:
+                dense = bc.value
+                sh = shard.to_numpy(dtype=np.int64)
+                ks = keys.to_numpy().astype(np.uint64)
+                pos = _splitmix_probes(ks, cfg.num_hashes, cfg.bits_per_shard)
+                byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+                masks = np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                )
+                hit = np.ones(len(ks), dtype=bool)
+                for k in range(cfg.num_hashes):
+                    hit &= (dense[sh, byte_idx[k]] & masks[k]) != 0
+                return pd.Series(hit)
 
         flagged = cand.withColumn(
             "_maybe", maybe_seen(F.col("shard"), F.col("url_hash"))

@@ -163,7 +163,7 @@ def verify_against_reference(
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize; returns new PNG bytes + dims. Skips
-    undecodable rows (stub gate)."""
+    rows whose format has no decoder."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

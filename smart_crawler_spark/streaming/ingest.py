@@ -73,6 +73,68 @@ def start_frontier_ingest(
     )
 
 
+def host_rate_state(candidates: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-host crawl-rate tracker that no built-in aggregation expresses —
+    cumulative URL count, first/last event time, and the running mean
+    inter-arrival gap, carried ACROSS micro-batches in typed state and
+    emitted in update mode per batch.
+
+    This is the streaming analog of the engine's host_stats table: at a
+    live deployment it drives adaptive politeness (hosts whose arrival
+    gap collapses get their F4 budget tightened). State per host is four
+    scalars — O(hosts) memory, partitioned by the shuffle on host.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "host string, n_urls long, first_ts timestamp, last_ts timestamp,"
+        " mean_gap_s double"
+    )
+    state_schema = "n long, first_ts double, last_ts double, gap_sum double"
+
+    def update(key, pdfs, state: GroupState):
+        (host,) = key
+        ts: list[float] = []
+        for pdf in pdfs:
+            ts.extend(
+                pd.to_datetime(pdf["event_ts"]).astype("int64") / 1e9
+            )
+        ts.sort()
+        if state.exists:
+            n, first_ts, last_ts, gap_sum = state.get
+        else:
+            n, first_ts, last_ts, gap_sum = 0, None, None, 0.0
+        for t in ts:
+            if last_ts is not None:
+                gap_sum += t - last_ts
+            if first_ts is None:
+                first_ts = t
+            last_ts = t
+            n += 1
+        state.update((n, first_ts, last_ts, gap_sum))
+        mean_gap = gap_sum / (n - 1) if n > 1 else None
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "n_urls": [n],
+                "first_ts": [pd.Timestamp(first_ts, unit="s")],
+                "last_ts": [pd.Timestamp(last_ts, unit="s")],
+                "mean_gap_s": [mean_gap],
+            }
+        )
+
+    enriched = candidates.withColumn("host", url_host(F.col("url")))
+    return enriched.groupBy("host").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def url_arrival_stats(candidates: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked event-time window aggregation of URL arrivals per
     host (late data beyond 2 windows dropped)."""

@@ -4,6 +4,7 @@ semantics; watermarked arrival stats run as a streaming aggregation."""
 import json
 
 from smart_crawler_spark.streaming.ingest import (
+    host_rate_state,
     read_candidate_stream,
     start_frontier_ingest,
     url_arrival_stats,
@@ -73,3 +74,49 @@ def test_arrival_stats_schema(spark, tmp_path):
     # the contract here (single batch -> windows still open -> 0 rows ok)
     df = spark.sql("select * from arrivals")
     assert set(df.columns) == {"start", "end", "host", "n_urls"}
+
+
+def test_host_rate_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: typed per-host state survives micro-batch
+    boundaries — the second batch's emission continues the first's
+    counters and the mean inter-arrival gap spans both."""
+    src = tmp_path / "in3"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+    out_rows = []
+
+    def run_wave():
+        stream = read_candidate_stream(spark, str(src))
+        q = (
+            host_rate_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        src,
+        [
+            _cand("http://h0.test/a", "2024-01-01T00:00:00"),
+            _cand("http://h0.test/b", "2024-01-01T00:00:10"),
+        ],
+        "b1",
+    )
+    run_wave()
+    _write_batch(
+        src,
+        [_cand("http://h0.test/c", "2024-01-01T00:00:40")],
+        "b2",
+    )
+    run_wave()
+
+    h0 = [r for r in out_rows if r["host"] == "h0.test"]
+    assert [r["n_urls"] for r in h0] == [2, 3]  # cumulative, not per-batch
+    # gaps: 10s (batch 1), then (10 + 30) / 2 spanning the boundary
+    assert h0[0]["mean_gap_s"] == 10.0
+    assert h0[1]["mean_gap_s"] == 20.0
