@@ -202,11 +202,19 @@ class CrawlEngine:
                 prefer_bloom = seen_est >= self.AUTO_BLOOM_RATIO * max(cand_est, 1)
             else:
                 prefer_bloom = None
-            batch = self._pick_batch(frontier, host_stats)
-            batch = batch.localCheckpoint(eager=True)
-            if batch.isEmpty():
+            # ONE eager checkpoint covers pick+fetch: the fetch join
+            # preserves every batch column, so the round's batch view is
+            # a free projection of the checkpointed fetch result instead
+            # of a second materialization
+            fetched = fetch_batch_resolved(
+                self._pick_batch(frontier, host_stats),
+                self.site_pages,
+                cfg.max_tries,
+            ).localCheckpoint(eager=True)
+            if fetched.isEmpty():
                 rnd -= 1
                 break
+            batch = fetched.select(*frontier.columns)
             t0 = time.monotonic()
 
             # null-safe key: the same URL may sit in the frontier twice
@@ -228,8 +236,6 @@ class CrawlEngine:
                     # links/records not yet produced
                     return self._result(rnd, frontier, seen_filter, metrics)
 
-            fetched = fetch_batch_resolved(batch, self.site_pages, cfg.max_tries)
-            fetched = fetched.localCheckpoint(eager=True)
             fetched_ok = fetched.filter("fetch_ok")
 
             # the two sinks, the link-dedup pipeline, and the host-stats

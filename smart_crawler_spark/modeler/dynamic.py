@@ -67,6 +67,10 @@ class MPage:
     # like MenuPageLink's constructor (MenuPageLink.java:11-15)
     page_links: list = field(default_factory=list)
     href: str | None = None  # last href used to reach this page (Page.setHref)
+    # resolved URL -> raw href attribute as written in the page HTML —
+    # lets menu items carry the literal href (the reference's
+    # Page.getHref feeds MenuItem's [@href="..."] predicates)
+    href_map: dict = field(default_factory=dict)
 
     @property
     def urls_size(self) -> int:
@@ -177,6 +181,7 @@ class DynamicModeler:
             out_links=s["out_links"],
             label_values=s["label_values"],
             html=html,
+            href_map=s["href_map"],
         )
 
     def _collections(self, page: MPage) -> list[LinkCollection]:
@@ -252,12 +257,16 @@ class DynamicModeler:
         self, collection: LinkCollection, queue: list
     ) -> list[MPage]:
         new_pages: list[MPage] = []
+        # the parent page knows the literal href attribute behind each
+        # resolved collection link (Page.getHref feeds menu predicates)
+        raw_of = collection.page.href_map
         for href in collection.links_to_fetch(self.site):
             url = urljoin(self.site + "/", href)
             url = url.rstrip("/") if url.rstrip("/") != self.site else url
+            raw = raw_of.get(href, href)
             known = self.visited.get(self.redirects.get(url, url))
             if known is not None:
-                known.href = href  # Page.setHref on every visit
+                known.href = raw  # Page.setHref on every visit
                 new_pages.append(known)
                 continue
             if self.fetched >= self.model_pages:
@@ -273,7 +282,7 @@ class DynamicModeler:
                 page = self._make_page(final, title, html)
                 self.visited[final] = page
             self.redirects[url] = final
-            page.href = href
+            page.href = raw
             new_pages.append(page)
         return new_pages
 
@@ -421,6 +430,8 @@ class DynamicModeler:
             for m in st.members:
                 pages.extend(pagemap.get(m, []))
             clusters.append((st, pages))
+        # exposed for golden evaluation (C12): final page→cluster map
+        self.final_clusters = clusters
         return _to_graph(clusters, self.visited, self.redirects, self.site)
 
 
@@ -446,7 +457,12 @@ def _xpath_from_default(page: MPage, default: str) -> XPath:
 
 def _eval_xpath_hrefs(page: MPage, xp: XPath) -> list[str]:
     """Evaluate a refined xpath version against the page's anchors by
-    structural match of the lattice state."""
+    structural match of the lattice state. Hrefs are resolved + filtered
+    EXACTLY like extract_schema's out_links — the refine loop compares
+    these lists against collection.links, and a representation mismatch
+    (raw vs resolved) would read as 'links changed' and accept a bogus
+    coarsening (caught on the reference fixture site, whose anchors are
+    relative while the synthetic corpus' are absolute)."""
     from smart_crawler_spark.modeler.schema import _chain, _TreeBuilder
 
     tb = _TreeBuilder()
@@ -456,9 +472,9 @@ def _eval_xpath_hrefs(page: MPage, xp: XPath) -> list[str]:
     for a in tb.anchors:
         cand = XPath(_chain(a))
         if _matches(cand, want):
-            href = dict(a.attrs).get("href")
-            if href:
-                out.append(href)
+            resolved = is_valid_link(dict(a.attrs).get("href"), page.url)
+            if resolved:
+                out.append(resolved)
     return out
 
 

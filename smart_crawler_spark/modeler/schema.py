@@ -114,11 +114,13 @@ def extract_schema(url: str, html: str) -> dict:
     tb = _TreeBuilder()
     tb.feed(html)
     out_links: dict[str, list[str]] = {}
+    href_map: dict[str, str] = {}  # resolved URL -> raw href attribute
     for a in tb.anchors:
         href = dict(a.attrs).get("href")
         absu = is_valid_link(href, url)
         if absu is None:
             continue
+        href_map.setdefault(absu, href)
         xp = XPath(_chain(a)).default
         out_links.setdefault(xp, [])
         if absu not in out_links[xp]:
@@ -138,6 +140,7 @@ def extract_schema(url: str, html: str) -> dict:
         "link_schema": sorted(out_links),
         "out_links": out_links,
         "label_values": label_values,
+        "href_map": href_map,
     }
 
 
@@ -146,6 +149,8 @@ def extract_page_schemas(
 ) -> DataFrame:
     """Arrow-batched M1 over a DataFrame of raw HTML pages."""
 
+    cols = ["url", "link_schema", "out_links", "label_values"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -153,7 +158,7 @@ def extract_page_schemas(
                     extract_schema(u, h)
                     for u, h in zip(pdf[url_col], pdf[html_col])
                 ]
-            )
+            )[cols]
 
     return pages.select(url_col, html_col).mapInPandas(gen, SCHEMA)
 

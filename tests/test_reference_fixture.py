@@ -1,0 +1,114 @@
+"""Golden parity on the reference's OWN fixture site: run the dynamic
+modeler over /root/reference/testsite/minimal (the exact HTML the Java
+reference's DynamicModelerTest/StaticModelerTest exercise at
+localhost:8081) and check the inferred model against the expectations
+those tests and golden/localhost:8081.csv encode."""
+
+import re
+from pathlib import Path
+
+import pytest
+
+from smart_crawler_spark.modeler.dynamic import CorpusFetcher, DynamicModeler
+
+SITE_DIR = Path("/root/reference/testsite/minimal/site")
+GOLDEN = Path("/root/reference/src/main/resources/golden/localhost:8081.csv")
+BASE = "http://localhost:8081"
+
+
+def _rows():
+    rows = []
+    for f in sorted(SITE_DIR.glob("*.html")):
+        html = f.read_text()
+        title = re.search(r"<title>(.*?)</title>", html, re.S)
+        url = BASE if f.name == "index.html" else f"{BASE}/{f.name}"
+        rows.append(
+            {"url": url, "title": title.group(1).strip() if title else f.name,
+             "html": html}
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def inferred():
+    fetcher = CorpusFetcher(_rows(), html_of=lambda r: r["html"])
+    dm = DynamicModeler(fetcher, BASE, model_pages=10)  # DynamicModelerTest.java:43
+    model = dm.run()
+    return dm, model
+
+
+def test_home_menu_matches_reference_expectations(inferred):
+    """StaticModelerTest.java:113-118 pins href-predicated menu items
+    for the four home-menu destinations; DynamicModelerTest pins the
+    menu base xpath //ul[@id="menu"]/li/a."""
+    _dm, model = inferred
+    home_edges = [e for e in model.class_links if e["src_class"] == model.root]
+    menu_xps = {e["xpath"] for e in home_edges if e["link_type"] == "menu"}
+    base_xp = '//ul[@id="menu"]/li/a'
+    for href in ("/directory1.html", "/directory2.html", "/table.html",
+                 "/about.html"):
+        assert f'{base_xp}[@href="{href}"]' in menu_xps, menu_xps
+
+
+def test_directory_list_and_next_selflink(inferred):
+    """DynamicModelerTest.java:49-58: the directory class reaches the
+    detail class via a list xpath and ITSELF via //a[@id="page"]."""
+    _dm, model = inferred
+    next_edges = [e for e in model.class_links if e["xpath"] == '//a[@id="page"]']
+    assert next_edges and all(
+        e["src_class"] == e["dst_class"] for e in next_edges
+    )
+    dir_class = next_edges[0]["src_class"]
+    list_edges = [
+        e
+        for e in model.class_links
+        if e["src_class"] == dir_class and e["link_type"] == "list"
+    ]
+    assert list_edges  # directory -> detail list link
+    # detail pages carry the two BACK menu links (golden: detail -> dir1, dir2)
+    detail_cls = list_edges[0]["dst_class"]
+    back = [
+        e
+        for e in model.class_links
+        if e["src_class"] == detail_cls and e["link_type"] == "menu"
+    ]
+    assert len(back) >= 2
+
+
+def test_depths_match_reference(inferred):
+    """Home depth 0; directories depth 1; details depth 2
+    (DynamicModelerTest.java:53-56 / StaticModelerTest hierarchy)."""
+    _dm, model = inferred
+    assert model.depths[model.root] == 0
+    next_edges = [e for e in model.class_links if e["xpath"] == '//a[@id="page"]']
+    assert model.depths[next_edges[0]["src_class"]] == 1
+    assert max(model.depths.values()) == 2
+
+
+def test_golden_fmeasure(spark, inferred):
+    """C12 against the reference's own golden class definitions
+    (golden/localhost:8081.csv regex patterns)."""
+    import pandas as pd
+
+    from smart_crawler_spark.modeler.evaluate import evaluate_model
+
+    dm, _model = inferred
+    assigned = []
+    for cid, (_st, pages) in enumerate(dm.final_clusters):
+        for p in pages:
+            assigned.append({"url": p.url, "cluster_id": cid})
+    golden_rows = []
+    for line in GOLDEN.read_text().splitlines():
+        parts = line.split("\t")
+        if len(parts) == 2:  # class definitions; 3-col rows are links
+            golden_rows.append({"class": parts[0], "url_pattern": parts[1]})
+    assert len(golden_rows) == 6
+    rep = evaluate_model(
+        spark.createDataFrame(pd.DataFrame(assigned)),
+        spark.createDataFrame(pd.DataFrame(golden_rows)),
+    )
+    # the inferred clustering reproduces the golden classes EXACTLY
+    # (6 clusters incl. the dir1+dir1next merge the reference's own
+    # saved model shows): perfect scores, deterministic
+    assert rep.fmeasure == 1.0, (rep.fmeasure, rep.per_class)
+    assert rep.purity == 1.0 and rep.cohesion == 0.0
