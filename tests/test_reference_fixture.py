@@ -16,25 +16,33 @@ GOLDEN = Path("/root/reference/src/main/resources/golden/localhost:8081.csv")
 BASE = "http://localhost:8081"
 
 
-def _rows():
+def _rows(site_dir=SITE_DIR, base=BASE):
     rows = []
-    for f in sorted(SITE_DIR.glob("*.html")):
+    for f in sorted(Path(site_dir).rglob("*.html")):
         html = f.read_text()
         title = re.search(r"<title>(.*?)</title>", html, re.S)
-        url = BASE if f.name == "index.html" else f"{BASE}/{f.name}"
+        rel = str(f.relative_to(site_dir))
+        url = base if rel == "index.html" else f"{base}/{rel}"
         rows.append(
-            {"url": url, "title": title.group(1).strip() if title else f.name,
+            {"url": url, "title": title.group(1).strip() if title else rel,
              "html": html}
         )
     return rows
 
 
-@pytest.fixture(scope="module")
-def inferred():
-    fetcher = CorpusFetcher(_rows(), html_of=lambda r: r["html"])
-    dm = DynamicModeler(fetcher, BASE, model_pages=10)  # DynamicModelerTest.java:43
+def _infer(site_dir, base, model_pages):
+    fetcher = CorpusFetcher(
+        _rows(site_dir, base), html_of=lambda r: r["html"]
+    )
+    dm = DynamicModeler(fetcher, base, model_pages=model_pages)
     model = dm.run()
     return dm, model
+
+
+@pytest.fixture(scope="module")
+def inferred():
+    # DynamicModelerTest.java:43 config: modelPages=10
+    return _infer(SITE_DIR, BASE, 10)
 
 
 def test_home_menu_matches_reference_expectations(inferred):
@@ -112,3 +120,73 @@ def test_golden_fmeasure(spark, inferred):
     # saved model shows): perfect scores, deterministic
     assert rep.fmeasure == 1.0, (rep.fmeasure, rep.per_class)
     assert rep.purity == 1.0 and rep.cohesion == 0.0
+
+
+def test_mutable_menu_fixture_positional_items():
+    """testsite/mutable_menu: res1/res2 share one class whose div#menu
+    carries DISJOINT link sets per page — the canonical mutable menu.
+    Inference must type it mutable with positional (xp)[1..3] items
+    (Menu.setType + MenuItem.useIndexes on real reference HTML)."""
+    dm, model = _infer(
+        "/root/reference/testsite/mutable_menu/site",
+        "http://localhost:8083",
+        10,
+    )
+    menu_edges = [e for e in model.class_links if e["link_type"] == "menu"]
+    assert menu_edges and all(e["menu_type"] == "mutable" for e in menu_edges)
+    base_xp = '//div[@id="menu"]/ul/li/a'
+    assert {e["xpath"] for e in menu_edges} == {
+        f"({base_xp})[{i}]" for i in (1, 2, 3)
+    }
+    # res1+res2 clustered together; the home list link reaches them
+    res_cluster = {e["src_class"] for e in menu_edges}
+    assert len(res_cluster) == 1
+    home_lists = [
+        e
+        for e in model.class_links
+        if e["src_class"] == model.root and e["dst_class"] in res_cluster
+    ]
+    assert home_lists and home_lists[0]["xpath"] == '//ul[@id="list"]/li/a'
+
+
+def test_finer_xpaths_fixture_golden(spark):
+    """testsite/finer_xpaths (golden/localhost:8082.csv): two link
+    collections inside the same container differ only by anchor
+    attributes (pagenum vs property links) — the inferred model must
+    keep them apart (a[@class] vs a[@title and @class]) and reproduce
+    the golden classes exactly."""
+    import pandas as pd
+
+    from smart_crawler_spark.modeler.evaluate import evaluate_model
+
+    dm, model = _infer(
+        "/root/reference/testsite/finer_xpaths/site",
+        "http://localhost:8082",
+        21,  # the reference's commented-out testXPath_finer config
+    )
+    xps = {e["xpath"] for e in model.class_links}
+    assert '//div[@id="page"]/div[@class]/div[@class]/a[@class]' in xps
+    assert '//div[@id="page"]/div[@class]/div[@class]/a[@title and @class]' in xps
+    assigned = [
+        {"url": p.url, "cluster_id": cid}
+        for cid, (_st, pages) in enumerate(dm.final_clusters)
+        for p in pages
+    ]
+    golden_rows = [
+        {"class": a, "url_pattern": b}
+        for a, b in (
+            line.split("\t")
+            for line in Path(
+                "/root/reference/src/main/resources/golden/localhost:8082.csv"
+            )
+            .read_text()
+            .splitlines()
+            if len(line.split("\t")) == 2
+        )
+    ]
+    rep = evaluate_model(
+        spark.createDataFrame(pd.DataFrame(assigned)),
+        spark.createDataFrame(pd.DataFrame(golden_rows)),
+    )
+    assert rep.fmeasure == 1.0, (rep.fmeasure, rep.per_class)
+    assert rep.purity == 1.0
