@@ -112,8 +112,16 @@ class CrawlEngine:
     ):
         self.spark = spark
         # redirect adoption is corpus-static: resolve once, materialize,
-        # so each round's fetch is a single equi-join (E8)
-        self.site_pages = resolve_redirects(site_pages).localCheckpoint(eager=True)
+        # so each round's fetch is a single equi-join (E8). The corpus is
+        # pre-hash-partitioned on the join key: localCheckpoint preserves
+        # outputPartitioning (LogicalRDD), so every round's fetch join
+        # shuffles ONLY the batch side — the corpus never moves again
+        n_part = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        self.site_pages = (
+            resolve_redirects(site_pages)
+            .repartition(int(n_part), "url")
+            .localCheckpoint(eager=True)
+        )
         self.model = model
         self.workdir = workdir
         self.cfg = cfg or EngineConfig()
@@ -322,6 +330,16 @@ class CrawlEngine:
         cfg = self.cfg
         budget = cfg.effective_budget()
         df = frontier
+        if (
+            budget >= (1 << 30)
+            and not self._host_delay_budgets
+            and cfg.max_pages_per_host >= (1 << 30)
+        ):
+            # unbounded round: every frontier row is in the batch — skip
+            # the per-host ranking entirely (a full window sort per host
+            # that filters nothing; measured ~1.8 s/round at 17k-row
+            # rounds in local mode)
+            return df
         if cfg.salt_buckets > 1:
             df = df.withColumn(
                 "_salt",
