@@ -607,15 +607,21 @@ def bfs_depths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image phash near-dup (operators/images.py): block LSH with the
     pigeonhole recall guarantee (max_hamming+1 blocks) + exact hamming
-    verify, over deterministic synthetic phashes (pairs of docs share
-    one ⇒ planted hamming-0 dups); oracle = DuckDB brute force."""
+    verify. Planted phashes are md5-derived 64-bit values keyed by
+    floor(doc_id/2) — consecutive doc pairs share a phash (hamming 0)
+    while unrelated pairs sit ~32 bits apart (random separation), so
+    the candidate buckets carry only true near-dups; oracle = DuckDB
+    brute force over the identical md5 arithmetic. (An earlier linear
+    formula accidentally planted thousands of hamming<=6 cross pairs,
+    40x-ing the output and the bucket join.)"""
     from smart_crawler_spark.operators.images import phash_near_dup_pairs
 
+    m = F.md5(F.floor(F.col("doc_id") / 2).cast("string"))
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
     ph = _t(spark, sf_dir, "documents").select(
         F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("image_id"),
-        (F.floor(F.col("doc_id") / 2) * F.lit(70368744177707) + 12345)
-        .cast("long")
-        .alias("phash"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("phash"),
     )
     return phash_near_dup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")
 
@@ -1745,8 +1751,8 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": """
             WITH ph AS (
                 SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS image_id,
-                       CAST(doc_id // 2 AS BIGINT) * 70368744177707 + 12345
-                           AS phash
+                       ('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR)),
+                                       1, 16))::UBIGINT AS phash
                 FROM documents
             )
             SELECT a.image_id AS id_a, b.image_id AS id_b,

@@ -206,39 +206,50 @@ def ivf_centroids_kmeans(
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    iters: int = 3,
+    iters: int = 2,  # coarse quantizer: assignment stabilizes fast and
+    # each Lloyd iteration is a full corpus scan + driver collect
 ) -> np.ndarray:
     """Deterministic coarse quantizer: seed centroids from a fixed
     stride sample of the corpus (vec_id order), then a few Lloyd
     iterations as DataFrame aggregations (assign = matmul UDF,
     update = groupBy mean over exploded components). Deterministic
-    because init is id-ordered, not random-partition-dependent."""
-    n = corpus.count()
-    stride = max(n // n_cells, 1)
-    seed_rows = (
-        corpus.filter((F.col(id_col) % stride == 0) & (F.col(id_col) < stride * n_cells))
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
-    for _ in range(iters):
-        assign = _ivf_cell_udf(centroids, 1)
-        assigned = corpus.select(
-            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
-            .select("cell", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+    because init is id-ordered, not random-partition-dependent.
+
+    The corpus is cached for the duration: each iteration re-scans it
+    (assign UDF + component explode), and the count/seed pass adds two
+    more — at k×iters jobs the scan must not re-read parquet."""
+    corpus = corpus.select(id_col, vec_col).persist()
+    try:
+        n = corpus.count()
+        stride = max(n // n_cells, 1)
+        seed_rows = (
+            corpus.filter(
+                (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * n_cells)
+            )
+            .orderBy(id_col)
+            .select(vec_col)
             .collect()
         )
-        for r in means:
-            centroids[r["cell"]] = np.asarray(r["centroid"], dtype=np.float64)
+        centroids = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+        for _ in range(iters):
+            assign = _ivf_cell_udf(centroids, 1)
+            assigned = corpus.select(
+                F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("i", "x"))
+                .groupBy("cell", "i")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+                .select("cell", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+                .collect()
+            )
+            for r in means:
+                centroids[r["cell"]] = np.asarray(r["centroid"], dtype=np.float64)
+    finally:
+        corpus.unpersist()
     return centroids
 
 
