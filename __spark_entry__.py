@@ -684,6 +684,85 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-checked: per-host
+    cumulative URL counts + inter-arrival stats carried across
+    micro-batches in applyInPandasWithState typed state
+    (streaming/ingest.py:host_rate_state). Two availableNow waves with
+    one shared checkpoint: wave timestamps are monotone in event_id and
+    each wave is a single micro-batch, so the arrival order is the
+    global time order and the final state is SQL-predictable — the
+    oracle computes the same counts/first/last/mean-gap relationally.
+    The second wave's emission must CONTINUE the first's counters
+    (cross-batch state), which the per-host totals prove."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        host_rate_state,
+        read_candidate_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_rate_")
+    cand_dir = f"{base}/candidates"
+    ckpt = f"{base}/ckpt"
+    try:
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 6000)
+        cand = ev.select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("event_id") % 4).cast("string"),
+                F.lit(".test/p/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            F.lit("detail").alias("page_class"),
+            F.lit(2).alias("class_depth"),
+            F.lit(None).cast("string").alias("form_params"),
+            # monotone event time: 2024-01-01 + event_id seconds
+            F.timestamp_seconds(F.lit(1704067200) + F.col("event_id")).alias(
+                "event_ts"
+            ),
+        )
+        rows: list = []
+
+        def run_wave() -> None:
+            q = (
+                host_rate_state(read_candidate_stream(spark, cand_dir))
+                .writeStream.foreachBatch(
+                    lambda df, _id: rows.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # wave 1: the early half, <=16 files => exactly one micro-batch
+        cand.filter(F.col("event_ts") < F.timestamp_seconds(F.lit(1704067200 + 3000))
+                    ).repartition(8).write.mode("overwrite").json(cand_dir)
+        run_wave()
+        cand.filter(F.col("event_ts") >= F.timestamp_seconds(F.lit(1704067200 + 3000))
+                    ).repartition(8).write.mode("append").json(cand_dir)
+        run_wave()
+
+        final: dict = {}
+        for r in rows:
+            cur = final.get(r["host"])
+            if cur is None or r["n_urls"] > cur["n_urls"]:
+                final[r["host"]] = r
+        out = spark.createDataFrame(list(final.values()))
+        return out.select(
+            "host",
+            "n_urls",
+            "first_ts",
+            "last_ts",
+            F.round("mean_gap_s", 4).alias("mean_gap_s"),
+        ).orderBy("host")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimation (§2.6: approx_count_distinct at
     10^10 scale, where exact countDistinct would shuffle every key).
@@ -1047,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": bfs_depths_q,
         "phash_near_dup": phash_near_dup,
         "streaming_ingest_dedup": streaming_ingest_dedup,
+        "streaming_host_rate": streaming_host_rate,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -1477,6 +1557,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((event_id % 1500) % 3 AS INT) AS class_depth
             FROM events WHERE event_id < 6000
             ORDER BY url
+        """,
+        "streaming_host_rate": """
+            WITH e AS (
+                SELECT event_id % 4 AS h,
+                       TIMESTAMP '2024-01-01'
+                         + INTERVAL 1 SECOND * event_id AS ts
+                FROM events WHERE event_id < 6000
+            )
+            SELECT 'h' || h || '.test' AS host,
+                   count(*) AS n_urls,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   round(CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE)
+                         / (count(*) - 1), 4) AS mean_gap_s
+            FROM e GROUP BY h ORDER BY host
         """,
         "robots_filter": """
             WITH u AS (
