@@ -480,35 +480,11 @@ def _eval_xpath_hrefs(page: MPage, xp: XPath) -> list[str]:
 
 def _matches(cand: XPath, want: str) -> bool:
     """True if the anchor (via its finest path) satisfies the xpath
-    string ``want`` — segment-wise suffix match with attr predicates."""
-    finest = cand.finest()
-    want_parts = [p for p in want.lstrip("/").split("/") if p]
-    have_parts = [p for p in finest.lstrip("/").split("/") if p]
-    anchored = want.startswith("/") and not want.startswith("//")
-    if anchored and len(want_parts) != len(have_parts):
-        return False
-    if len(want_parts) > len(have_parts):
-        return False
-    for wp, hp in zip(reversed(want_parts), reversed(have_parts)):
-        if not _seg_match(wp, hp):
-            return False
-    return True
+    string ``want`` — delegates to the shared structural matcher
+    (modeler/schema.py:xpath_struct_match)."""
+    from smart_crawler_spark.modeler.schema import xpath_struct_match
 
-
-def _seg_match(want: str, have: str) -> bool:
-    import re
-
-    wname = want.split("[", 1)[0]
-    hname = have.split("[", 1)[0]
-    if wname != hname:
-        return False
-    have_attrs = dict(re.findall(r'@([\w:-]+)="([^"]*)"', have))
-    for attr, val in re.findall(r'@([\w:-]+)(?:="([^"]*)")?', want):
-        if attr not in have_attrs:
-            return False
-        if val and have_attrs[attr] != val:
-            return False
-    return True
+    return xpath_struct_match(want, cand.finest())
 
 
 def _global_idf(pages) -> dict[str, float]:

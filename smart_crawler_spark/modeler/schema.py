@@ -177,26 +177,109 @@ def _all_nodes(root: _Node):
         stack.extend(reversed(n.children))
 
 
+def xpath_struct_match(want: str, finest: str) -> bool:
+    """Segment-wise suffix match of an xpath string against a node's
+    finest root-to-node path (all tags, all attrs with values): the
+    structural evaluation both the refine loop and arbitrary data
+    xpaths (e.g. the reference's ``//h1/text()``,
+    ``//img[@alt='logo']``) use in place of a real XPath engine.
+    Attribute predicates accept single or double quotes."""
+    want_parts = _split_path(want)
+    have_parts = _split_path(finest)
+    anchored = want.startswith("/") and not want.startswith("//")
+    if anchored and len(want_parts) != len(have_parts):
+        return False
+    if len(want_parts) > len(have_parts):
+        return False
+    return all(
+        _seg_match(wp, hp)
+        for wp, hp in zip(reversed(want_parts), reversed(have_parts))
+    )
+
+
+def _split_path(p: str) -> list[str]:
+    """Split an xpath on '/' OUTSIDE predicates — attribute values may
+    themselves contain slashes (e.g. @src="/fake.jpg")."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in p:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "/" and depth == 0:
+            if buf:
+                parts.append("".join(buf))
+                buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
+def _seg_match(want: str, have: str) -> bool:
+    wname = want.split("[", 1)[0]
+    hname = have.split("[", 1)[0]
+    if wname != hname:
+        return False
+    have_attrs = dict(re.findall(r'@([\w:-]+)="([^"]*)"', have))
+    for attr, dq, sq in re.findall(
+        r"@([\w:-]+)(?:=(?:\"([^\"]*)\"|'([^']*)'))?", want
+    ):
+        if attr not in have_attrs:
+            return False
+        val = dq or sq
+        if val and have_attrs[attr] != val:
+            return False
+    return True
+
+
+def _finest(n: _Node) -> str:
+    """Root-to-node path with every tag and attr=value (match target)."""
+    parts = []
+    cur = n
+    while cur is not None and cur.tag != "#document":
+        attrs = " and ".join(f'@{a}="{v}"' for a, v in cur.attrs)
+        parts.append(f"{cur.tag}[{attrs}]" if attrs else cur.tag)
+        cur = cur.parent
+    return "/" + "/".join(reversed(parts))
+
+
 def _index_page(html: str):
     tb = _TreeBuilder()
     tb.feed(html)
     by_xpath: dict[str, list[_Node]] = {}
+    finest: list[tuple[str, _Node]] = []
     for n in _all_nodes(tb.root):
         if n.tag == "#document":
             continue
         by_xpath.setdefault(XPath(_chain(n)).default, []).append(n)
+        finest.append((_finest(n), n))
+    by_xpath["\x00finest"] = finest  # side-channel for the fallback
     return by_xpath
 
 
 def _match(by_xpath: dict, xpath: str) -> list[_Node]:
     """Resolve a (possibly positional ``(xp)[i]`` or ``xp/text()``) data
-    xpath against the page's default-xpath index."""
+    xpath against the page's default-xpath index; arbitrary user xpaths
+    (hand-written target files: ``//h1/text()``, ``//img[@alt='logo']``)
+    fall back to the structural matcher over each node's finest path —
+    the DataType surface must accept any selector, not just the
+    default-xpath dialect the modeler emits."""
     pos = None
     m = re.fullmatch(r"\((.*)\)\[(\d+)\]", xpath)
     if m:
         xpath, pos = m.group(1), int(m.group(2))
     xpath = xpath.removesuffix("/text()")
     nodes = by_xpath.get(xpath, [])
+    if not nodes:
+        nodes = [
+            n
+            for fs, n in by_xpath.get("\x00finest", [])
+            if xpath_struct_match(xpath, fs)
+        ]
     if pos is not None:
         nodes = nodes[pos - 1 : pos] if pos <= len(nodes) else []
     return nodes

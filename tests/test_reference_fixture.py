@@ -122,6 +122,34 @@ def test_golden_fmeasure(spark, inferred):
     assert rep.purity == 1.0 and rep.cohesion == 0.0
 
 
+def test_datatype_extraction_reference_values():
+    """Ports the reference DataType tests against the real fixture HTML:
+    StringDataTypeTest.java:28-33 ('Detail page 1' from //h1/text() on
+    detail1.html), UrlDataTypeTest.java:27-32 (raw external href from
+    the homepage), ImgDataTypeTest.java:26-31 (img src basename
+    'fake.jpg')."""
+    from smart_crawler_spark.modeler.schema import extract_record
+
+    detail_html = (SITE_DIR / "detail1.html").read_text()
+    index_html = (SITE_DIR / "index.html").read_text()
+    rec = extract_record(
+        detail_html, [{"xpath": "//h1/text()", "dtype": "string"}]
+    )
+    assert rec == ["Detail page 1"]
+    rec = extract_record(
+        index_html,
+        [
+            {"xpath": "//div[@id='link']/a", "dtype": "url"},
+            {"xpath": "//img[@alt='logo']", "dtype": "img"},
+        ],
+    )
+    assert rec == ["http://www.external-link.test", "fake.jpg"]
+    # not-found -> empty cell (the reference writes empty CSV fields)
+    assert extract_record(
+        detail_html, [{"xpath": "//h4/text()", "dtype": "string"}]
+    ) == [""]
+
+
 def test_mutable_menu_fixture_positional_items():
     """testsite/mutable_menu: res1/res2 share one class whose div#menu
     carries DISJOINT link sets per page — the canonical mutable menu.
