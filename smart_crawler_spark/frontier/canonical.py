@@ -27,9 +27,15 @@ from pyspark.sql import functions as F
 
 
 def url_host(url: Column | str) -> Column:
-    """Registrable host of an absolute URL (politeness / partitioning key)."""
+    """Authority of an absolute URL (politeness / partitioning / seen
+    namespace key). The full netloc INCLUDING any port, like Python's
+    urlsplit().netloc and the reference's per-website actors keyed by
+    e.g. "localhost:8081" — parse_url's HOST drops the port, which
+    would fuse two sites served on different ports of one host."""
     url = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
 
 
 def canonical_relative_url(

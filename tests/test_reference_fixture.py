@@ -93,6 +93,67 @@ def test_depths_match_reference(inferred):
     assert max(model.depths.values()) == 2
 
 
+def test_engine_crawls_fixture_with_reference_target(spark, tmp_path):
+    """Entry C end-to-end on REAL artifacts: the engine crawls the
+    minimal fixture site under the reference's own hand-written
+    targets/localhost_target.csv, and the per-host order, URL-seen set
+    and extracted records all match the pure-Python reference-semantics
+    oracle exactly."""
+    from pyspark.sql import functions as F
+
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.crawler.oracle import crawl_all, seen_key
+    from smart_crawler_spark.sources.htmlsite import (
+        corpus_rows_from_html,
+        site_pages_from_html,
+    )
+    from smart_crawler_spark.sources.targets import load_target_file
+
+    model = load_target_file(
+        "/root/reference/src/main/resources/targets/localhost_target.csv"
+    )
+    pages = _rows()
+    corpus = corpus_rows_from_html(pages, model)
+    seed = BASE
+
+    oracle = crawl_all(corpus, model, [seed])
+    res = CrawlEngine(
+        spark,
+        site_pages_from_html(spark, pages, model),
+        model,
+        str(tmp_path / "w"),
+        EngineConfig(budget_per_host=1),
+    ).run([seed])
+
+    o = next(iter(oracle.values()))
+    got_order = [
+        (r["seq"], r["url"])
+        for r in res.order.orderBy("host", "seq").collect()
+    ]
+    want_order = [(e["seq"], e["url"]) for e in o.order]
+    assert got_order == want_order  # exact best-first dequeue order
+    got_seen = {r["url_hash"] for r in res.seen.collect()}
+    want_keys = sorted(o.seen)
+    want_seen = {
+        r["h"]
+        for r in spark.createDataFrame([(k,) for k in want_keys], "k string")
+        .select(F.xxhash64("k").alias("h"))
+        .collect()
+    }
+    assert got_seen == want_seen
+    got_recs = {
+        (r["url"], tuple(r["fields"])) for r in res.records.collect()
+    }
+    want_recs = {(r["url"], tuple(r["fields"])) for r in o.records}
+    assert got_recs == want_recs
+    # golden data values from the real pages (CrawlRepositoryTest-style)
+    detail1 = next(
+        r for r in o.records if r["url"].endswith("/detail1.html")
+    )
+    assert detail1["fields"] == ["Detail page 1"]
+    assert len([r for r in o.records if "detail" in r["url"]]) == 4
+
+
 def test_golden_fmeasure(spark, inferred):
     """C12 against the reference's own golden class definitions
     (golden/localhost:8081.csv regex patterns)."""
