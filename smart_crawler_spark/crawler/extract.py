@@ -120,17 +120,22 @@ def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
         r'\[@href=".*"\]$'
     )
     model_plain = model.filter(~is_href_menu).drop("_lt")
-    model_href = (
-        model.filter(is_href_menu)
-        .select(
-            F.col("src_class").alias("_m_src"),
-            F.regexp_extract("xpath", _HREF_RE, 1).alias("_m_base"),
-            F.regexp_extract("xpath", _HREF_RE, 2).alias("_m_href"),
-            "edge_pos", "page_class", "class_depth",
-        )
+    href_rows = model.filter(is_href_menu)
+    model_href = href_rows.select(
+        F.col("src_class").alias("_m_src"),
+        F.regexp_extract("xpath", _HREF_RE, 1).alias("_m_base"),
+        F.regexp_extract("xpath", _HREF_RE, 2).alias("_m_href"),
+        "edge_pos", "page_class", "class_depth",
     )
+    # href-menu rows ALSO join by exact key: real-HTML corpora
+    # (sources/htmlsite.py) alias each link under its predicated xpath
+    # with the RAW href, which the resolved-URL comparison below cannot
+    # see; when both paths match the same logical link, the intra-batch
+    # dedup keeps the alias row (smaller link_seq)
     plain = exploded.join(
-        F.broadcast(model_plain), ["src_class", "xpath"], "inner"
+        F.broadcast(model_plain.unionByName(href_rows.drop("_lt"))),
+        ["src_class", "xpath"],
+        "inner",
     )
     # out_links may key menus positionally ((base)[i]) or by base xpath
     ebase = F.when(

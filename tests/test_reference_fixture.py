@@ -154,6 +154,36 @@ def test_engine_crawls_fixture_with_reference_target(spark, tmp_path):
     assert len([r for r in o.records if "detail" in r["url"]]) == 4
 
 
+def test_inferred_model_drives_fixture_crawl(spark, inferred, tmp_path):
+    """Close the loop on real artifacts: the model INFERRED from the
+    fixture HTML (href-predicated fixed menus) drives an engine crawl of
+    the same HTML, matching the oracle under that model — every page the
+    model reaches is fetched exactly once."""
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.crawler.oracle import crawl_all
+    from smart_crawler_spark.sources.htmlsite import (
+        corpus_rows_from_html,
+        site_pages_from_html,
+    )
+
+    _dm, model = inferred
+    pages = _rows()
+    corpus = corpus_rows_from_html(pages, model)
+    oracle = next(iter(crawl_all(corpus, model, [BASE]).values()))
+    res = CrawlEngine(
+        spark,
+        site_pages_from_html(spark, pages, model),
+        model,
+        str(tmp_path / "w2"),
+        EngineConfig(budget_per_host=1),
+    ).run([BASE])
+    got = [(r["seq"], r["url"]) for r in res.order.orderBy("seq").collect()]
+    want = [(e["seq"], e["url"]) for e in oracle.order]
+    assert got == want
+    # the inferred model covers the whole 10-page site
+    assert len([e for e in oracle.order if e["fetched"]]) == 10
+
+
 def test_golden_fmeasure(spark, inferred):
     """C12 against the reference's own golden class definitions
     (golden/localhost:8081.csv regex patterns)."""
