@@ -10,6 +10,10 @@ from smart_crawler_spark.frontier.queue import (
     priority_rank,
 )
 from smart_crawler_spark.frontier.checkpoint import CrawlCheckpoint
+from smart_crawler_spark.frontier.cuckoo import CuckooFilter
+from smart_crawler_spark.frontier.dedup import BloomConfig
+from smart_crawler_spark.frontier.robots import RobotsPolicy
+from smart_crawler_spark.frontier.spill import BoundedFrontierQueue
 
 __all__ = [
     "canonical_relative_url",
@@ -21,4 +25,8 @@ __all__ = [
     "pick_batch",
     "priority_rank",
     "CrawlCheckpoint",
+    "CuckooFilter",
+    "BloomConfig",
+    "RobotsPolicy",
+    "BoundedFrontierQueue",
 ]
