@@ -37,6 +37,53 @@ def test_spark_matches_oracle(spark):
         assert row["host"] == row["url"].split("/")[2].lower()
 
 
+def test_spark_matches_oracle_combinatorial(spark):
+    """Exhaustive component grid (scheme × authority-with-port × path ×
+    query × fragment × form params): the Spark identity expressions must
+    agree with the Python oracle on every combination — this is what
+    makes engine-vs-oracle exact-match tests trustworthy."""
+    import itertools
+
+    hosts = ["h.test", "H.Test:8081", "localhost:8082", "a.b.test"]
+    paths = ["", "/", "/x", "/x/", "/x/y.html", "/x%20y", "/dir/7"]
+    queries = ["", "?k=1", "?k=1&b=2", "?"]
+    frags = ["", "#f", "#a/b"]
+    forms = [None, "q=1;p=2"]
+    urls = [
+        (f"http://{h}{p}{q}{fr}", fp)
+        for h, p, q, fr, fp in itertools.product(
+            hosts, paths, queries, frags, forms
+        )
+    ]
+    df = spark.createDataFrame(urls, "url string, fp string")
+    got = df.select(
+        "url", "fp",
+        url_host(F.col("url")).alias("host"),
+        canonical_relative_url(F.col("url"), F.col("fp")).alias("rel"),
+        url_seen_key(F.col("url"), F.col("fp")).alias("h64"),
+        F.xxhash64(
+            F.concat_ws(
+                "|",
+                url_host(F.col("url")),
+                canonical_relative_url(F.col("url"), F.col("fp")),
+            )
+        ).alias("h64b"),
+    ).collect()
+    import urllib.parse as up
+
+    mismatches = []
+    for r in got:
+        want_host = up.urlsplit(r["url"]).netloc.lower()
+        want_rel = relative_url(r["url"], r["fp"])
+        want_key = seen_key(r["url"], r["fp"])
+        got_key = f"{r['host']}|{r['rel']}"
+        if (r["host"], r["rel"]) != (want_host, want_rel) or got_key != want_key:
+            mismatches.append((r["url"], r["fp"], r["host"], want_host,
+                               r["rel"], want_rel))
+        assert r["h64"] == r["h64b"]  # key hash is hash(host|rel)
+    assert not mismatches, mismatches[:5]
+
+
 def test_reference_equivalences():
     # trailing slash and fragment are identity-preserving
     assert relative_url("http://h.test") == relative_url("http://h.test/")
