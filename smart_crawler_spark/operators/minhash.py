@@ -55,12 +55,35 @@ def minhash_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
+            # ONE hash_array call over the whole Arrow batch's shingles
+            # (per-doc calls pay pandas' per-call overhead ~n_docs times)
+            all_sh: list = []
+            bounds = [0]
             for text in pdf[text_col].astype(str):
-                toks = [t for t in _tokenize(text)]
-                sh = _shingle_hashes(toks, shingle_n)
+                toks = _tokenize(text)
+                if len(toks) < shingle_n:
+                    sh = [" ".join(toks)] if toks else []
+                else:
+                    sh = [
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    ]
+                all_sh.extend(sh)
+                bounds.append(len(all_sh))
+            hashes = (
+                pd.util.hash_array(np.asarray(all_sh, dtype=object)).astype(
+                    np.uint64
+                )
+                if all_sh
+                else np.empty(0, dtype=np.uint64)
+            )
+            sigs = []
+            for j in range(len(bounds) - 1):
+                sh = hashes[bounds[j] : bounds[j + 1]]
                 if len(sh) == 0:
-                    sigs.append(np.full(num_perm, _MERSENNE, dtype=np.int64).tolist())
+                    sigs.append(
+                        np.full(num_perm, _MERSENNE, dtype=np.int64).tolist()
+                    )
                     continue
                 # (num_perm, n_shingles) universal hashing, min over shingles
                 vals = (
