@@ -49,6 +49,7 @@ from smart_crawler_spark.modeler.cluster import (
     distance,
     mdl_update,
 )
+from smart_crawler_spark.modeler.graph import links_distance
 from smart_crawler_spark.modeler.schema import extract_schema, is_valid_link
 from smart_crawler_spark.modeler.xpath import XPath
 from smart_crawler_spark.sources.targets import NavigationModel
@@ -417,7 +418,9 @@ class DynamicModeler:
 
     # -- finalize ---------------------------------------------------------
     def finalize(self) -> NavigationModel:
-        """C8 collapses + C9-C11 graph (finalizeModel/finalUpdate)."""
+        """C8 collapses + C9-C11 graph (finalizeModel/finalUpdate:425-433):
+        first collapse classes by schema distance, then build the graph
+        once and collapse by ClassLink-set distance, then rebuild."""
         stats = []
         pagemap = {}
         for st, pages in self.model:
@@ -430,6 +433,9 @@ class DynamicModeler:
             for m in st.members:
                 pages.extend(pagemap.get(m, []))
             clusters.append((st, pages))
+        clusters = _collapse_by_links(
+            clusters, self.redirects, self.site, self.min_distance
+        )
         # exposed for golden evaluation (C12): final page→cluster map
         self.final_clusters = clusters
         return _to_graph(clusters, self.visited, self.redirects, self.site)
@@ -499,13 +505,81 @@ def _global_idf(pages) -> dict[str, float]:
     return {xp: math.log(n / d) for xp, d in df.items()}
 
 
+def _collapse_by_links(clusters, redirects, site, min_distance):
+    """C8 phase 2 — the link-distance collapse of ``finalUpdate``
+    (``DynamicModeler.java:430-432``): build the class graph once, then
+    run the reference's pairwise pass (i ascending, j descending,
+    ``collapsed:224-241``) merging class pairs whose ClassLink-set
+    distance (``ModelCostCalculator.distanceLinks:177-186``) is below
+    ``min_distance``.
+
+    A class's link set is its outgoing ClassLinks — menus expanded to
+    per-item links (``PageClass.getAllLinks:169-173``,
+    ``Menu.toClassLinks:100-108``) — plus the root hierarchy's inbound
+    view (``PageClass.getLinksFor:175-179``: every edge in the graph
+    whose destination is this class). ClassLink identity is the exact
+    ``(xpath, type)`` pair: the reference stores links in HashSets whose
+    lookups hash exactly those two fields (``ClassLink.java:86-88``),
+    so that is the equality its set algebra actually executes.
+
+    Distances use the PRE-pass graph throughout: the reference's
+    ``model2Class`` map is built by ``toGraph`` before the pass and not
+    rebuilt when classes merge mid-pass
+    (``WebsiteModel.getPageClass:84-86``)."""
+    if len(clusters) <= 1:
+        return clusters
+    _page2cid, _names, edges, _root_cid = _graph_edges(clusters, redirects, site)
+    linksets: dict[int, set] = {i: set() for i in range(len(clusters))}
+    for (src, xpath, dst), e in edges.items():
+        linksets[src].add((xpath, e["t"]))
+        linksets[dst].add((xpath, e["t"]))
+    items: list = list(clusters)
+    for i in range(len(items)):
+        for j in range(len(items) - 1, i, -1):
+            if items[i] is None or items[j] is None:
+                continue
+            d = links_distance(linksets[i], linksets[j])
+            if d < min_distance:  # NaN (two link-less classes) → False
+                si, pi = items[i]
+                sj, pj = items[j]
+                items[i] = (si.merge(sj), pi + pj)
+                items[j] = None
+    return [c for c in items if c is not None]
+
+
 def _to_graph(clusters, visited, redirects, site) -> NavigationModel:
-    """C9-C11: replay page links into typed class links with the
-    reference precedence (list > menu > singleton on conflicts,
-    Page.buildLinks menu→list downgrade) and Menu/MenuItem typing:
-    fixed menus emit href-predicated items, mutable menus positional
-    index blocks (Menu.setType + MenuItem.useIndexes/getXpath,
-    Menu.java:51-59, MenuItem.java:80-117)."""
+    """C9-C11: assemble the NavigationModel from the shared edge
+    construction (``_graph_edges``)."""
+    _page2cid, names, edges, root_cid = _graph_edges(clusters, redirects, site)
+    model = NavigationModel(root=names[root_cid])
+    for (src, xpath, dc), e in sorted(
+        edges.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2])
+    ):
+        model.class_links.append(
+            {
+                "src_class": names[src],
+                "xpath": xpath,
+                "dst_class": names[dc],
+                "link_type": e["t"],
+                "anchor_text": None,
+                "menu_href": None,
+                "menu_type": e["mt"],
+            }
+        )
+    model.assign_depths()
+    return model
+
+
+def _graph_edges(clusters, redirects, site):
+    """Replay page links into typed class edges with the reference
+    precedence (list > menu > singleton on conflicts, Page.buildLinks
+    menu→list downgrade) and Menu/MenuItem typing: fixed menus emit
+    href-predicated items, mutable menus positional index blocks
+    (Menu.setType + MenuItem.useIndexes/getXpath, Menu.java:51-59,
+    MenuItem.java:80-117). Returns ``(page2cid, names, edges,
+    root_cid)`` where ``edges`` maps ``(src_cid, xpath, dst_cid)`` to
+    ``{"t": link_type, "mt": menu_type}`` — shared by the model
+    assembly (``_to_graph``) and the C8 link-distance collapse."""
     page2cid = {}
     names = {}
     for i, (st, pages) in enumerate(clusters):
@@ -593,20 +667,4 @@ def _to_graph(clusters, visited, redirects, site) -> NavigationModel:
     root_cid = page2cid.get(redirects.get(site, site)) or page2cid.get(
         site
     ) or page2cid.get(site + "/") or 0
-    model = NavigationModel(root=names[root_cid])
-    for (src, xpath, dc), e in sorted(
-        edges.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2])
-    ):
-        model.class_links.append(
-            {
-                "src_class": names[src],
-                "xpath": xpath,
-                "dst_class": names[dc],
-                "link_type": e["t"],
-                "anchor_text": None,
-                "menu_href": None,
-                "menu_type": e["mt"],
-            }
-        )
-    model.assign_depths()
-    return model
+    return page2cid, names, edges, root_cid

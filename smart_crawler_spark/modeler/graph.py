@@ -214,8 +214,13 @@ def build_navigation_model(
 def links_distance(
     links_a: set[tuple], links_b: set[tuple]
 ) -> float:
-    """C8 link-set distance (ModelCostCalculator.distanceLinks:177-186)."""
+    """C8 link-set distance (ModelCostCalculator.distanceLinks:177-186).
+
+    Two empty sets yield Java's ``0/0.0 = NaN`` — every comparison with
+    NaN is false, so two link-less classes are NEVER merged by the
+    ``distance < MIN_DISTANCE`` predicate. Returning 0.0 here would
+    wrongly collapse them."""
     union = len(links_a | links_b)
     if union == 0:
-        return 0.0
+        return float("nan")
     return len(links_a ^ links_b) / union
