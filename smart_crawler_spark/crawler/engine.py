@@ -78,6 +78,11 @@ class EngineConfig:
     wait_ms: int = 0
     random_pause_ms: int = 0
     round_ms: int = 60_000
+    # global page budget (F5, the config's ``crawling.pages``): the
+    # reference frontier stops serving once pageCount reaches maxPages
+    # (CrawlFrontier.java:148-155). Counted in fetch ATTEMPTS across
+    # rounds, and across a resume via host_stats.seq.
+    max_pages_total: int = 1 << 30
 
     def effective_budget(self) -> int:
         from smart_crawler_spark.frontier.queue import politeness_budget
@@ -203,6 +208,15 @@ class CrawlEngine:
         seen_est = seen_filter.seen.count() if auto_bloom else 0
         last_new: int | None = None
 
+        capped = cfg.max_pages_total < (1 << 30)
+        total_attempted = 0
+        if capped and resume:
+            total_attempted = int(
+                host_stats.agg(
+                    F.coalesce(F.sum("seq"), F.lit(0)).alias("s")
+                ).collect()[0]["s"]
+            )
+
         while True:
             rnd += 1
             if auto_bloom:
@@ -210,12 +224,21 @@ class CrawlEngine:
                 prefer_bloom = seen_est >= self.AUTO_BLOOM_RATIO * max(cand_est, 1)
             else:
                 prefer_bloom = None
+            picked = self._pick_batch(frontier, host_stats)
+            if capped:
+                remaining = cfg.max_pages_total - total_attempted
+                if remaining <= 0:
+                    rnd -= 1
+                    break
+                # plans as TakeOrderedAndProject, like the F5 global cap
+                # in frontier/queue.py:90-96
+                picked = picked.orderBy(*FRONTIER_ORDER()).limit(remaining)
             # ONE eager checkpoint covers pick+fetch: the fetch join
             # preserves every batch column, so the round's batch view is
             # a free projection of the checkpointed fetch result instead
             # of a second materialization
             fetched = fetch_batch_resolved(
-                self._pick_batch(frontier, host_stats),
+                picked,
                 self.site_pages,
                 cfg.max_tries,
             ).localCheckpoint(eager=True)
@@ -307,6 +330,8 @@ class CrawlEngine:
                 frontier = f_front.result()
                 f_seen.result()
 
+            if capped:
+                total_attempted += n_batch
             m = {
                 "round": rnd,
                 "batch": n_batch,

@@ -100,7 +100,7 @@ class CrawlCheckpoint:
         d = self._dir(rnd)
         with open(os.path.join(d, "_MANIFEST.json")) as f:
             manifest = json.load(f)
-        dfs = {p: self.spark.read.parquet(os.path.join(d, p)) for p in _PARTS}
+        dfs = {p: self._read_part(d, p, manifest) for p in _PARTS}
         return Snapshot(
             round=rnd,
             frontier=dfs["frontier"],
@@ -110,6 +110,23 @@ class CrawlCheckpoint:
             host_stats=dfs["host_stats"],
             extras=manifest.get("extras", {}),
         )
+
+    def _read_part(self, d: str, part: str, manifest: dict) -> DataFrame:
+        path = os.path.join(d, part)
+        if part == "host_stats" and not os.path.isdir(path):
+            # snapshot written before host_stats became a part: migrate
+            # the old driver-dict extras if present, else resume with an
+            # empty stats table (counters restart — same behavior those
+            # snapshots had)
+            extras = manifest.get("extras", {})
+            seq = extras.get("host_seq") or {}
+            fetched = extras.get("host_fetched") or {}
+            rows = [
+                (h, int(seq.get(h, 0)), int(fetched.get(h, 0)))
+                for h in sorted(set(seq) | set(fetched))
+            ]
+            return self.spark.createDataFrame(rows, HOST_STATS_SCHEMA)
+        return self.spark.read.parquet(path)
 
     def resume_frontier(self, snap: Snapshot) -> DataFrame:
         """frontier ∪ in_flight — the reference's recovery re-enqueue."""

@@ -39,8 +39,15 @@ def _fingerprints(keys: np.ndarray) -> np.ndarray:
 
 def _alt_bucket(idx: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
     """i2 = i1 xor h(fp) — reduced BEFORE the xor so it stays closed in
-    [0, n_buckets) (power of two), making alt(alt(i)) == i exactly."""
-    h = (fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(49)
+    [0, n_buckets) (power of two), making alt(alt(i)) == i exactly.
+    The offset keeps the top log2(n_buckets) bits of the multiply so
+    EVERY bucket bit can differ between the two candidates — a fixed
+    short shift would pin the high bucket bits together at large table
+    sizes, collapsing bucket-pair diversity and raising kick failures."""
+    bits = max(n_buckets.bit_length() - 1, 1)
+    h = (fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(
+        64 - bits
+    )
     return idx ^ (h.astype(np.int64) & (n_buckets - 1))
 
 
@@ -138,7 +145,15 @@ class CuckooFilter:
 
     def delete(self, keys: np.ndarray) -> np.ndarray:
         """Remove one fingerprint copy per present key (the op a bloom
-        cannot do); returns the mask of keys actually removed."""
+        cannot do); returns the mask of keys actually removed.
+
+        PRECONDITION: only delete keys that were actually inserted (the
+        standard cuckoo-filter contract, Fan et al. §3.3). Deleting a
+        never-inserted key whose fingerprint collides with another key's
+        silently removes that other key's entry — a false NEGATIVE,
+        breaking the prefilter contract SeenFilter relies on. The
+        recrawl-expiry path satisfies this by construction: it only
+        feeds back keys previously added via SeenFilter.add."""
         keys = keys.astype(np.uint64)
         fp = _fingerprints(keys)
         i1 = (keys % np.uint64(self.n_buckets)).astype(np.int64)

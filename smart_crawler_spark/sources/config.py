@@ -113,7 +113,7 @@ class SeedConfig:
     crawl: bool = False
     savepages: bool = False
 
-    def engine_config(self, settings: "CrawlerSettings", **overrides):
+    def engine_config(self, settings: "CrawlerSettings | None" = None, **overrides):
         from smart_crawler_spark.crawler.engine import EngineConfig
 
         kw = dict(
@@ -121,6 +121,8 @@ class SeedConfig:
             wait_ms=self.wait,
             random_pause_ms=self.randompause,
         )
+        if settings is not None and settings.pages:
+            kw["max_pages_total"] = settings.pages
         kw.update(overrides)
         return EngineConfig(**kw)
 
@@ -133,6 +135,12 @@ class CrawlerSettings:
     frontierheap: int = 10_000
 
 
+_SEED_SUFFIXES = (
+    ".static.file", ".golden", ".dynamic.pages", ".javascript",
+    ".wait", ".randompause", ".maxfailures", ".crawl", ".savepages",
+)
+
+
 def load_settings(text: str) -> CrawlerSettings:
     """master.conf text → CrawlerSettings (CrawlerSettings.java:57-88)."""
     flat = parse_hocon(text)
@@ -140,19 +148,22 @@ def load_settings(text: str) -> CrawlerSettings:
     sites: list[str] = []
     for k in flat:
         if k.startswith(prefix):
-            site = k[len(prefix):].split(".")[0]
-            # quoted site keys keep :// intact; a dotted suffix like
-            # static.file was split off above only for unquoted keys —
-            # site keys are the quoted URL components
+            # the site name is whatever precedes a KNOWN per-seed
+            # setting suffix (quoted site keys keep dots and :// intact
+            # as one component); an unrecognized suffix is a config
+            # error, not a licence to guess a seed name from the first
+            # dot
             rest = k[len(prefix):]
-            for known in (
-                ".static.file", ".golden", ".dynamic.pages", ".javascript",
-                ".wait", ".randompause", ".maxfailures", ".crawl",
-                ".savepages",
-            ):
+            for known in _SEED_SUFFIXES:
                 if rest.endswith(known):
                     site = rest[: -len(known)]
                     break
+            else:
+                raise ValueError(
+                    f"unknown key under crawler.modeler: {k!r} "
+                    "(expected a site followed by one of "
+                    + ", ".join(s[1:] for s in _SEED_SUFFIXES) + ")"
+                )
             if site and site not in sites:
                 sites.append(site)
     seeds = []

@@ -93,3 +93,33 @@ def test_parser_nesting_and_comments():
 def test_parser_rejects_unbalanced():
     with pytest.raises(ValueError):
         parse_hocon("}")
+
+
+def test_engine_config_global_pages_budget():
+    """crawling.pages flows into the engine's global F5 cap
+    (CrawlFrontier.java:148-155 maxPages semantics)."""
+    s = load_settings(MULTI_SITE)
+    a = next(c for c in s.seeds if c.site.endswith("site-a.example.com"))
+    assert a.engine_config(s).max_pages_total == 5000
+    # an explicit override still wins over the config value
+    assert a.engine_config(s, max_pages_total=9).max_pages_total == 9
+    # no settings → unbounded default
+    assert a.engine_config().max_pages_total == 1 << 30
+
+
+def test_unknown_modeler_suffix_rejected():
+    """A key under crawler.modeler with an unrecognized setting suffix
+    is a config error — not a licence to invent a truncated seed."""
+    bad = "\n".join(
+        [
+            "crawler {",
+            "  modeler {",
+            '    "http://a.example.com" {',
+            "      foo = 1",
+            "    }",
+            "  }",
+            "}",
+        ]
+    )
+    with pytest.raises(ValueError, match="crawler.modeler"):
+        load_settings(bad)

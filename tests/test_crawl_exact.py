@@ -172,3 +172,13 @@ def test_page_budget(spark, site, tmp_path):
             .orderBy("seq").collect()
         ]
         assert got_host == _oracle_order(want, host), host
+
+
+def test_global_page_budget(spark, site, tmp_path):
+    """max_pages_total (the config's crawling.pages) caps TOTAL fetch
+    attempts across hosts and rounds (CrawlFrontier.java:148-155)."""
+    res = _engine_results(
+        spark, site, tmp_path / "gbudget",
+        EngineConfig(budget_per_host=1, max_pages_total=7),
+    )
+    assert res.order.count() == 7

@@ -86,3 +86,15 @@ def test_seen_filter_cuckoo_equals_exact(spark):
         sf.add(seen_keys)
         got = {r["cand_id"] for r in sf.filter_new(cand).collect()}
         assert got == want
+
+def test_alt_bucket_covers_all_bucket_bits():
+    """The xor offset must be able to flip EVERY bucket bit (including
+    the top one) at the default table size, and stay an involution."""
+    from smart_crawler_spark.frontier.cuckoo import _alt_bucket
+
+    n = 1 << 16
+    idx = np.zeros(4096, dtype=np.int64)
+    fp = np.arange(1, 4097, dtype=np.uint16)
+    alt = _alt_bucket(idx, fp, n)
+    assert (_alt_bucket(alt, fp, n) == idx).all()  # alt(alt(i)) == i
+    assert (alt >= n // 2).any() and (alt < n // 2).any()  # top bit flips

@@ -69,3 +69,32 @@ def test_snapshot_lineage_metrics(spark, site, tmp_path):
     stats = {r["host"]: (r["seq"], r["fetched"]) for r in snap.host_stats.collect()}
     assert stats and all(s >= f > 0 for s, f in stats.values())
     assert snap.seen.filter(F.col("url_hash").isNull()).count() == 0
+
+
+def test_legacy_snapshot_without_host_stats(spark, tmp_path):
+    """Snapshots written before host_stats became a part must still
+    load: the old driver-dict extras migrate into the stats table."""
+    import shutil
+
+    from smart_crawler_spark.frontier.checkpoint import HOST_STATS_SCHEMA
+
+    ckpt = CrawlCheckpoint(spark, str(tmp_path / "legacy"))
+    frontier = spark.createDataFrame(
+        [("http://h/a", "h", "c", 0, "c", None)],
+        "url string, host string, page_class string, class_depth int,"
+        " class_name string, form_params string",
+    )
+    ckpt.write(
+        1,
+        frontier,
+        spark.createDataFrame([], "url_hash long"),
+        frontier.limit(0),
+        spark.createDataFrame([], "partition_id int, frontier_rows long"),
+        spark.createDataFrame([], HOST_STATS_SCHEMA),
+        extras={"host_seq": {"h": 3}, "host_fetched": {"h": 2}},
+    )
+    shutil.rmtree(tmp_path / "legacy" / "round=1" / "host_stats")
+    snap = ckpt.latest()
+    stats = {r["host"]: (r["seq"], r["fetched"]) for r in snap.host_stats.collect()}
+    assert stats == {"h": (3, 2)}
+    assert snap.frontier.count() == 1
