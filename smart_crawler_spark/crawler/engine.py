@@ -169,8 +169,13 @@ class CrawlEngine:
 
     def run(self, seeds: list[str] | None = None, resume: bool = False) -> CrawlResult:
         cfg = self.cfg
-        seen_filter = SeenFilter(self.spark, cfg.bloom, use_bloom=bool(cfg.use_bloom))
         auto_bloom = cfg.use_bloom == "auto"
+        # auto mode defers bitmap maintenance until the crossover first
+        # trips (SeenFilter.activate_blooms) — all-exact runs pay zero
+        # bloom-build cost
+        seen_filter = SeenFilter(
+            self.spark, cfg.bloom, use_bloom=bool(cfg.use_bloom), lazy=auto_bloom
+        )
         metrics: list[dict] = []
 
         def robots_ok(df: DataFrame) -> DataFrame:
@@ -186,7 +191,7 @@ class CrawlEngine:
                 raise RuntimeError("resume requested but no committed snapshot")
             frontier = self.checkpoint.resume_frontier(snap).localCheckpoint()
             seen_filter.seen = snap.seen.localCheckpoint()
-            if cfg.use_bloom and snap.seen.take(1):
+            if cfg.use_bloom and not auto_bloom and snap.seen.take(1):
                 seen_filter.blooms = seen_filter._build_blooms(
                     seen_filter._with_shard(snap.seen.select("url_hash"))
                 ).localCheckpoint()
@@ -222,6 +227,8 @@ class CrawlEngine:
             if auto_bloom:
                 cand_est = last_new if last_new is not None else seen_est
                 prefer_bloom = seen_est >= self.AUTO_BLOOM_RATIO * max(cand_est, 1)
+                if prefer_bloom:
+                    seen_filter.activate_blooms()
             else:
                 prefer_bloom = None
             picked = self._pick_batch(frontier, host_stats)
@@ -341,6 +348,7 @@ class CrawlEngine:
             }
             if auto_bloom:
                 m["dedup_path"] = "bloom" if prefer_bloom else "exact"
+                m["bloom_built"] = seen_filter.blooms is not None
                 seen_est += n_new
                 last_new = n_new
             metrics.append(m)

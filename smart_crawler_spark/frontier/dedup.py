@@ -131,10 +131,23 @@ def _probe_fn(cfg: "BloomConfig"):
 class SeenFilter:
     """Sharded seen-set with exact anti-join + per-shard bloom prefilter."""
 
-    def __init__(self, spark, cfg: BloomConfig | None = None, use_bloom: bool = True):
+    def __init__(
+        self,
+        spark,
+        cfg: BloomConfig | None = None,
+        use_bloom: bool = True,
+        lazy: bool = False,
+    ):
         self.spark = spark
         self.cfg = cfg or BloomConfig()
         self.use_bloom = use_bloom
+        # lazy=True defers ALL bitmap maintenance until activate_blooms()
+        # — the engine's auto mode runs whole crawls on the exact path
+        # without ever paying the per-round build/merge (measured 119 s
+        # of pure waste at 10^8 keys when bitmaps are maintained but
+        # never probed); the first crossover trip builds once from the
+        # seen table and switches to incremental maintenance.
+        self.lazy = lazy
         self.seen: DataFrame = spark.createDataFrame(
             [], "url_hash long, shard int"
         )
@@ -343,11 +356,25 @@ class SeenFilter:
             new_hashes.select(F.col(hash_col).alias("url_hash")).distinct()
         ).join(self.seen, ["shard", "url_hash"], "left_anti")
         self.seen = self.seen.unionByName(fresh.select("url_hash", "shard"))
-        if self.use_bloom:
+        if self.use_bloom and not self.lazy:
             self.blooms = self._merge_blooms(self._build_blooms(fresh))
             if self._dense_cache is not None:
                 self._dense_cache.unpersist()
                 self._dense_cache = None
+
+    def activate_blooms(self) -> None:
+        """Build the per-shard bitmaps ONCE from the current seen table
+        and switch from lazy to incremental maintenance. No-op unless
+        lazy. The build is the same bulk groupBy-per-shard path the
+        10^8-key benchmark exercises; subsequent add() calls merge
+        incrementally as usual."""
+        if not self.lazy:
+            return
+        self.lazy = False
+        self.blooms = self._build_blooms(self.seen).localCheckpoint(eager=True)
+        if self._dense_cache is not None:
+            self._dense_cache.unpersist()
+            self._dense_cache = None
 
     def materialize(self) -> None:
         """Cut lineage (call per crawl round; checkpointing persists instead)."""

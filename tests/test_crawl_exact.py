@@ -150,6 +150,12 @@ def test_auto_bloom_path_selection(spark, site, tmp_path):
     }
     paths = {m.get("dedup_path") for m in auto.metrics}
     assert paths <= {"bloom", "exact"} and paths  # reported every round
+    # lazy maintenance: bitmaps exist only from the first bloom round on
+    # — an all-exact run never pays any bloom build/merge cost
+    bloomed = False
+    for m in auto.metrics:
+        bloomed = bloomed or m["dedup_path"] == "bloom"
+        assert m["bloom_built"] == bloomed
 
 
 def test_page_budget(spark, site, tmp_path):

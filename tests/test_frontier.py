@@ -130,3 +130,31 @@ def test_engine_config_politeness_budget():
                        random_pause_ms=1000, round_ms=60_000)
     assert cfg.effective_budget() == 24
     assert EngineConfig(budget_per_host=5).effective_budget() == 5
+
+
+def test_seen_filter_lazy_activation(spark):
+    """lazy=True: add() maintains no bitmaps (zero bloom cost on the
+    exact path); activate_blooms() builds once from the seen table and
+    the bloom path then equals the exact path exactly."""
+    from pyspark.sql import functions as F
+
+    from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
+
+    sf = SeenFilter(
+        spark, BloomConfig(shards=8), use_bloom=True, lazy=True
+    )
+    seen = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    sf.add(seen)
+    sf.materialize()
+    assert sf.blooms is None  # no maintenance paid while lazy
+    cand = spark.range(2500, 10_000).select(
+        F.col("id").alias("cand_id"), F.xxhash64("id").alias("url_hash")
+    )
+    want = {r["cand_id"] for r in sf.filter_new(cand, prefer_bloom=False).collect()}
+    sf.activate_blooms()
+    assert sf.blooms is not None and not sf.lazy
+    got = {r["cand_id"] for r in sf.filter_new(cand, prefer_bloom=True).collect()}
+    assert got == want
+    # post-activation adds maintain incrementally again
+    sf.add(cand.select("url_hash"))
+    assert sf.filter_new(cand).count() == 0
