@@ -250,7 +250,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    corpus = emb.unionByName(planted)
+    # the LSH operator scans its corpus several times (two banded sides
+    # + one id-only vector re-join per side); a real deployment's corpus
+    # is a parquet/Iceberg table where each scan is column-pruned, but
+    # THIS corpus is a computed self-join plan — materialize it once so
+    # the operator's scans don't re-run the planting join
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
     return simsearch.embedding_near_dup_lsh(
         corpus, threshold=0.95, bands=24, bits_per_band=12, dim=64
     ).orderBy("id_a", "id_b")

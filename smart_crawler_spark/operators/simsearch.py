@@ -148,30 +148,38 @@ def lsh_bucketed_topk(
         dim = len(queries.select(vec_col).first()[0])
     buckets = band_buckets_udf(dim, bands, bits_per_band)
 
+    # the band explode + bucket join carry IDS ONLY: shipping the
+    # vectors through the band shuffle would replicate every embedding
+    # ``bands``× (the 100 TB killer); the deduped candidate pairs
+    # re-join each side's vector exactly once for scoring
     def with_buckets(df: DataFrame, name: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(name), F.col(vec_col).alias(f"_{name}_v")
-        )
-        return out.select(
-            name,
-            f"_{name}_v",
-            F.posexplode(buckets(F.col(f"_{name}_v"))).alias("band", "bucket"),
+        return df.select(
+            F.col(id_col).alias(name),
+            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
         )
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")
-    cand = (
+    pairs = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_query_id_v", "neighbor_id", "_neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6).alias(
-            "cos_sim"
-        ),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -323,28 +331,35 @@ def embedding_near_dup_lsh(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     buckets = band_buckets_udf(dim, bands, bits_per_band)
+    # ids only through the band shuffle (vectors would be replicated
+    # bands× otherwise); vectors re-join once per side for the exact
+    # verification of the deduped candidate pairs
     banded = corpus.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("_v"),
         F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
     )
-    left = banded.select(
-        F.col("vid").alias("id_a"), F.col("_v").alias("_va"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("vid").alias("id_b"), F.col("_v").alias("_vb"), "band", "bucket"
-    )
-    cand = (
-        left.join(right, ["band", "bucket"])
+    pairs = (
+        banded.select(F.col("vid").alias("id_a"), "band", "bucket")
+        .join(
+            banded.select(F.col("vid").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def embedding_near_dup_pairs(

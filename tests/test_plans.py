@@ -209,3 +209,48 @@ def test_pick_batch_salted_equals_plain(spark):
         tuple(r) for r in pick_batch(front, 25, salt_buckets=16).collect()
     }
     assert plain == salted and len(plain) > 0
+
+
+def test_lsh_band_shuffle_ships_ids_only(spark):
+    """The LSH band/bucket exchanges must not carry embedding vectors —
+    shipping them through the band shuffle replicates every vector
+    bands× at corpus scale. Vectors re-join once per side afterwards."""
+    from smart_crawler_spark.operators.simsearch import (
+        embedding_near_dup_lsh,
+        lsh_bucketed_topk,
+    )
+
+    vecs = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.rand(42) + i.cast("double"),
+        ).cast("array<float>").alias("embedding"),
+    )
+    # force the shuffle form of the band join (broadcast hides the
+    # exchange at test scale)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        for df in (
+            lsh_bucketed_topk(vecs.limit(5), vecs, k=3, dim=8),
+            embedding_near_dup_lsh(vecs, threshold=0.9, dim=8),
+        ):
+            plan = _formatted(df)
+            assert "hashpartitioning(band" in plan  # the shuffle is real
+            # any node whose attributes include the band column must not
+            # also carry a vector column — vectors never ride the band
+            # shuffle, in either the exchange or its sort/join consumers
+            bad = ("embedding#", "_va#", "_vb#", "_qv#", "_cv#")
+            for block in plan.split("\n\n"):
+                attrs = [
+                    ln
+                    for ln in block.splitlines()
+                    if ln.startswith(("Input", "Output"))
+                ]
+                if any("band#" in ln for ln in attrs):
+                    assert not any(
+                        b in ln for ln in attrs for b in bad
+                    ), block
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
