@@ -777,10 +777,11 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts and hll_ok=true — any estimator drift beyond tolerance
     hash-mismatches the gate."""
     ev = _t(spark, sf_dir, "events")
+    rsd = 0.02
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -791,7 +792,8 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("_approx") - F.col("exact_users"))
                 / F.col("exact_users")
-                <= 0.10
+                <= F.lit(5 * rsd)  # 5σ of the configured rsd — the gate
+                # tracks the config instead of a hardcoded constant
             ).alias("hll_ok"),
         )
         .orderBy("event_type")
