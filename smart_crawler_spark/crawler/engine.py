@@ -127,6 +127,12 @@ class CrawlEngine:
             .repartition(int(n_part), "url")
             .localCheckpoint(eager=True)
         )
+        # POST-sensitive corpora carry response rows keyed "url>params"
+        # (CrawlPage.fetchUrl:135-141 "URL will change"); detect once so
+        # GET-only corpora keep the single-join fetch
+        self._form_sensitive = bool(
+            self.site_pages.filter(F.col("url").contains(">")).take(1)
+        )
         self.model = model
         self.workdir = workdir
         self.cfg = cfg or EngineConfig()
@@ -248,6 +254,7 @@ class CrawlEngine:
                 picked,
                 self.site_pages,
                 cfg.max_tries,
+                form_sensitive=self._form_sensitive,
             ).localCheckpoint(eager=True)
             if fetched.isEmpty():
                 rnd -= 1

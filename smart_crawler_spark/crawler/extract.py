@@ -46,18 +46,49 @@ def resolve_redirects(site_pages: DataFrame) -> DataFrame:
 
 
 def fetch_batch_resolved(
-    batch: DataFrame, resolved_pages: DataFrame, max_tries: int
+    batch: DataFrame,
+    resolved_pages: DataFrame,
+    max_tries: int,
+    form_sensitive: bool = False,
 ) -> DataFrame:
     """Join the batch with a redirect-resolved corpus: one equi-join.
 
     Returns the batch with content columns, ``final_url``, ``fetch_ok``
     and ``attempts`` (retries are column arithmetic — the reference
     re-fetches the same URL immediately up to ``max_tries``).
+
+    ``form_sensitive``: the corpus carries POST-response rows keyed
+    ``"url>params"`` (the reference POSTs the form params and the
+    response has its own content/URL, ``CrawlPage.fetchUrl:135-141``) —
+    form rows join on that key first and fall back to the plain url
+    (a corpus without the POST row answers every param set with the GET
+    page, the pre-round-3 behavior). GET-only corpora keep the single
+    equi-join.
     """
     pages = resolved_pages.select(
         "url", "redirect_to", "fetch_fail_n", *_CONTENT_COLS
     )
-    fetched = batch.join(pages, "url", "left")
+    if not form_sensitive:
+        fetched = batch.join(pages, "url", "left")
+    else:
+        pages_k = pages.withColumnRenamed("url", "_fk")
+        fp = F.coalesce(F.col("form_params"), F.lit(""))
+        b = batch.withColumn(
+            "_fk",
+            F.when(fp == "", F.col("url")).otherwise(
+                F.concat(F.col("url"), F.lit(">"), F.col("form_params"))
+            ),
+        )
+        j1 = b.join(pages_k, "_fk", "left")
+        miss_form = F.col("true_class").isNull() & (
+            F.col("_fk") != F.col("url")
+        )
+        hit1 = j1.filter(~miss_form).drop("_fk")
+        retry = j1.filter(miss_form).select(*batch.columns)
+        hit2 = retry.withColumn("_fk", F.col("url")).join(
+            pages_k, "_fk", "left"
+        ).drop("_fk")
+        fetched = hit1.unionByName(hit2)
     return (
         fetched.withColumn(
             "fetch_ok",

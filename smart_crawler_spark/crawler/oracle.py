@@ -110,7 +110,12 @@ def crawl_site(
     while len(queue) and fetched < max_pages:
         e = queue.next()
         seq += 1
-        page = pages.get(e.url)
+        # form fetches POST their params; a corpus with the POST-response
+        # row keyed "url>params" answers per-params (CrawlPage.fetchUrl:
+        # 135-141), else the GET page stands in for every param set
+        page = pages.get(e.url + ">" + e.form_params) if e.form_params else None
+        if page is None:
+            page = pages.get(e.url)
         ok = page is not None and page.get("fetch_fail_n", 0) < max_tries
         res.order.append(
             {"seq": seq, "url": e.url, "page_class": e.class_name, "fetched": ok}

@@ -144,6 +144,85 @@ def extract_schema(url: str, html: str) -> dict:
     }
 
 
+def _form_default_params(form: _Node) -> list[tuple[str, str]]:
+    """The form's default submit parameters in document order — the
+    subset of HtmlUnit's ``getParameterListForSubmit(null)`` semantics
+    the fixtures need (``XPathUtils.getFormParameters:65-78``): named
+    text-like inputs contribute their current value, checkboxes/radios
+    only when checked, textareas their text, selects their selected (or
+    first) option; submit/button/image/reset/file never contribute."""
+    out: list[tuple[str, str]] = []
+    for n in _all_nodes(form):
+        attrs = dict(n.attrs)
+        name = attrs.get("name")
+        if not name:
+            continue
+        if n.tag == "input":
+            itype = (attrs.get("type") or "text").lower()
+            if itype in ("submit", "button", "image", "reset", "file"):
+                continue
+            if itype in ("checkbox", "radio"):
+                if "checked" in attrs:
+                    out.append((name, attrs.get("value", "on")))
+                continue
+            out.append((name, attrs.get("value", "")))
+        elif n.tag == "textarea":
+            out.append((name, " ".join(n.texts)))
+        elif n.tag == "select":
+            options = [c for c in _all_nodes(n) if c.tag == "option"]
+            chosen = next(
+                (o for o in options if "selected" in dict(o.attrs)), None
+            ) or (options[0] if options else None)
+            if chosen is not None:
+                oattrs = dict(chosen.attrs)
+                out.append((name, oattrs.get("value", " ".join(chosen.texts))))
+    return out
+
+
+def form_post_link(url: str, html: str, spec: str) -> str | None:
+    """E2/S3: evaluate a form-link xpath spec against a page and encode
+    the future POST as ``"url>name=value;name=value;..."``.
+
+    The spec is the reference's form-link dialect
+    (``targets/form_filling_target.csv``):
+    ``formXPath,inputXPath:value,...`` — the form's default submit
+    parameters come first, then one appended (name, value) per
+    inputXPath:value pair (``XPathUtils.getFormParameters:65-78``). The
+    POST goes to the CURRENT page's url, params joined with ';' and a
+    trailing ';', exactly like ``CrawlPage.getOutLinks:158-166``.
+    Returns None when no form on the page matches formXPath."""
+    parts = spec.split(",")
+    tb = _TreeBuilder()
+    tb.feed(html)
+    form = next(
+        (
+            n
+            for n in _all_nodes(tb.root)
+            if n.tag == "form" and xpath_struct_match(parts[0], _finest(n))
+        ),
+        None,
+    )
+    if form is None:
+        return None
+    params = _form_default_params(form)
+    for extra in parts[1:]:
+        xp, _, value = extra.rpartition(":")
+        want = xp[2:] if xp.startswith("./") else xp
+        node = next(
+            (
+                n
+                for n in _all_nodes(form)
+                if n is not form and xpath_struct_match(want, _finest(n))
+            ),
+            None,
+        )
+        if node is not None:
+            name = dict(node.attrs).get("name")
+            if name:
+                params.append((name, value))
+    return url + ">" + "".join(f"{n}={v};" for n, v in params)
+
+
 def extract_page_schemas(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from smart_crawler_spark.modeler.schema import (
     extract_record,
     extract_schema,
+    form_post_link,
 )
 
 CORPUS_SCHEMA = (
@@ -66,6 +67,9 @@ def corpus_rows_from_html(pages: list[dict], model) -> list[dict]:
     the fetched page's class, like the reference's per-class DataType
     dispatch)."""
     dls = sorted({(d["xpath"], d["dtype"]) for d in model.data_links})
+    form_specs = sorted(
+        {e["xpath"] for e in model.class_links if e["link_type"] == "form"}
+    )
     rows = []
     for p in pages:
         s = extract_schema(p["url"], p["html"])
@@ -76,6 +80,13 @@ def corpus_rows_from_html(pages: list[dict], model) -> list[dict]:
             )
             vals = {xp: v for (xp, _dt), v in zip(dls, rec) if v}
         host = p["url"].split("://", 1)[-1].split("/", 1)[0].lower()
+        out_links = expand_link_keys(s["out_links"], s["href_map"])
+        # form links (S3/E2): a matching form becomes one POST-encoded
+        # out-link under the spec key, like CrawlPage.getOutLinks:158-166
+        for spec in form_specs:
+            href = form_post_link(p["url"], p["html"], spec)
+            if href is not None:
+                out_links[spec] = [href]
         rows.append(
             {
                 "url": p["url"],
@@ -83,7 +94,7 @@ def corpus_rows_from_html(pages: list[dict], model) -> list[dict]:
                 "title": p["title"],
                 "true_class": "html",  # fetch_ok marker: page exists
                 "link_schema": s["link_schema"],
-                "out_links": expand_link_keys(s["out_links"], s["href_map"]),
+                "out_links": out_links,
                 "data_values": vals,
                 "image_id": None,
                 "caption_xpath": None,
