@@ -24,8 +24,12 @@ final seen set, and all extracted records against this oracle.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
+
+_HREF_XP_RE = re.compile(r'^(.*)\[@href="(.*)"\]$')
+_POS_XP_RE = re.compile(r"^\((.*)\)\[\d+\]$")
 
 from smart_crawler_spark.sources.targets import NavigationModel
 
@@ -129,8 +133,26 @@ def crawl_site(
             page = pages.get(final, page)
         else:
             final = e.url
+        out = page.get("out_links", {})
         for edge in links_by_class.get(e.class_name, []):
-            for href in page.get("out_links", {}).get(edge["xpath"], []):
+            hrefs = out.get(edge["xpath"])
+            if hrefs is None and edge.get("link_type") == "menu":
+                # href-predicated menu items (MenuItem.getXpath) classify
+                # by (base xpath, href value) — the mirror of the Spark
+                # engine's by_href join (crawler/extract.py) for corpora
+                # that key out_links by the base xpath only
+                m = _HREF_XP_RE.fullmatch(edge["xpath"])
+                if m:
+                    base, href = m.groups()
+                    cand = list(out.get(base, []))
+                    for k, v in out.items():
+                        # positional corpus keys "(base)[i]" share the
+                        # base (the engine strips them the same way)
+                        pm = _POS_XP_RE.fullmatch(k)
+                        if pm and pm.group(1) == base:
+                            cand.extend(v)
+                    hrefs = [h for h in cand if h == href]
+            for href in hrefs or []:
                 enqueue(href, edge["dst_class"])
         dls = data_by_class.get(e.class_name)
         if dls:
