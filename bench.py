@@ -70,6 +70,39 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _calib_spark(spark) -> float:
+    """Fixed-cost Spark shuffle+agg kernel (constant input, constant
+    plan): its wall time moves ONLY with the VM/JVM phase, so a slow
+    crawl sample next to a slow calib sample is machine noise, while a
+    slow crawl next to a clean calib is a code regression."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    (
+        spark.range(20_000_000)
+        .select(F.xxhash64("id").alias("h"))
+        .groupBy(F.pmod("h", F.lit(997)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
+        .count()
+    )
+    return time.monotonic() - t0
+
+
+def _calib_cpu() -> float:
+    """Fixed-cost raw-CPU kernel (numpy matmul chain) — separates
+    'whole box slow' from 'Spark/shuffle path slow, CPU fine', the
+    documented shape of this VM's slow phases (BASELINE.md)."""
+    import numpy as np
+
+    a = np.random.Generator(np.random.PCG64(1)).standard_normal((512, 512))
+    t0 = time.monotonic()
+    for _ in range(24):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    assert a.shape == (512, 512)
+    return time.monotonic() - t0
+
+
 def bench_crawl(spark) -> dict[str, float]:
     """Crawl throughput: drain a synthetic multi-host site with a real
     engine run (politeness budget = 200/host/round), and time the
@@ -129,11 +162,21 @@ def bench_crawl(spark) -> dict[str, float]:
     pages = generate_site_pages(spark, cfg).localCheckpoint()
     total_pages = pages.count()
     model = load_target_tsv(target_tsv(cfg))
-    # best-of-2: this VM shows ±40% run-to-run variance (cloud noisy
-    # neighbor, documented in BASELINE.md) — the better draw estimates
-    # machine capability; both raw values are reported
+    # best-of-2 with an INTERLEAVED fixed-cost calibration kernel: this
+    # VM shows ±40% run-to-run variance (cloud noisy neighbor,
+    # documented in BASELINE.md); the calib samples bracketing each
+    # crawl run make a slow phase visible in the JSON itself — a slow
+    # crawl flanked by slow calib is machine noise, a slow crawl with
+    # clean calib would be a real regression
     runs = []
+    calib = {"spark_sec": [], "cpu_sec": []}
+
+    def _sample_calib():
+        calib["spark_sec"].append(round(_calib_spark(spark), 3))
+        calib["cpu_sec"].append(round(_calib_cpu(), 3))
+
     for _ in range(2):
+        _sample_calib()
         workdir = tempfile.mkdtemp(prefix="bench_crawl_")
         try:
             eng = CrawlEngine(
@@ -148,8 +191,10 @@ def bench_crawl(spark) -> dict[str, float]:
             runs.append((crawl_sec, fetched, res.rounds))
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+    _sample_calib()
     crawl_sec, fetched, rounds = min(runs)
     return {
+        "calib": calib,
         "dedup_ops_per_sec": round(n_cand / dedup_sec),
         "dedup_sec": round(dedup_sec, 3),
         "dedup_bloom_ops_per_sec": round(n_cand / bloom_sec),

@@ -327,22 +327,25 @@ class CrawlEngine:
                     new.select(*frontier.columns)
                 ).localCheckpoint(eager=True)
 
-            def _update_seen():
-                # redirect targets join the seen set (E8: the adopted
-                # final URL is treated as visited, CrawlPage.java:55,140-141)
-                redirect_hashes = fetched_ok.filter(
-                    F.col("redirect_to").isNotNull()
-                ).select(url_seen_key(F.col("final_url")).alias("url_hash"))
-                seen_filter.add(
-                    new.select("url_hash").unionByName(redirect_hashes)
-                )
-                seen_filter.materialize()
-
-            with ThreadPoolExecutor(2) as pool:
+            # redirect targets join the seen set (E8: the adopted final
+            # URL is treated as visited, CrawlPage.java:55,140-141).
+            # add() is lazy plan-building; the eager checkpoints it
+            # requires run as separate pool jobs below so the seen table
+            # and the bitmaps (when maintained) materialize concurrently
+            # with the frontier union instead of serializing
+            redirect_hashes = fetched_ok.filter(
+                F.col("redirect_to").isNotNull()
+            ).select(url_seen_key(F.col("final_url")).alias("url_hash"))
+            seen_filter.add(
+                new.select("url_hash").unionByName(redirect_hashes)
+            )
+            seen_jobs = seen_filter.materialize_jobs()
+            with ThreadPoolExecutor(1 + len(seen_jobs)) as pool:
                 f_front = pool.submit(_next_frontier)
-                f_seen = pool.submit(_update_seen)
+                f_seen = [pool.submit(j) for j in seen_jobs]
                 frontier = f_front.result()
-                f_seen.result()
+                for f in f_seen:
+                    f.result()
 
             if capped:
                 total_attempted += n_batch

@@ -378,9 +378,27 @@ class SeenFilter:
 
     def materialize(self) -> None:
         """Cut lineage (call per crawl round; checkpointing persists instead)."""
-        self.seen = self.seen.localCheckpoint(eager=True)
+        for job in self.materialize_jobs():
+            job()
+
+    def materialize_jobs(self) -> list:
+        """The materialize step as independent thunks (one per state
+        table) so an iterative caller can run them in its round-tail
+        thread pool instead of serializing two eager checkpoints —
+        seen and bitmaps depend only on the already-checkpointed round
+        input, never on each other."""
+
+        def _seen():
+            self.seen = self.seen.localCheckpoint(eager=True)
+
+        jobs = [_seen]
         if self.blooms is not None:
-            self.blooms = self.blooms.localCheckpoint(eager=True)
+
+            def _blooms():
+                self.blooms = self.blooms.localCheckpoint(eager=True)
+
+            jobs.append(_blooms)
+        return jobs
 
 
 def dedup_new_urls(
