@@ -257,7 +257,13 @@ class SeenFilter:
         def probe(_key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
             keys = cand_pdf["url_hash"].to_numpy()
             if bloom_pdf.empty:
-                maybe = np.zeros(len(keys), dtype=np.int32)
+                # a shard with NO bitmap must fall through to the exact
+                # anti-join (maybe=1): if the shard truly has no seen
+                # keys that join is free, and if the bitmap is missing
+                # for any other reason (e.g. shard-count mismatch),
+                # answering "definitely new" would be a FALSE NEGATIVE —
+                # the one error class a seen prefilter must never make
+                maybe = np.ones(len(keys), dtype=np.int32)
             else:
                 maybe = probe_fn(
                     bloom_pdf["bitmap"].iloc[0], keys.astype(np.uint64), cfg

@@ -158,3 +158,25 @@ def test_seen_filter_lazy_activation(spark):
     # post-activation adds maintain incrementally again
     sf.add(cand.select("url_hash"))
     assert sf.filter_new(cand).count() == 0
+
+
+def test_cogroup_probe_missing_bitmap_is_safe(spark):
+    """A shard with no bitmap must fall through to the exact anti-join,
+    never answer 'definitely new' — a missing bitmap that skipped the
+    join would be a false negative (re-crawled page). Forced onto the
+    cogroup layout, with one shard's bitmap deleted."""
+    from pyspark.sql import functions as F
+
+    from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
+
+    sf = SeenFilter(spark, BloomConfig(shards=8), use_bloom=True)
+    sf.BROADCAST_BLOOM_MAX_BYTES = 1  # force the cogroup probe
+    seen = spark.range(0, 20_000).select(F.xxhash64("id").alias("url_hash"))
+    sf.add(seen)
+    sf.materialize()
+    sf.blooms = sf.blooms.filter(F.col("shard") != 3)
+    cand = spark.range(10_000, 30_000).select(
+        F.col("id").alias("cand_id"), F.xxhash64("id").alias("url_hash")
+    )
+    got = {r["cand_id"] for r in sf.filter_new(cand).collect()}
+    assert got == set(range(20_000, 30_000))
