@@ -728,13 +728,15 @@ def streaming_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_ts"
             ),
         )
-        rows: list = []
+        # micro-batch output goes to a parquet sink (the production
+        # pattern — never accumulate batches driver-side via collect)
+        sink = f"{base}/sink"
 
         def run_wave() -> None:
             q = (
                 host_rate_state(read_candidate_stream(spark, cand_dir))
                 .writeStream.foreachBatch(
-                    lambda df, _id: rows.extend(df.collect())
+                    lambda df, _id: df.write.mode("append").parquet(sink)
                 )
                 .option("checkpointLocation", ckpt)
                 .outputMode("update")
@@ -751,19 +753,27 @@ def streaming_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).repartition(8).write.mode("append").json(cand_dir)
         run_wave()
 
-        final: dict = {}
-        for r in rows:
-            cur = final.get(r["host"])
-            if cur is None or r["n_urls"] > cur["n_urls"]:
-                final[r["host"]] = r
-        out = spark.createDataFrame(list(final.values()))
-        return out.select(
+        from pyspark.sql import Window
+
+        # latest emission per host = the row with the largest cumulative
+        # counter (each wave's emission strictly grows n_urls)
+        w = Window.partitionBy("host").orderBy(
+            F.col("n_urls").desc(), F.col("last_ts").desc()
+        )
+        out = (
+            spark.read.parquet(sink)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out = out.select(
             "host",
             "n_urls",
             "first_ts",
             "last_ts",
             F.round("mean_gap_s", 4).alias("mean_gap_s"),
-        ).orderBy("host")
+        ).orderBy("host").localCheckpoint(eager=True)
+        return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
