@@ -920,6 +920,29 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("video_id", "frame_no")
 
 
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload pipeline (third multimodal leg beside images and
+    video): generate deterministic 16-bit PCM WAV clips distributed
+    (datagen/audio.py — an INTEGER sawtooth, so every sample is exactly
+    reproducible in SQL), decode each payload and extract windowed
+    features (RMS, zero-crossing rate, peak, DC sum) in Arrow-batched
+    mapInPandas (operators/audio.py, functions/wav.py). Unlike the
+    image/video gates (generation-rule oracles), this oracle recomputes
+    the FEATURE VALUES themselves in DuckDB from the closed-form sample
+    generator — a full value-matching check of the decode + windowing +
+    feature math. ``ok`` additionally pins the lossless PCM roundtrip
+    (decoded sample sum == stored checksum)."""
+    from smart_crawler_spark.datagen.audio import generate_audio
+    from smart_crawler_spark.operators.audio import (
+        audio_features as extract_features,
+    )
+
+    clips = generate_audio(spark, 100)
+    return extract_features(clips, window=800).orderBy(
+        "clip_id", "window_no"
+    )
+
+
 def supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-chain broadcast joins (supplier ⋈ nation ⋈ region) +
     per-region stats with an arg-max top supplier — touches every
@@ -1148,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
         "video_frame_sample": video_frame_sample,
+        "audio_features": audio_features,
         "supplier_region_stats": supplier_region_stats,
         "skew_salted_agg": skew_salted_agg,
         "q17_small_quantity": q17_small_quantity,
@@ -1645,6 +1669,31 @@ def oracle_sql() -> dict[str, str]:
                    true AS psnr_ok
             FROM range(60) t(v), (VALUES (0), (5), (10)) s(f)
             ORDER BY video_id, frame_no
+        """,
+        "audio_features": """
+            WITH params AS (
+                SELECT a, 40 + (a % 25) * 8 AS p,
+                       12000 + (a % 5) * 3000 AS amp
+                FROM range(100) c(a)
+            ),
+            s AS (
+                SELECT a, t, CAST(t // 800 AS INT) AS win,
+                       ((t % p) * 2 * amp) // (p - 1) - amp AS v
+                FROM params, range(4000) ts(t)
+            ),
+            l AS (
+                SELECT a, win, v,
+                       lag(v) OVER (PARTITION BY a, win ORDER BY t) AS pv
+                FROM s
+            )
+            SELECT 'clip' || a AS clip_id, win AS window_no,
+                   round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4) AS rms,
+                   CAST(count(*) FILTER (WHERE v * pv < 0) AS INT) AS zcr,
+                   CAST(max(abs(v)) AS INT) AS peak,
+                   CAST(sum(v) AS BIGINT) AS sum_amp,
+                   true AS ok
+            FROM l GROUP BY a, win
+            ORDER BY clip_id, window_no
         """,
         "supplier_region_stats": """
             WITH j AS (
