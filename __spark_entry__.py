@@ -26,6 +26,7 @@ from smart_crawler_spark.frontier.canonical import (  # noqa: E402
     url_host,
 )
 from smart_crawler_spark.operators import minhash, simsearch, textops  # noqa: E402
+from smart_crawler_spark.operators.components import dedup_groups  # noqa: E402
 
 # --------------------------------------------------------------------------
 # helpers
@@ -398,6 +399,23 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.minhash_near_dup_pairs(
         docs, threshold=0.8, num_perm=64, bands=16
     ).orderBy("id_a", "id_b")
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup GROUPS: connected components over the
+    MinHash-LSH pair graph (component = min reachable doc_id), every
+    doc labelled, singletons included — the survivor-set shape an
+    exact-once training-data dedup needs. Oracle recomputes the exact
+    >=0.8-Jaccard edge set in SQL and walks it with a recursive CTE, so
+    the component labelling must match exactly (the LSH config is
+    recall-1.0 at gate scale, same as minhash_near_dup)."""
+    docs = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 1000
+    )
+    pairs = minhash.minhash_near_dup_pairs(
+        docs, threshold=0.8, num_perm=64, bands=16
+    )
+    return dedup_groups(pairs, docs).orderBy("doc_id")
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": distinct_counts,
         "event_pivot": event_pivot,
         "minhash_near_dup": minhash_near_dup,
+        "near_dup_components": near_dup_components,
         "simhash_near_dup": simhash_near_dup,
         "lsh_embedding_topk": lsh_embedding_topk,
         "ivf_embedding_topk": ivf_embedding_topk,
@@ -1822,6 +1841,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "near_dup_components": f"""
+            WITH RECURSIVE ws AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM ({doubled})
+                WHERE doc_id % 100000 < 1000
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                 generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM ws
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 AND len(a.s) * 5 >= len(b.s) * 4
+                 AND len(b.s) * 5 >= len(a.s) * 4
+                WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL
+                SELECT id_b AS s, id_a AS d FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT doc_id, doc_id FROM ws
+                UNION
+                SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+            )
+            SELECT a AS doc_id, min(b) AS component
+            FROM reach GROUP BY a ORDER BY doc_id
         """,
         "simhash_near_dup": f"""
             WITH toks AS (

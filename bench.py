@@ -193,8 +193,16 @@ def bench_crawl(spark) -> dict[str, float]:
             shutil.rmtree(workdir, ignore_errors=True)
     _sample_calib()
     crawl_sec, fetched, rounds = min(runs)
+    # noise-normalized metric: crawl time in units of the fixed-cost
+    # Spark calib kernel. A slow VM phase inflates numerator and
+    # denominator together, so this ratio is comparable ACROSS rounds
+    # even when wall-clock is not (BASELINE.md documents the clean-phase
+    # calib ≈ 0.6 s; ratio ≈ crawl_sec/0.6 on a clean box).
+    calib_med = sorted(calib["spark_sec"])[len(calib["spark_sec"]) // 2]
     return {
         "calib": calib,
+        "calib_spark_med": calib_med,
+        "crawl_calib_ratio": round(crawl_sec / calib_med, 1),
         "dedup_ops_per_sec": round(n_cand / dedup_sec),
         "dedup_sec": round(dedup_sec, 3),
         "dedup_bloom_ops_per_sec": round(n_cand / bloom_sec),

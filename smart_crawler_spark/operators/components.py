@@ -1,0 +1,125 @@
+"""Distributed connected components over a pair/edge table.
+
+The near-dup operators (minhash/simhash/phash/embedding) emit PAIRS;
+a training-data dedup pipeline needs GROUPS — one canonical survivor
+per duplicate cluster. That is connected components over the pair
+graph: component id = min doc id reachable.
+
+Algorithm: iterative min-label propagation with one pointer-jumping
+step per round (comp <- label(comp)), all as DataFrame joins/aggs:
+
+  round:  comp(v) <- min(comp(v), min_{u in N(v)} comp(u))   # 1 shuffle agg + join
+          comp(v) <- comp(comp(v))                           # pointer jump, 1 join
+
+Plain propagation needs O(diameter) rounds; the jump step halves the
+remaining label-tree depth each round, giving O(log diameter) — for
+near-dup clusters (near-cliques, diameter <= 3) this converges in 1-2
+rounds. For adversarial long-path graphs at 10^10-edge scale the
+published alternative is the large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+same join/agg primitives, O(log^2 n) rounds; the propagation loop here
+keeps the per-round plan smaller, which wins at bounded diameter.
+
+Loop state is eagerly localCheckpoint-ed every round (lazy checkpoints
+re-plan the whole lineage per action — measured 2x slower in the crawl
+engine; see BASELINE.md). Convergence = zero labels changed.
+
+Reference parity note: the reference collapses near-dup page classes
+agglomeratively on the driver (modeler/DynamicModeler.java:217-241);
+this operator is the distributed analogue used by the training-data
+dedup queries, where clusters live in a billion-row pair table instead
+of a dozen-class list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Return (id, component) with component = min reachable node id.
+
+    `edges` is an undirected pair list (each pair listed once in either
+    orientation). `nodes` optionally supplies the node universe (column
+    `node_col`) so isolated nodes appear as singleton components — a
+    dedup pipeline needs the non-duplicated docs in the output too.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    if nodes is None:
+        universe = e.select(F.col("s").alias("id")).distinct()
+    else:
+        universe = nodes.select(F.col(node_col).alias("id")).distinct()
+    lab = universe.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    e = e.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label over neighbours (map-side partial agg, then join)
+        nbr = (
+            e.join(lab.withColumnRenamed("id", "d_id"), e.d == F.col("d_id"))
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            lab.join(nbr, lab.id == nbr.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+        )
+        # pointer jump: comp <- label(comp). Labels only ever shrink, so
+        # following one hop through the label table is always sound and
+        # halves the remaining depth of the min-label tree.
+        jump = stepped.select(
+            F.col("id").alias("j_id"), F.col("comp").alias("j_comp")
+        )
+        new_lab = (
+            stepped.join(jump, stepped.comp == jump.j_id)
+            .select("id", F.col("j_comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, component): every doc labelled with
+    its cluster's canonical (minimum) id; non-duplicated docs are
+    singleton components of themselves. Keeping `component == doc_id`
+    rows is the survivor set of an exact-once dedup."""
+    comp = connected_components(
+        pairs.select(pair_a, pair_b),
+        nodes=docs.select(id_col),
+        src=pair_a,
+        dst=pair_b,
+        node_col=id_col,
+    )
+    return comp.select(F.col("id").alias(id_col), "comp").withColumnRenamed(
+        "comp", "component"
+    )
