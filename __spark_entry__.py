@@ -1139,6 +1139,49 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join at scale (operators/relational.py
+    range_join): each purchase event opens a ±5-minute attribution
+    window; every click landing inside a window pairs with it. The
+    operator bucketizes both sides onto fixed 300-s time bins and
+    equi-joins on the bin — shuffle volume is rows × ~2, never the
+    |clicks| × |purchases| cartesian a theta-join would plan."""
+    from smart_crawler_spark.operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("hi"),
+    )
+    out = range_join(clicks, purchases, "click_ts", "lo", "hi", bin_width_s=300)
+    return out.select("click_id", "purchase_id").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/relational.py
+    stratified_sample): hash-threshold draw per o_orderstatus stratum.
+    Map-side only — no shuffle, no RNG state — and the md5-derived
+    uniform is engine-reproducible, so DuckDB selects the exact same
+    rows (hash-exact oracle, unlike df.sample whose output depends on
+    partition layout)."""
+    from smart_crawler_spark.operators.relational import stratified_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    out = stratified_sample(
+        orders, "o_orderstatus", "o_orderkey",
+        {"F": 0.25, "O": 0.10, "P": 0.50},
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -1200,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_quartiles": ntile_quartiles,
         "price_percentiles": price_percentiles,
         "hourly_event_windows": hourly_event_windows,
+        "interval_range_join": interval_range_join,
+        "stratified_sample": stratified_sample_orders,
     }
 
 
@@ -1814,6 +1859,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY win_start, event_type
+        """,
+        "interval_range_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT event_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id,
+                         ts - INTERVAL 5 MINUTE AS lo,
+                         ts + INTERVAL 5 MINUTE AS hi
+                  FROM events WHERE event_type = 'purchase') p
+              ON c.ts >= p.lo AND c.ts <= p.hi
+            ORDER BY click_id, purchase_id
+        """,
+        "stratified_sample": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                      ::BIGINT / 4294967296.0
+                  < CASE o_orderstatus
+                        WHEN 'F' THEN 0.25
+                        WHEN 'O' THEN 0.10
+                        WHEN 'P' THEN 0.50
+                        ELSE 0.0 END
+            ORDER BY o_orderkey
         """,
         "minhash_near_dup": f"""
             WITH ws AS (

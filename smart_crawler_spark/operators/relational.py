@@ -7,6 +7,11 @@ primitives (SURVEY §2.6 + pyspark guide 'Common OLAP patterns').
   explosion; scales as a single shuffle on (key, ts)).
 - ``pivot_counts``: dynamic pivot with a pinned column set (deterministic
   schema for oracle comparison).
+- ``bfs_depths``: iterative frontier-expansion BFS (SURVEY C10).
+- ``range_join``: interval-containment join bucketized on fixed-width
+  time bins — an equi-join, never a cartesian theta-join.
+- ``stratified_sample``: deterministic hash-threshold sampling per
+  stratum — map-side only, reproducible across engines.
 """
 
 from __future__ import annotations
@@ -108,6 +113,73 @@ def bfs_depths(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo_ts: str,
+    hi_ts: str,
+    bin_width_s: int = 300,
+) -> DataFrame:
+    """Interval-containment join (lo <= point <= hi) without a
+    theta-join cartesian: each interval explodes over the fixed-width
+    time bins it overlaps, each point maps to exactly one bin, the two
+    sides equi-join on the bin and the exact predicate filters inside
+    the join partition. Shuffle volume is
+    rows x (interval_span / bin_width + 1), never |L| x |R| — pick
+    bin_width on the order of the typical interval span so intervals
+    explode to ~2 bins. A point lands in one bin and every overlapped
+    bin of an interval is distinct, so a qualifying pair matches on
+    exactly one bin key — no post-join dedup needed."""
+    p = points.withColumn(
+        "_bin",
+        F.floor(F.unix_timestamp(F.col(point_ts)) / bin_width_s),
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_ts)) / bin_width_s),
+                F.floor(F.unix_timestamp(F.col(hi_ts)) / bin_width_s),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_bin")
+        .filter(
+            (F.col(point_ts) >= F.col(lo_ts))
+            & (F.col(point_ts) <= F.col(hi_ts))
+        )
+        .drop("_bin")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 8
+    hex digits of ``md5(key)`` — a uniform draw in [0, 2^32)
+    reproducible in any engine — fall below the stratum's fraction.
+    Pure map-side filter: no shuffle, no RNG state, no driver round
+    trip, so it scales linearly with input and yields the SAME sample
+    on every run, engine, and partitioning (unlike ``df.sample``, whose
+    output depends on partition layout). Strata missing from
+    ``fractions`` are dropped (fraction 0.0)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / float(1 << 32)
+    )
+    frac = F.create_map(
+        *[x for kv in fractions.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    return df.filter(u < F.coalesce(frac[F.col(stratum_col)], F.lit(0.0)))
 
 
 def pivot_counts(

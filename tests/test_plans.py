@@ -254,3 +254,17 @@ def test_lsh_band_shuffle_ships_ids_only(spark):
                     ), block
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+@needs_testdata
+def test_range_join_plans_as_equi_join(spark):
+    """The bucketized interval join must plan as an equi-join on the
+    time bin — never a BroadcastNestedLoopJoin/CartesianProduct, which
+    is what a naive theta-join (lo <= ts <= hi) degenerates to."""
+    import __spark_entry__ as entry
+
+    q = entry.interval_range_join(spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bin" in plan  # the equi-join key is the time bin

@@ -60,3 +60,71 @@ def test_band_buckets_udf_matches_expression(spark):
     exp = {r["vec_id"]: [r[f"b{b}"] for b in range(bands)] for r in expr_rows}
     for r in udf_rows:
         assert list(r["bk"]) == exp[r["vec_id"]], r["vec_id"]
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketized interval join == the brute-force theta join, including
+    inclusive endpoints and intervals spanning many bins."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=37 * i)) for i in range(200)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            # spans ~23 bins at bin_width=60
+            (0, base, base + dt.timedelta(seconds=1357)),
+            # single-bin interval
+            (1, base + dt.timedelta(seconds=500),
+             base + dt.timedelta(seconds=530)),
+            # endpoints exactly on point timestamps (37*10, 37*20)
+            (2, base + dt.timedelta(seconds=370),
+             base + dt.timedelta(seconds=740)),
+            # empty interval far away
+            (3, base + dt.timedelta(days=2),
+             base + dt.timedelta(days=2, seconds=10)),
+        ],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    from smart_crawler_spark.operators.relational import range_join
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "lo", "hi", bin_width_s=60
+        ).collect()
+    }
+    brute = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+    # inclusive endpoints really present
+    assert (10, 2) in got and (20, 2) in got
+    # no interval-3 matches
+    assert not any(i == 3 for _, i in got)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    """Same rows kept across runs and partitionings; per-stratum
+    fractions honored approximately; unknown strata dropped."""
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    from smart_crawler_spark.operators.relational import stratified_sample
+
+    fr = {"a": 0.5, "b": 0.1}
+    keep1 = {r["k"] for r in stratified_sample(df, "s", "k", fr).collect()}
+    keep2 = {
+        r["k"]
+        for r in stratified_sample(df.repartition(7, "s"), "s", "k", fr).collect()
+    }
+    assert keep1 == keep2  # layout-independent
+    n_a = sum(1 for k in keep1 if k % 3 == 0)
+    n_b = sum(1 for k in keep1 if k % 3 == 1)
+    assert not any(k % 3 == 2 for k in keep1)  # stratum 'c' dropped
+    assert abs(n_a / 1000 - 0.5) < 0.05
+    assert abs(n_b / 1000 - 0.1) < 0.03
