@@ -207,6 +207,15 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals (operators/textops.py): duplicate
+    uni/bi/tri-gram fractions per document. Map-only higher-order
+    Catalyst expressions — no shuffle, no Python."""
+    return textops.repetition_stats(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1245,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_windows": hourly_event_windows,
         "interval_range_join": interval_range_join,
         "stratified_sample": stratified_sample_orders,
+        "repetition_stats": repetition_stats,
     }
 
 
@@ -1859,6 +1869,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY win_start, event_type
+        """,
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, ws,
+                       list_transform(generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1]) AS bg,
+                       list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                           AS tg
+                FROM w
+            )
+            SELECT doc_id, len(ws) AS n_words,
+                   round(CASE WHEN len(ws) > 0 THEN
+                       1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                       ELSE 0.0 END, 6) AS dup_word_frac,
+                   round(CASE WHEN len(bg) > 0 THEN
+                       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                       ELSE 0.0 END, 6) AS dup_bigram_frac,
+                   round(CASE WHEN len(tg) > 0 THEN
+                       1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                       ELSE 0.0 END, 6) AS dup_trigram_frac
+            FROM g ORDER BY doc_id
         """,
         "interval_range_join": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id

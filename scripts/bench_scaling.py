@@ -10,7 +10,11 @@ bias. Jobs (the crawl hot path, sized so executor work dominates):
   links  — explode + broadcast-classify + intra-batch dedup on 2M pages
 
 Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
+                                       [--jobs dedup,topk,links,crawl]
 Prints one JSON line; also appended to BENCH_SCALING.jsonl.
+`--jobs` scopes the run — e.g. a crawl-only sample at a larger --scale,
+where per-round driver overhead (constant vs cluster size) amortizes
+to production-batch share without paying for 3x kernel reruns.
 """
 
 from __future__ import annotations
@@ -49,111 +53,121 @@ N_CAND = int(8_000_000 * scale)
 N_SEEN = N_CAND // 2
 N_FRONT = int(4_000_000 * scale)
 N_PAGES = int(2_000_000 * scale)
+jobs = set(os.environ.get("JOBS", "dedup,topk,links,crawl").split(","))
 out = {{}}
 
 # --- dedup: exact anti-join on xxhash64 keys, co-partitioned by shard ---
-from smart_crawler_spark.frontier.dedup import SeenFilter
-f = SeenFilter(spark, use_bloom=False)
-seen = spark.range(N_SEEN).select(
-    F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
-f.add(seen); f.materialize()
-cand = spark.range(N_CAND).select(
-    F.col("id"),
-    F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
-n, dt = timed(lambda: f.filter_new(cand))
-assert n == N_CAND - N_SEEN
-out["dedup"] = {{"rows": N_CAND, "sec": round(dt, 3),
-                 "rows_per_sec": round(N_CAND / dt)}}
+if "dedup" in jobs:
+    from smart_crawler_spark.frontier.dedup import SeenFilter
+    f = SeenFilter(spark, use_bloom=False)
+    seen = spark.range(N_SEEN).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
+    f.add(seen); f.materialize()
+    cand = spark.range(N_CAND).select(
+        F.col("id"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
+    n, dt = timed(lambda: f.filter_new(cand))
+    assert n == N_CAND - N_SEEN
+    out["dedup"] = {{"rows": N_CAND, "sec": round(dt, 3),
+                     "rows_per_sec": round(N_CAND / dt)}}
 
 # --- topk: skewed per-host priority selection (salted two-phase) --------
-front = spark.range(N_FRONT).select(
-    F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
-    F.when(F.col("id") % 5 == 0, F.lit("hot.test")).otherwise(
-        F.concat(F.lit("site"), (F.col("id") % 997))).alias("host"),
-    F.lit("detail").alias("page_class"),
-    (F.col("id") % 3).cast("int").alias("class_depth"),
-    F.lit("detail").alias("class_name"),
-    F.lit(None).cast("string").alias("form_params"),
-)
-from smart_crawler_spark.frontier.queue import pick_batch
-# WindowGroupLimit path (salt=0): map-side partial top-K, one shuffle —
-# measured 2.7x faster than the salted two-phase (see queue.py skew note)
-nb, dt = timed(lambda: pick_batch(front, budget_per_host=100, salt_buckets=0))
-out["topk"] = {{"rows": N_FRONT, "sec": round(dt, 3),
-                "rows_per_sec": round(N_FRONT / dt), "batch": nb}}
+if "topk" in jobs:
+    front = spark.range(N_FRONT).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 5 == 0, F.lit("hot.test")).otherwise(
+            F.concat(F.lit("site"), (F.col("id") % 997))).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    from smart_crawler_spark.frontier.queue import pick_batch
+    # WindowGroupLimit path (salt=0): map-side partial top-K, one shuffle —
+    # measured 2.7x faster than the salted two-phase (see queue.py skew note)
+    nb, dt = timed(lambda: pick_batch(front, budget_per_host=100, salt_buckets=0))
+    out["topk"] = {{"rows": N_FRONT, "sec": round(dt, 3),
+                    "rows_per_sec": round(N_FRONT / dt), "batch": nb}}
 
 # --- links: explode out-links + broadcast model classify + window dedup --
-pages = spark.range(N_PAGES).select(
-    F.lit("detail").alias("page_class"),
-    (F.col("id") % 3).cast("int").alias("class_depth"),
-    F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
-    F.concat(F.lit("site"), (F.col("id") % 997)).alias("host"),
-    F.create_map(
-        F.lit("//a[@x]"), F.array(
-            F.concat(F.lit("http://x/l"), F.col("id") % (N_PAGES // 2)),
-            F.concat(F.lit("http://x/l"), (F.col("id") + 1) % (N_PAGES // 2))),
-        F.lit("//a[@y]"), F.array(
-            F.concat(F.lit("http://x/m"), F.col("id") % 1000)),
-    ).alias("out_links"),
-)
-model = spark.createDataFrame(
-    [("detail", "//a[@x]", 0, "detail", 2), ("detail", "//a[@y]", 1, "dir", 1)],
-    "src_class string, xpath string, edge_pos int, dst_class string, dst_depth int",
-)
-from smart_crawler_spark.crawler.extract import extract_links
-from smart_crawler_spark.frontier.canonical import canonical_relative_url, url_seen_key
-from pyspark.sql.window import Window
-links = extract_links(pages, model)
-w = Window.partitionBy("host", "rel").orderBy("src_depth", "src_class", "src_url", "link_seq")
-deduped = (links
-    .withColumn("rel", canonical_relative_url(F.col("url"), F.col("form_params")))
-    .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    .withColumn("url_hash", url_seen_key(F.col("url"), F.col("form_params"))))
-nl, dt = timed(lambda: deduped)
-out["links"] = {{"rows": N_PAGES * 3, "sec": round(dt, 3),
-                 "rows_per_sec": round(N_PAGES * 3 / dt), "deduped": nl}}
+if "links" in jobs:
+    pages = spark.range(N_PAGES).select(
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.concat(F.lit("site"), (F.col("id") % 997)).alias("host"),
+        F.create_map(
+            F.lit("//a[@x]"), F.array(
+                F.concat(F.lit("http://x/l"), F.col("id") % (N_PAGES // 2)),
+                F.concat(F.lit("http://x/l"), (F.col("id") + 1) % (N_PAGES // 2))),
+            F.lit("//a[@y]"), F.array(
+                F.concat(F.lit("http://x/m"), F.col("id") % 1000)),
+        ).alias("out_links"),
+    )
+    model = spark.createDataFrame(
+        [("detail", "//a[@x]", 0, "detail", 2), ("detail", "//a[@y]", 1, "dir", 1)],
+        "src_class string, xpath string, edge_pos int, dst_class string, dst_depth int",
+    )
+    from smart_crawler_spark.crawler.extract import extract_links
+    from smart_crawler_spark.frontier.canonical import canonical_relative_url, url_seen_key
+    from pyspark.sql.window import Window
+    links = extract_links(pages, model)
+    w = Window.partitionBy("host", "rel").orderBy("src_depth", "src_class", "src_url", "link_seq")
+    deduped = (links
+        .withColumn("rel", canonical_relative_url(F.col("url"), F.col("form_params")))
+        .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        .withColumn("url_hash", url_seen_key(F.col("url"), F.col("form_params"))))
+    nl, dt = timed(lambda: deduped)
+    out["links"] = {{"rows": N_PAGES * 3, "sec": round(dt, 3),
+                     "rows_per_sec": round(N_PAGES * 3 / dt), "deduped": nl}}
 
 # --- crawl: end-to-end engine drain of a deterministic synthetic site ----
 # (the north-rule metric itself: fetched URLs/sec at both parallelism
 # levels; one timed run — the engine is round-based, rerunning it would
 # re-crawl, so no warm-up min-of-3 here)
-import tempfile, shutil
-from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
-from smart_crawler_spark.datagen.site import (SiteConfig, generate_site_pages,
-                                              target_tsv)
-from smart_crawler_spark.sources.targets import load_target_tsv
-# flat site (chain=1, fat dirs) so the detail round carries ~0.5M URLs:
-# per-round driver overhead (~constant vs cluster size) amortizes and the
-# measured scaling reflects the kernels, as it would at production batch
-# sizes (millions of URLs/round)
-site = SiteConfig(n_hosts=16, dirs=4, chain=1,
-                  details_per_page=int(8000 * scale), n_images=1000,
-                  skew_factor=2)
-pages = generate_site_pages(spark, site).localCheckpoint()
-n_pages = pages.count()
-workdir = tempfile.mkdtemp(prefix="scaling_crawl_")
-try:
-    eng = CrawlEngine(spark, pages, load_target_tsv(target_tsv(site)), workdir,
-                      EngineConfig(budget_per_host=int(70000 * scale),
-                                   salt_buckets=0, use_bloom=False))
-    t0 = time.monotonic()
-    res = eng.run([f"http://{{site.host(k)}}/" for k in range(site.n_hosts)])
-    dt = time.monotonic() - t0
-    fetched = res.order.filter("fetched").count()
-    assert fetched == n_pages, (fetched, n_pages)
-finally:
-    shutil.rmtree(workdir, ignore_errors=True)
-out["crawl"] = {{"rows": fetched, "sec": round(dt, 3),
-                 "rows_per_sec": round(fetched / dt),
-                 "rounds": res.rounds}}
+if "crawl" in jobs:
+    import tempfile, shutil
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.datagen.site import (SiteConfig, generate_site_pages,
+                                                  target_tsv)
+    from smart_crawler_spark.sources.targets import load_target_tsv
+    # flat site (chain=1, fat dirs) so the detail round carries ~0.5M URLs:
+    # per-round driver overhead (~constant vs cluster size) amortizes and the
+    # measured scaling reflects the kernels, as it would at production batch
+    # sizes (millions of URLs/round)
+    site = SiteConfig(n_hosts=16, dirs=4, chain=1,
+                      details_per_page=int(8000 * scale), n_images=1000,
+                      skew_factor=2)
+    pages = generate_site_pages(spark, site).localCheckpoint()
+    n_pages = pages.count()
+    workdir = tempfile.mkdtemp(prefix="scaling_crawl_")
+    try:
+        eng = CrawlEngine(spark, pages, load_target_tsv(target_tsv(site)), workdir,
+                          EngineConfig(budget_per_host=int(70000 * scale),
+                                       salt_buckets=0, use_bloom=False))
+        t0 = time.monotonic()
+        res = eng.run([f"http://{{site.host(k)}}/" for k in range(site.n_hosts)])
+        dt = time.monotonic() - t0
+        fetched = res.order.filter("fetched").count()
+        assert fetched == n_pages, (fetched, n_pages)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out["crawl"] = {{"rows": fetched, "sec": round(dt, 3),
+                     "rows_per_sec": round(fetched / dt),
+                     "rounds": res.rounds,
+                     "round_metrics": [
+                         {{k: v for k, v in m.items()
+                           if k in ("round", "batch", "sec", "sec_fetch",
+                                    "sec_sinks", "sec_state")}}
+                         for m in res.metrics]}}
 
 print("RESULT " + json.dumps(out))
 spark.stop()
 """
 
 
-def run_level(cpus: int, scale: float, repo: str) -> dict:
-    env = dict(os.environ, N_CPUS=str(cpus), SCALE=str(scale))
+def run_level(cpus: int, scale: float, repo: str, jobs: str) -> dict:
+    env = dict(os.environ, N_CPUS=str(cpus), SCALE=str(scale), JOBS=jobs)
     proc = subprocess.run(
         [sys.executable, "-c", JOB.format(repo=repo)],
         capture_output=True, text=True, env=env, timeout=1800,
@@ -198,12 +212,15 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cpus = [8, 32]
     scale = 1.0
+    jobs = "dedup,topk,links,crawl"
     for a in sys.argv[1:]:
         if a.startswith("--cpus"):
             cpus = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--scale"):
             scale = float(a.split("=", 1)[1])
-    results = {c: run_level(c, scale, repo) for c in cpus}
+        elif a.startswith("--jobs"):
+            jobs = a.split("=", 1)[1]
+    results = {c: run_level(c, scale, repo, jobs) for c in cpus}
     lo, hi = min(cpus), max(cpus)
     ideal = hi / lo
     calib = machine_calibration(cpus)
@@ -211,6 +228,7 @@ def main() -> None:
     report = {
         "cpus": cpus,
         "scale": scale,
+        "jobs": jobs,
         "levels": results,
         "machine": {
             "raw_cpu_speedup": round(machine_speedup, 2),

@@ -230,6 +230,7 @@ class CrawlEngine:
 
         while True:
             rnd += 1
+            t_rnd = time.monotonic()
             if auto_bloom:
                 cand_est = last_new if last_new is not None else seen_est
                 prefer_bloom = seen_est >= self.AUTO_BLOOM_RATIO * max(cand_est, 1)
@@ -319,6 +320,7 @@ class CrawlEngine:
                 f_records.result()
                 new, n_new = f_new.result()
                 host_stats, n_batch, n_ok = f_stats.result()
+            t_sinks = time.monotonic()
 
             # the frontier union and the seen-set update both depend only
             # on the checkpointed `new` — run them concurrently too
@@ -349,12 +351,18 @@ class CrawlEngine:
 
             if capped:
                 total_attempted += n_batch
+            # phase split for scaling attribution: fetch = pick+fetch
+            # checkpoint; sinks = the 4-way concurrent sink/links block
+            # (plus any snapshot); state = frontier-union ∥ seen-update
             m = {
                 "round": rnd,
                 "batch": n_batch,
                 "fetched": n_ok,
                 "new_urls": n_new,
                 "sec": time.monotonic() - t0,
+                "sec_fetch": round(t0 - t_rnd, 3),
+                "sec_sinks": round(t_sinks - t0, 3),
+                "sec_state": round(time.monotonic() - t_sinks, 3),
             }
             if auto_bloom:
                 m["dedup_path"] = "bloom" if prefer_bloom else "exact"

@@ -27,6 +27,12 @@ URLs, sharded so each partition owns its slice):
 
 Everything is vectorized: hashing is JVM ``xxhash64``; bloom probes are
 numpy bit ops over whole Arrow batches (no per-row Python).
+
+At rest the seen table should be *bucketed* by its join key so the
+exact layer's anti-join needs no Exchange on the seen side at all —
+``sources/bucketed.py`` provides that layout (Iceberg's
+``bucket(N, key)`` transform on a real cluster) and
+``tests/test_bucketed.py`` pins the no-Exchange plan.
 """
 
 from __future__ import annotations

@@ -122,6 +122,7 @@ def range_join(
     lo_ts: str,
     hi_ts: str,
     bin_width_s: int = 300,
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Interval-containment join (lo <= point <= hi) without a
     theta-join cartesian: each interval explodes over the fixed-width
@@ -132,7 +133,9 @@ def range_join(
     bin_width on the order of the typical interval span so intervals
     explode to ~2 bins. A point lands in one bin and every overlapped
     bin of an interval is distinct, so a qualifying pair matches on
-    exactly one bin key — no post-join dedup needed."""
+    exactly one bin key — no post-join dedup needed. ``extra_keys``
+    (columns present on both sides, e.g. a user id) join alongside the
+    bin, tightening shuffle partitioning to (key, bin)."""
     p = points.withColumn(
         "_bin",
         F.floor(F.unix_timestamp(F.col(point_ts)) / bin_width_s),
@@ -147,7 +150,7 @@ def range_join(
         ),
     )
     return (
-        p.join(i, "_bin")
+        p.join(i, ["_bin"] + (extra_keys or []))
         .filter(
             (F.col(point_ts) >= F.col(lo_ts))
             & (F.col(point_ts) <= F.col(hi_ts))

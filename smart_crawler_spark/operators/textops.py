@@ -5,7 +5,8 @@ no Python in the hot path). Each has a DuckDB-SQL oracle in
 
 Operators: exact dedup (hash-groupBy), n-gram/word-set Jaccard near-dup
 pair join, token counting (whitespace + BPE-ish regex), language-ID
-heuristic, quality scoring, document fingerprinting.
+heuristic, quality scoring, document fingerprinting, within-document
+repetition stats (duplicate n-gram fractions, Gopher-rule family).
 """
 
 from __future__ import annotations
@@ -87,6 +88,59 @@ def jaccard_near_dup_pairs(
             "id_a", "id_b", F.round(sim, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _word_list(col: Column | str) -> Column:
+    """Ordered (non-distinct) lowercase word tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Overlapping word n-grams as space-joined strings (empty array
+    below n words — guards Spark's descending sequence(1,0))."""
+    if n == 1:
+        return words
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals for quality filtering (the
+    Gopher-rules family: fraction of duplicate uni/bi/tri-grams).
+    A high duplicate-n-gram fraction marks boilerplate/spam pages.
+
+    Linear per document (array_distinct, no quadratic top-n-gram scan)
+    and pure Catalyst higher-order functions — whole-stage codegen, no
+    Python, no shuffle: scales as a map-only pass over the corpus."""
+
+    def dup_frac(g: Column) -> Column:
+        return F.round(
+            F.when(
+                F.size(g) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    words = _word_list(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        dup_frac(words).alias("dup_word_frac"),
+        dup_frac(_ngrams(words, 2)).alias("dup_bigram_frac"),
+        dup_frac(_ngrams(words, 3)).alias("dup_trigram_frac"),
     )
 
 

@@ -81,6 +81,7 @@ def test_textops_stay_jvm_side(spark):
         textops.language_id,
         textops.quality_score,
         textops.fingerprint,
+        textops.repetition_stats,
     ):
         plan = _plan(fn(docs))
         # no Python in the hot path (higher-order array fns are JVM-side
