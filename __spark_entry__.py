@@ -1148,6 +1148,35 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style approximate percentiles (percentile_approx — the
+    sketch path for 10^10-row quantiles, where exact percentile sorts
+    every group). Same tolerance-oracle pattern as approx_distinct_hll:
+    percentile_approx(accuracy=A) guarantees rank error <= n/A, so each
+    approx value must lie between the exact interpolated quantiles at
+    p ± 2/A; the output carries the exact median plus per-percentile
+    ``ok`` booleans, the oracle states exact values and ok=true."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 1000
+    d = 2.0 / acc
+    aggs = [
+        F.percentile_approx("l_extendedprice", p, acc).alias(f"_a{i}")
+        for i, p in enumerate((0.5, 0.9, 0.99))
+    ] + [
+        F.percentile("l_extendedprice", p).alias(f"_x{i}")
+        for i, p in enumerate((0.5 - d, 0.5 + d, 0.9 - d, 0.9 + d,
+                               0.99 - d, 0.99 + d))
+    ]
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("_x0"), 4).alias("p50_lo"),
+        (F.col("_a0").between(F.col("_x0"), F.col("_x1"))).alias("p50_ok"),
+        (F.col("_a1").between(F.col("_x2"), F.col("_x3"))).alias("p90_ok"),
+        (F.col("_a2").between(F.col("_x4"), F.col("_x5"))).alias("p99_ok"),
+    ).orderBy("l_returnflag")
+
+
 def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join at scale (operators/relational.py
     range_join): each purchase event opens a ±5-minute attribution
@@ -1255,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_range_join": interval_range_join,
         "stratified_sample": stratified_sample_orders,
         "repetition_stats": repetition_stats,
+        "approx_quantiles": approx_quantiles,
     }
 
 
@@ -1869,6 +1899,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY win_start, event_type
+        """,
+        "approx_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.498), 4) AS p50_lo,
+                   true AS p50_ok, true AS p90_ok, true AS p99_ok
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "repetition_stats": """
             WITH w AS (

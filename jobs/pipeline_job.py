@@ -1,0 +1,130 @@
+"""spark-submit entry point: the training-data pipeline over a document
++ embedding corpus (the LLM-data operators as one deployable job).
+
+Cluster:
+    python scripts/package.py
+    spark-submit --master <cluster> --py-files dist/smart_crawler_spark.zip \
+        jobs/pipeline_job.py --input /data/sf100 --output hdfs:///tmp/pipe \
+        --stages dedup,minhash,quality,ann
+
+Local smoke:
+    python jobs/pipeline_job.py --input /root/testdata/sf0.01 \
+        --output /tmp/pipe_job --stages dedup,quality
+
+Reads ``documents.parquet`` / ``embeddings.parquet`` under --input,
+writes one parquet directory per stage under --output, prints one JSON
+line of per-stage row counts and wall seconds. Stages:
+
+  dedup    exact duplicate groups (hash-groupBy) + MinHash-LSH near-dup
+           pairs collapsed to survivor groups (connected components)
+  minhash  the raw near-dup pair table (banded LSH + exact verify)
+  quality  language-ID + quality score + token stats + repetition stats,
+           one joined table (all map-only column expressions)
+  ann      LSH-bucketed cosine top-k of each planted query vector
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "smart_crawler_spark")):
+    sys.path.insert(0, _repo)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="dir with documents.parquet"
+                   " / embeddings.parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--stages", default="dedup,quality")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+    stages = set(args.stages.split(","))
+
+    from pyspark.sql import functions as F
+
+    from smart_crawler_spark.operators import textops
+    from smart_crawler_spark.session import spark_session
+
+    spark = spark_session(app_name="pipeline-job", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
+    report: dict = {"stages": {}}
+
+    def run(name: str, df_factory):
+        t0 = time.monotonic()
+        out = df_factory()
+        dest = os.path.join(args.output, name)
+        out.write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        report["stages"][name] = {
+            "rows": n, "sec": round(time.monotonic() - t0, 3), "path": dest,
+        }
+
+    if "dedup" in stages:
+        run("exact_dedup", lambda: textops.exact_dedup(docs))
+
+        def _groups():
+            from smart_crawler_spark.operators.components import (
+                connected_components,
+            )
+            from smart_crawler_spark.operators.minhash import (
+                minhash_near_dup_pairs,
+            )
+
+            pairs = minhash_near_dup_pairs(docs, threshold=args.jaccard)
+            return connected_components(
+                pairs, nodes=docs, src="id_a", dst="id_b",
+                node_col="doc_id",
+            )
+
+        run("near_dup_groups", _groups)
+
+    if "minhash" in stages:
+        from smart_crawler_spark.operators.minhash import (
+            minhash_near_dup_pairs,
+        )
+
+        run("minhash_pairs", lambda: minhash_near_dup_pairs(
+            docs, threshold=args.jaccard))
+
+    if "quality" in stages:
+
+        def _quality():
+            q = textops.quality_score(docs)
+            return (
+                q.join(textops.language_id(docs), "doc_id")
+                .join(textops.token_stats(docs), "doc_id")
+                .join(textops.repetition_stats(docs), "doc_id")
+            )
+
+        run("quality", _quality)
+
+    if "ann" in stages:
+
+        def _ann():
+            from smart_crawler_spark.operators.simsearch import (
+                lsh_bucketed_topk,
+            )
+
+            emb = spark.read.parquet(
+                os.path.join(args.input, "embeddings.parquet")
+            )
+            queries = emb.filter(F.col("vec_id") % 200 == 0).limit(8)
+            return lsh_bucketed_topk(queries, emb, k=args.topk)
+
+        run("ann_topk", _ann)
+
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
