@@ -48,7 +48,8 @@ def main() -> None:
         "--conf", default=None, metavar="MASTER_CONF",
         help="HOCON run config (reference master.conf dialect, "
         "sources/config.py); its first seed's wait/randompause/"
-        "maxfailures and the crawling.pages budget override the flags",
+        "maxfailures and the crawling.pages per-site budget override "
+        "the flags",
     )
     args = p.parse_args()
 

@@ -72,18 +72,13 @@ def main() -> None:
         run("exact_dedup", lambda: textops.exact_dedup(docs))
 
         def _groups():
-            from smart_crawler_spark.operators.components import (
-                connected_components,
-            )
+            from smart_crawler_spark.operators.components import dedup_groups
             from smart_crawler_spark.operators.minhash import (
                 minhash_near_dup_pairs,
             )
 
             pairs = minhash_near_dup_pairs(docs, threshold=args.jaccard)
-            return connected_components(
-                pairs, nodes=docs, src="id_a", dst="id_b",
-                node_col="doc_id",
-            )
+            return dedup_groups(pairs, docs)
 
         run("near_dup_groups", _groups)
 
@@ -117,7 +112,15 @@ def main() -> None:
             emb = spark.read.parquet(
                 os.path.join(args.input, "embeddings.parquet")
             )
-            queries = emb.filter(F.col("vec_id") % 200 == 0).limit(8)
+            # deterministic query pick (orderBy before limit) + eager
+            # checkpoint: lsh_bucketed_topk evaluates the query plan on
+            # three sides (dim inference, band explode, vector re-join)
+            # — an unordered limit could select different rows per
+            # evaluation and silently drop join matches
+            queries = (
+                emb.filter(F.col("vec_id") % 200 == 0)
+                .orderBy("vec_id").limit(8).localCheckpoint()
+            )
             return lsh_bucketed_topk(queries, emb, k=args.topk)
 
         run("ann_topk", _ann)

@@ -78,10 +78,12 @@ class EngineConfig:
     wait_ms: int = 0
     random_pause_ms: int = 0
     round_ms: int = 60_000
-    # global page budget (F5, the config's ``crawling.pages``): the
-    # reference frontier stops serving once pageCount reaches maxPages
-    # (CrawlFrontier.java:148-155). Counted in fetch ATTEMPTS across
-    # rounds, and across a resume via host_stats.seq.
+    # global page budget (F5): cross-site generalization of the
+    # reference's per-frontier cap (pageCount reaching maxPages stops
+    # the frontier, CrawlFrontier.java:148-155; the config's
+    # ``crawling.pages`` itself is per site → max_pages_per_host).
+    # Counted in DISPATCHES across rounds, and across a resume via
+    # host_stats.seq — like pageCount, a failed fetch consumes budget.
     max_pages_total: int = 1 << 30
 
     def effective_budget(self) -> int:
@@ -423,8 +425,11 @@ class CrawlEngine:
             return ranked.drop("rank")
         # per-host page budget (F5) from the host_stats TABLE — at
         # millions of hosts this is a (post-limit) equi-join, never a
-        # collected dict; AQE broadcasts it while it is small
-        stats = host_stats.select("host", F.col("fetched").alias("_hf"))
+        # collected dict; AQE broadcasts it while it is small. The
+        # budget counts DISPATCHES (seq), matching the reference's
+        # pageCount++ in sendURL (CrawlFrontier.java:132-139) — a
+        # failed fetch consumes budget too.
+        stats = host_stats.select("host", F.col("seq").alias("_hf"))
         return (
             ranked.join(stats, "host", "left")
             .withColumn(

@@ -16,7 +16,10 @@ per site (one ``CrawlFrontier``+``CrawlQueue`` per seed):
 - per-class link extraction + pre-classification via the navigation
   model (``CrawlExtractor.java:97-117``), in model-file xpath order;
 - data-record extraction in data-link order (``PageClass.java:226-234``);
-- global page budget ``max_pages`` per seed (``CrawlFrontier.java:148-158``).
+- global page budget ``max_pages`` per seed, counted per DISPATCH
+  (``pageCount`` increments in ``sendURL`` before the fetch outcome is
+  known, ``CrawlFrontier.java:132-139,148-158``) — failed fetches
+  consume budget too.
 
 The Spark engine's exact-match tests compare per-host crawl order, the
 final seen set, and all extracted records against this oracle.
@@ -110,8 +113,9 @@ def crawl_site(
 
     enqueue(seed_url, model.root)
     seq = 0
-    fetched = 0
-    while len(queue) and fetched < max_pages:
+    # budget counts dispatches (reference pageCount++ in sendURL), so a
+    # failed fetch still consumes it
+    while len(queue) and seq < max_pages:
         e = queue.next()
         seq += 1
         # form fetches POST their params; a corpus with the POST-response
@@ -126,7 +130,6 @@ def crawl_site(
         )
         if not ok:
             continue
-        fetched += 1
         if page.get("redirect_to"):
             final = page["redirect_to"]
             res.seen.add(seen_key(final))

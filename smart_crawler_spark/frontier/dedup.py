@@ -158,7 +158,7 @@ class SeenFilter:
             [], "url_hash long, shard int"
         )
         self.blooms: DataFrame | None = None
-        self._dense_cache = None  # Broadcast[np.ndarray] of the bitmaps
+        self._dense_cache = None  # Broadcast[(bitmaps, has_bitmap)]
 
     # -- shard helpers -------------------------------------------------
     def _with_shard(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
@@ -306,11 +306,20 @@ class SeenFilter:
             # shard; a Spark broadcast variable ships it once per
             # executor (a closure copy would ship per TASK)
             dense = np.zeros((cfg.shards, cfg.blob_bytes()), dtype=np.uint8)
+            # a shard with NO bitmap row must answer "maybe seen", never
+            # "definitely new" (the one error class a seen prefilter can
+            # never make — same contract as the cogroup probe's
+            # missing-bitmap fallthrough); an all-zero row would answer
+            # "definitely new" for every key in that shard
+            has_bitmap = np.zeros(cfg.shards, dtype=bool)
             for r in self.blooms.collect():
                 dense[int(r["shard"])] = np.frombuffer(
                     r["bitmap"], dtype=np.uint8
                 )
-            self._dense_cache = self.spark.sparkContext.broadcast(dense)
+                has_bitmap[int(r["shard"])] = True
+            self._dense_cache = self.spark.sparkContext.broadcast(
+                (dense, has_bitmap)
+            )
         bc = self._dense_cache
 
         if cfg.kind == "cuckoo":
@@ -319,12 +328,15 @@ class SeenFilter:
             def maybe_seen(shard: pd.Series, keys: pd.Series) -> pd.Series:
                 from smart_crawler_spark.frontier.cuckoo import CuckooFilter
 
-                dense = bc.value
+                dense, has_bitmap = bc.value
                 sh = shard.to_numpy(dtype=np.int64)
                 ks = keys.to_numpy().astype(np.uint64)
                 hit = np.zeros(len(ks), dtype=bool)
                 for s in np.unique(sh):  # <= cfg.shards groups per batch
                     m = sh == s
+                    if not has_bitmap[s]:
+                        hit[m] = True  # no bitmap -> exact join decides
+                        continue
                     hit[m] = CuckooFilter.from_bytes(
                         dense[s].tobytes()
                     ).contains(ks[m])
@@ -334,7 +346,7 @@ class SeenFilter:
 
             @pandas_udf("boolean")
             def maybe_seen(shard: pd.Series, keys: pd.Series) -> pd.Series:
-                dense = bc.value
+                dense, has_bitmap = bc.value
                 sh = shard.to_numpy(dtype=np.int64)
                 ks = keys.to_numpy().astype(np.uint64)
                 pos = _splitmix_probes(ks, cfg.num_hashes, cfg.bits_per_shard)
@@ -345,6 +357,7 @@ class SeenFilter:
                 hit = np.ones(len(ks), dtype=bool)
                 for k in range(cfg.num_hashes):
                     hit &= (dense[sh, byte_idx[k]] & masks[k]) != 0
+                hit[~has_bitmap[sh]] = True  # no bitmap -> exact join
                 return pd.Series(hit)
 
         flagged = cand.withColumn(

@@ -664,7 +664,18 @@ def _graph_edges(clusters, redirects, site):
                             {"t": "menu", "mt": "fixed"},
                         )
 
-    root_cid = page2cid.get(redirects.get(site, site)) or page2cid.get(
-        site
-    ) or page2cid.get(site + "/") or 0
+    # first non-None lookup wins — cluster id 0 is falsy, so `or`
+    # chaining would skip a root legitimately clustered into cluster 0
+    root_cid = next(
+        (
+            cid
+            for cid in (
+                page2cid.get(redirects.get(site, site)),
+                page2cid.get(site),
+                page2cid.get(site + "/"),
+            )
+            if cid is not None
+        ),
+        0,
+    )
     return page2cid, names, edges, root_cid

@@ -122,7 +122,11 @@ class SeedConfig:
             random_pause_ms=self.randompause,
         )
         if settings is not None and settings.pages:
-            kw["max_pages_total"] = settings.pages
+            # crawling.pages bounds each SITE's frontier: the reference
+            # creates one CrawlFrontier per seed with set.pages
+            # (CrawlController.java:74-77), counting dispatches — the
+            # per-host cap, not a cross-site total
+            kw["max_pages_per_host"] = settings.pages
         kw.update(overrides)
         return EngineConfig(**kw)
 

@@ -95,16 +95,19 @@ def test_parser_rejects_unbalanced():
         parse_hocon("}")
 
 
-def test_engine_config_global_pages_budget():
-    """crawling.pages flows into the engine's global F5 cap
-    (CrawlFrontier.java:148-155 maxPages semantics)."""
+def test_engine_config_pages_budget_per_site():
+    """crawling.pages bounds each SITE's frontier (the reference builds
+    one CrawlFrontier per seed with set.pages, CrawlController.java:
+    74-77; pageCount counts dispatches, CrawlFrontier.java:132-139,
+    148-155) — so it maps to the per-host cap, not a cross-site total."""
     s = load_settings(MULTI_SITE)
     a = next(c for c in s.seeds if c.site.endswith("site-a.example.com"))
-    assert a.engine_config(s).max_pages_total == 5000
+    assert a.engine_config(s).max_pages_per_host == 5000
+    assert a.engine_config(s).max_pages_total == 1 << 30
     # an explicit override still wins over the config value
-    assert a.engine_config(s, max_pages_total=9).max_pages_total == 9
+    assert a.engine_config(s, max_pages_per_host=9).max_pages_per_host == 9
     # no settings → unbounded default
-    assert a.engine_config().max_pages_total == 1 << 30
+    assert a.engine_config().max_pages_per_host == 1 << 30
 
 
 def test_unknown_modeler_suffix_rejected():

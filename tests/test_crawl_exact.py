@@ -181,10 +181,46 @@ def test_page_budget(spark, site, tmp_path):
 
 
 def test_global_page_budget(spark, site, tmp_path):
-    """max_pages_total (the config's crawling.pages) caps TOTAL fetch
+    """max_pages_total (cross-site generalization of the reference's
+    per-frontier cap) caps TOTAL fetch
     attempts across hosts and rounds (CrawlFrontier.java:148-155)."""
     res = _engine_results(
         spark, site, tmp_path / "gbudget",
         EngineConfig(budget_per_host=1, max_pages_total=7),
     )
     assert res.order.count() == 7
+
+
+def test_page_budget_counts_dispatches(spark, tmp_path):
+    """Reference pageCount increments per DISPATCH (sendURL,
+    CrawlFrontier.java:132-139), so failed fetches consume the page
+    budget too. A corpus with permanently-failing pages (fail_every +
+    max_tries=1) must yield identical order/budget behavior in engine
+    and oracle — and strictly fewer successes than the cap."""
+    cfg_site = SiteConfig(
+        n_hosts=1, dirs=2, chain=2, details_per_page=3, n_images=20,
+        fail_every=3,
+    )
+    model = load_target_tsv(target_tsv(cfg_site))
+    pages = generate_site_pages(spark, cfg_site).localCheckpoint()
+    seeds = [f"http://{cfg_site.host(0)}/"]
+    cap = 14
+    oracle = crawl_all(
+        all_rows(cfg_site), model, seeds, max_pages=cap, max_tries=1
+    )
+    engine = CrawlEngine(
+        spark, pages, model, str(tmp_path / "dispatch"),
+        EngineConfig(budget_per_host=1, max_pages_per_host=cap, max_tries=1),
+    )
+    res = engine.run(seeds)
+    host = cfg_site.host(0)
+    got = [
+        (r["seq"], r["url"], r["page_class"], r["fetched"])
+        for r in res.order.orderBy("seq").collect()
+    ]
+    assert got == _oracle_order(oracle, host)
+    # the cap bounds dispatches exactly...
+    assert len(got) == cap
+    # ...and with failures in range, successes land strictly under it
+    n_ok = sum(1 for g in got if g[3])
+    assert 0 < n_ok < cap

@@ -180,3 +180,25 @@ def test_cogroup_probe_missing_bitmap_is_safe(spark):
     )
     got = {r["cand_id"] for r in sf.filter_new(cand).collect()}
     assert got == set(range(20_000, 30_000))
+
+
+def test_broadcast_probe_missing_bitmap_is_safe(spark):
+    """Same missing-bitmap contract on the BROADCAST layout: a shard
+    absent from the blooms table probes as 'maybe seen' (exact join
+    decides) — the dense matrix must not answer 'definitely new' from
+    an all-zero row."""
+    from pyspark.sql import functions as F
+
+    from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
+
+    sf = SeenFilter(spark, BloomConfig(shards=8), use_bloom=True)
+    seen = spark.range(0, 20_000).select(F.xxhash64("id").alias("url_hash"))
+    sf.add(seen)
+    sf.materialize()
+    sf.blooms = sf.blooms.filter(F.col("shard") != 3)
+    sf._dense_cache = None  # rebuild the dense matrix from the cut table
+    cand = spark.range(10_000, 30_000).select(
+        F.col("id").alias("cand_id"), F.xxhash64("id").alias("url_hash")
+    )
+    got = {r["cand_id"] for r in sf.filter_new(cand).collect()}
+    assert got == set(range(20_000, 30_000))
