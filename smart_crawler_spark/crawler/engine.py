@@ -198,14 +198,35 @@ class CrawlEngine:
             if snap is None:
                 raise RuntimeError("resume requested but no committed snapshot")
             frontier = self.checkpoint.resume_frontier(snap).localCheckpoint()
-            seen_filter.seen = snap.seen.localCheckpoint()
-            if cfg.use_bloom and not auto_bloom and snap.seen.take(1):
+            # the snapshot's shard column was computed with the WRITING
+            # run's cfg.bloom.shards — recompute under THIS run's config
+            # so a changed shard count can't silently break the exact
+            # anti-join's co-partitioning (a false "new" re-crawls pages)
+            seen_filter.seen = (
+                seen_filter._with_shard(snap.seen.select("url_hash"))
+                .select("url_hash", "shard")
+                .localCheckpoint()
+            )
+            if cfg.use_bloom and not auto_bloom and seen_filter.seen.take(1):
                 seen_filter.blooms = seen_filter._build_blooms(
-                    seen_filter._with_shard(snap.seen.select("url_hash"))
+                    seen_filter.seen
                 ).localCheckpoint()
             host_stats = snap.host_stats.localCheckpoint(eager=True)
             rnd = snap.round
+            # sink rows at/after the resume point were appended by the
+            # crashed run AFTER this snapshot was taken — the resumed
+            # rounds re-append them, so drop them first. A mid-round
+            # snapshot (in-flight batch present) means round `rnd`'s own
+            # sinks may already be down; a post-round snapshot commits
+            # them, so only later rounds are suspect.
+            self._truncate_sinks(rnd if snap.in_flight.take(1) else rnd + 1)
         else:
+            # reused workdir: a fresh run must not merge a previous
+            # run's sink parquet into its own results
+            import shutil
+
+            shutil.rmtree(self._order_dir, ignore_errors=True)
+            shutil.rmtree(self._records_dir, ignore_errors=True)
             frontier = robots_ok(self.seed_frontier(seeds)).localCheckpoint()
             seed_hashes = frontier.select(
                 url_seen_key(F.col("url"), F.col("form_params")).alias("url_hash")
@@ -480,25 +501,53 @@ class CrawlEngine:
         prefer_bloom: bool | None = None,
     ) -> DataFrame:
         # intra-batch: first enqueuer wins, in the order the reference's
-        # sequential loop would enqueue (source priority, then link_seq)
+        # sequential loop would enqueue (source dequeue order = the
+        # frontier comparator incl. form_params, then link_seq).
+        # Partition on the link's OWN F1 identity (its url's authority +
+        # relative form) — partitioning on the source page's host would
+        # fuse http://a.test/x and http://b.test/x discovered from the
+        # same host into one group and silently drop one.
         cand = links.withColumn(
             "rel", canonical_relative_url(F.col("url"), F.col("form_params"))
         )
-        w = Window.partitionBy("host", "rel").orderBy(
+        w = Window.partitionBy(url_host(F.col("url")), F.col("rel")).orderBy(
             F.col("src_depth").asc(),
             F.col("src_class").asc(),
             F.col("src_url").asc(),
+            F.col("src_fp").asc(),
             F.col("link_seq").asc(),
         )
         first = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "rel", "src_depth", "src_class", "src_url", "link_seq")
+            .drop(
+                "_rn", "rel", "src_depth", "src_class", "src_url",
+                "src_fp", "link_seq",
+            )
         )
         first = first.withColumn(
             "url_hash", url_seen_key(F.col("url"), F.col("form_params"))
         )
         return seen_filter.filter_new(first, prefer_bloom=prefer_bloom)
+
+    def _truncate_sinks(self, from_round: int) -> None:
+        """Drop sink rows of rounds >= from_round (resume re-appends
+        them). Filter-rewrite is fine at resume frequency; a production
+        deployment partitioning the sinks by round would delete
+        directories instead."""
+        import shutil
+
+        for d in (self._order_dir, self._records_dir):
+            if not os.path.isdir(d):
+                continue
+            df = self.spark.read.parquet(d)
+            if df.filter(F.col("round") >= from_round).isEmpty():
+                continue
+            tmp = d + "._resume_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.filter(F.col("round") < from_round).write.parquet(tmp)
+            shutil.rmtree(d)
+            os.replace(tmp, d)
 
     def _append_order(self, rnd: int, fetched: DataFrame, host_stats: DataFrame) -> None:
         df = fetched.withColumn(

@@ -32,17 +32,21 @@ def resolve_redirects(site_pages: DataFrame) -> DataFrame:
     """
     tgt = site_pages.select(
         F.col("url").alias("redirect_to"),
+        F.lit(True).alias("_t_found"),
         *[F.col(c).alias(f"_t_{c}") for c in _CONTENT_COLS],
     )
     resolved = site_pages.join(tgt, "redirect_to", "left")
+    # adopt only when the target page actually loads: the reference keeps
+    # whatever content the response carried when the redirect target is
+    # unreachable (the oracle models this as falling back to the source
+    # row, crawler/oracle.py pages.get(final, page)) — nulling the
+    # content would flip fetch_ok for a page the reference counts fetched
+    adopt = F.col("redirect_to").isNotNull() & F.col("_t_found").isNotNull()
     for c in _CONTENT_COLS:
         resolved = resolved.withColumn(
-            c,
-            F.when(
-                F.col("redirect_to").isNotNull(), F.col(f"_t_{c}")
-            ).otherwise(F.col(c)),
+            c, F.when(adopt, F.col(f"_t_{c}")).otherwise(F.col(c))
         ).drop(f"_t_{c}")
-    return resolved
+    return resolved.drop("_t_found")
 
 
 def fetch_batch_resolved(
@@ -127,10 +131,20 @@ def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
         F.col("page_class").alias("src_class"),
         F.col("class_depth").alias("src_depth"),
         F.col("url").alias("src_url"),
+        # the source's own form identity rides along so intra-batch
+        # first-enqueuer ties between two form variants of one source
+        # URL resolve in the reference's dequeue order (FRONTIER_ORDER
+        # sorts form_params after url); standalone classification inputs
+        # without the column are form-free
+        (
+            F.coalesce(F.col("form_params"), F.lit(""))
+            if "form_params" in fetched_ok.columns
+            else F.lit("")
+        ).alias("src_fp"),
         "host",
         F.explode("out_links").alias("xpath", "hrefs"),
     ).select(
-        "src_class", "src_depth", "src_url", "host", "xpath",
+        "src_class", "src_depth", "src_url", "src_fp", "host", "xpath",
         F.posexplode("hrefs").alias("href_pos", "url"),
     )
     model = class_links.select(
@@ -193,12 +207,21 @@ def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
     plain_url = F.substring_index("url", ">", 1)
     # link_seq reproduces the reference's sequential enqueue order within
     # one source page: model-file edge order, then position in the node list
+    from smart_crawler_spark.frontier.canonical import url_host
+
+    # a link's host is its OWN authority (politeness, budgets, order
+    # grouping, the host==url_host(url) frontier invariant) — the source
+    # page's host only stands in for scheme-relative/odd hrefs that
+    # don't parse to an authority
+    own_host = url_host(plain_url)
     return classified.select(
-        plain_url.alias("url"), "host", "page_class",
+        plain_url.alias("url"),
+        F.coalesce(F.nullif(own_host, F.lit("")), F.col("host")).alias("host"),
+        "page_class",
         F.col("class_depth"),
         F.col("page_class").alias("class_name"),
         form_params.alias("form_params"),
-        "src_depth", "src_class", "src_url",
+        "src_depth", "src_class", "src_url", "src_fp",
         (F.col("edge_pos").cast("long") * 1_000_000_000 + F.col("href_pos")).alias(
             "link_seq"
         ),
@@ -212,7 +235,14 @@ def extract_records(fetched_ok: DataFrame, data_links: DataFrame) -> DataFrame:
     Missing values become "" (the reference writes empty CSV cells).
     """
     dl = data_links.select("src_class", "field_pos", "xpath")
+    # group on the DISPATCH identity (original url + form params), not
+    # the final url: two same-round fetches can share a final url (both
+    # sides of a redirect pair, or two form-param variants of one URL)
+    # and the oracle emits one record per dispatch — grouping on final
+    # url alone would concatenate their field lists into one bad record
     joined = fetched_ok.select(
+        F.col("url").alias("_dispatch_url"),
+        F.coalesce(F.col("form_params"), F.lit("")).alias("_dispatch_fp"),
         F.col("final_url").alias("url"),
         F.col("page_class"),
         "host",
@@ -227,11 +257,14 @@ def extract_records(fetched_ok: DataFrame, data_links: DataFrame) -> DataFrame:
         F.coalesce(F.element_at(F.col("data_values"), F.col("xpath")), F.lit("")),
     )
     return (
-        vals.groupBy("url", "page_class", "host")
+        vals.groupBy(
+            "_dispatch_url", "_dispatch_fp", "url", "page_class", "host"
+        )
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("field_pos", "value"))),
                 lambda s: s["value"],
             ).alias("fields")
         )
+        .drop("_dispatch_url", "_dispatch_fp")
     )

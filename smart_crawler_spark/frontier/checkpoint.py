@@ -5,12 +5,13 @@ message and replays them on restart, re-enqueueing in-flight URLs
 (``CrawlFrontier.java:80-106,118-146``). We re-express this as a
 *snapshot per crawl round*: after each round the engine writes
 
-    <root>/round=<n>/frontier/   (parquet)
-    <root>/round=<n>/seen/
-    <root>/round=<n>/in_flight/
-    <root>/round=<n>/metrics/    (per-partition lineage: partition_id,
-                                  fetched, deduped, enqueued)
-    <root>/round=<n>/_MANIFEST.json   (written LAST -> commit point)
+    <root>/round=<n>/v=<k>/frontier/   (parquet)
+    <root>/round=<n>/v=<k>/seen/
+    <root>/round=<n>/v=<k>/in_flight/
+    <root>/round=<n>/v=<k>/metrics/    (per-partition lineage:
+                                        partition_id, rows)
+    <root>/round=<n>/_MANIFEST.json    (written LAST -> commit point;
+                                        names the live version k)
 
 The manifest is the atomic commit marker (the stand-in for an Iceberg
 snapshot commit in this jar-less sandbox; on a cluster the same class
@@ -67,19 +68,40 @@ class CrawlCheckpoint:
         host_stats: DataFrame,
         extras: dict | None = None,
     ) -> None:
+        # each snapshot of a round goes to a fresh versioned subdir and
+        # the manifest (the commit point) flips to it LAST: the mid-round
+        # and post-round snapshots of one round never rewrite parquet the
+        # current manifest still points at — an in-place overwrite would
+        # leave a valid manifest over torn parts if the writer dies
+        # mid-overwrite (exactly an Iceberg snapshot commit: new data
+        # files, then one atomic metadata pointer swap)
         d = self._dir(rnd)
+        os.makedirs(d, exist_ok=True)
+        existing = [
+            int(n.split("=", 1)[1])
+            for n in os.listdir(d)
+            if n.startswith("v=")
+        ]
+        v = max(existing, default=0) + 1
+        vd = os.path.join(d, f"v={v}")
         parts = (frontier, seen, in_flight, metrics, host_stats)
         for name, df in zip(_PARTS, parts):
-            df.write.mode("overwrite").parquet(os.path.join(d, name))
+            df.write.mode("overwrite").parquet(os.path.join(vd, name))
         manifest = {
             "round": rnd,
             "parts": list(_PARTS),
+            "version": v,
             "extras": extras or {},
         }
         tmp = os.path.join(d, "_MANIFEST.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
+        # GC superseded versions only after the manifest commit
+        import shutil
+
+        for k in existing:
+            shutil.rmtree(os.path.join(d, f"v={k}"), ignore_errors=True)
 
     def committed_rounds(self) -> list[int]:
         if not os.path.isdir(self.root):
@@ -112,7 +134,9 @@ class CrawlCheckpoint:
         )
 
     def _read_part(self, d: str, part: str, manifest: dict) -> DataFrame:
-        path = os.path.join(d, part)
+        v = manifest.get("version")
+        base = os.path.join(d, f"v={v}") if v else d  # pre-version layout
+        path = os.path.join(base, part)
         if part == "host_stats" and not os.path.isdir(path):
             # snapshot written before host_stats became a part: migrate
             # the old driver-dict extras if present, else resume with an

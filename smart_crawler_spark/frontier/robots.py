@@ -166,10 +166,18 @@ class RobotsPolicy:
 
 
 def url_path_query(url_col) -> "F.Column":
-    """path+query of a URL (the REP match target); '' → '/'."""
-    stripped = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    """path+query of a URL (the REP match target); '' → '/'.
+
+    The authority stops at ``/``, ``?`` or ``#`` — ``[^/]*`` alone would
+    swallow the query of a path-less URL like ``http://h?q=1``, making
+    its rules match against ``/`` instead of ``/?q=1``."""
+    stripped = F.regexp_replace(
+        url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
+    )
     no_frag = F.regexp_replace(stripped, r"#.*$", "")
-    return F.when(no_frag == "", F.lit("/")).otherwise(no_frag)
+    return F.when(no_frag == "", F.lit("/")).when(
+        no_frag.startswith("?"), F.concat(F.lit("/"), no_frag)
+    ).otherwise(no_frag)
 
 
 def filter_allowed(
@@ -206,10 +214,16 @@ def filter_allowed(
             keep = np.ones(len(pdf), dtype=bool)
             paths = (
                 pdf[url_col]
-                .str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "", regex=True)
+                .str.replace(
+                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "", regex=True
+                )
                 .str.replace(r"#.*$", "", regex=True)
                 .replace("", "/")
             )
+            # path-less URLs with a query: REP matches against /?q=...
+            q = paths.str.startswith("?")
+            if q.any():
+                paths = paths.mask(q, "/" + paths)
             pos = np.arange(len(pdf))
             for h, grp_idx in pdf.groupby(pdf[host_col].to_numpy()).groups.items():
                 rules = compiled.get(h)

@@ -72,8 +72,11 @@ def test_snapshot_lineage_metrics(spark, site, tmp_path):
 
 
 def test_legacy_snapshot_without_host_stats(spark, tmp_path):
-    """Snapshots written before host_stats became a part must still
-    load: the old driver-dict extras migrate into the stats table."""
+    """Snapshots written before host_stats (and before versioned
+    snapshot dirs) must still load: flat round=N/<part> layout, no
+    "version" in the manifest, old driver-dict extras migrating into
+    the stats table."""
+    import json
     import shutil
 
     from smart_crawler_spark.frontier.checkpoint import HOST_STATS_SCHEMA
@@ -93,8 +96,129 @@ def test_legacy_snapshot_without_host_stats(spark, tmp_path):
         spark.createDataFrame([], HOST_STATS_SCHEMA),
         extras={"host_seq": {"h": 3}, "host_fetched": {"h": 2}},
     )
-    shutil.rmtree(tmp_path / "legacy" / "round=1" / "host_stats")
+    # flatten the versioned layout into the legacy on-disk shape
+    d = tmp_path / "legacy" / "round=1"
+    for part in ("frontier", "seen", "in_flight", "metrics"):
+        shutil.move(str(d / "v=1" / part), str(d / part))
+    shutil.rmtree(d / "v=1")
+    with open(d / "_MANIFEST.json") as f:
+        manifest = json.load(f)
+    del manifest["version"]
+    with open(d / "_MANIFEST.json", "w") as f:
+        json.dump(manifest, f)
+
     snap = ckpt.latest()
     stats = {r["host"]: (r["seq"], r["fetched"]) for r in snap.host_stats.collect()}
     assert stats == {"h": (3, 2)}
     assert snap.frontier.count() == 1
+
+
+def test_same_round_snapshots_never_rewrite_live_parts(spark, tmp_path):
+    """The mid-round and post-round snapshots of one round go to fresh
+    versioned dirs with the manifest flipped last — a writer dying
+    mid-overwrite can never leave a valid manifest over torn parquet."""
+    import json
+    import os
+
+    from smart_crawler_spark.frontier.checkpoint import HOST_STATS_SCHEMA
+
+    ckpt = CrawlCheckpoint(spark, str(tmp_path / "vers"))
+    frontier = spark.createDataFrame(
+        [("http://h/a", "h", "c", 0, "c", None)],
+        "url string, host string, page_class string, class_depth int,"
+        " class_name string, form_params string",
+    )
+
+    def _write(n_rows):
+        ckpt.write(
+            2,
+            frontier.limit(n_rows),
+            spark.createDataFrame([(1, 0)], "url_hash long, shard int"),
+            frontier.limit(0),
+            spark.createDataFrame([], "partition_id int, frontier_rows long"),
+            spark.createDataFrame([], HOST_STATS_SCHEMA),
+        )
+
+    _write(1)  # mid-round
+    d = tmp_path / "vers" / "round=2"
+    with open(d / "_MANIFEST.json") as f:
+        assert json.load(f)["version"] == 1
+    _write(0)  # post-round: new version, old dir GC'd after commit
+    with open(d / "_MANIFEST.json") as f:
+        assert json.load(f)["version"] == 2
+    assert not os.path.isdir(d / "v=1")
+    assert ckpt.latest().frontier.count() == 0
+
+
+def test_resume_truncates_inflight_round_sinks(spark, site, tmp_path):
+    """Crash window #2: the dying run appended round-N sink rows AFTER
+    the mid-round snapshot of N — resume must drop them or the re-run
+    of round N double-appends."""
+    model, pages, seeds = site
+    base = CrawlEngine(
+        spark, pages, model, str(tmp_path / "base"), EngineConfig(budget_per_host=1)
+    ).run(seeds)
+    want = _summary(base)
+
+    crash_cfg = EngineConfig(budget_per_host=1, checkpoint_every=1, crash_at_round=3)
+    CrawlEngine(spark, pages, model, str(tmp_path / "k"), crash_cfg).run(seeds)
+    # simulate what the crashed run would have written after the
+    # snapshot: round-3 rows already in both sinks
+    spark.createDataFrame(
+        [(3, "poison.test", 999, "http://poison.test/", "c", True)],
+        "round int, host string, seq long, url string, page_class string,"
+        " fetched boolean",
+    ).write.mode("append").parquet(str(tmp_path / "k" / "crawl_order"))
+    spark.createDataFrame(
+        [("http://poison.test/", "c", "poison.test", ["x"], 3)],
+        "url string, page_class string, host string, fields array<string>,"
+        " round int",
+    ).write.mode("append").parquet(str(tmp_path / "k" / "records"))
+
+    resumed = CrawlEngine(
+        spark, pages, model, str(tmp_path / "k"),
+        EngineConfig(budget_per_host=1, checkpoint_every=1),
+    ).run(resume=True)
+    assert _summary(resumed) == want
+    assert resumed.order.filter("host = 'poison.test'").isEmpty()
+
+
+def test_resume_with_changed_shard_count(spark, site, tmp_path):
+    """The snapshot's shard column reflects the writing run's
+    cfg.bloom.shards; resuming under a different shard count must
+    recompute it, or the co-partitioned anti-join re-admits seen URLs."""
+    from smart_crawler_spark.frontier.dedup import BloomConfig
+
+    model, pages, seeds = site
+    base = CrawlEngine(
+        spark, pages, model, str(tmp_path / "base2"), EngineConfig(budget_per_host=1)
+    ).run(seeds)
+    want = _summary(base)
+
+    crash_cfg = EngineConfig(
+        budget_per_host=1, checkpoint_every=1, crash_at_round=3,
+        bloom=BloomConfig(shards=64),
+    )
+    CrawlEngine(spark, pages, model, str(tmp_path / "ks"), crash_cfg).run(seeds)
+    resumed = CrawlEngine(
+        spark, pages, model, str(tmp_path / "ks"),
+        EngineConfig(
+            budget_per_host=1, checkpoint_every=1, bloom=BloomConfig(shards=7)
+        ),
+    ).run(resume=True)
+    assert _summary(resumed) == want
+
+
+def test_fresh_run_clears_stale_sinks(spark, site, tmp_path):
+    """A fresh (non-resume) run in a reused workdir must not merge the
+    previous run's sink parquet into its results."""
+    model, pages, seeds = site
+    d = str(tmp_path / "reuse")
+    first = CrawlEngine(
+        spark, pages, model, d, EngineConfig(budget_per_host=1)
+    ).run(seeds)
+    want = _summary(first)
+    second = CrawlEngine(
+        spark, pages, model, d, EngineConfig(budget_per_host=1)
+    ).run(seeds)
+    assert _summary(second) == want

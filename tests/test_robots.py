@@ -173,6 +173,30 @@ def test_filter_allowed_matches_decide(spark):
     assert "http://h1.test/about" not in got
 
 
+def test_filter_allowed_pathless_query(spark):
+    """A path-less URL with a query matches rules against /?q=... — the
+    authority must stop at '?', not swallow the query (and the same for
+    the column-level twin url_path_query)."""
+    from smart_crawler_spark.frontier.robots import url_path_query
+
+    policy = RobotsPolicy({"h.test": "User-agent: *\nDisallow: /?q="})
+    df = spark.createDataFrame(
+        [("http://h.test?q=1",), ("http://h.test",), ("http://h.test/ok?q=1",)],
+        "url string",
+    ).withColumn("host", F.lit("h.test"))
+    got = {r["url"] for r in filter_allowed(df, policy).collect()}
+    assert got == {"http://h.test", "http://h.test/ok?q=1"}
+    paths = {
+        r["url"]: r["p"]
+        for r in df.select("url", url_path_query(F.col("url")).alias("p")).collect()
+    }
+    assert paths == {
+        "http://h.test?q=1": "/?q=1",
+        "http://h.test": "/",
+        "http://h.test/ok?q=1": "/ok?q=1",
+    }
+
+
 # ------------------------------------------------------ engine semantics
 
 CFG = SiteConfig(n_hosts=2, dirs=2, chain=2, details_per_page=2, n_images=20)
