@@ -56,8 +56,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # min-of-2 per query: this VM's shared infrastructure has slow
     # phases where EVERYTHING runs ~40% slower (raw-CPU stays fast);
     # the better draw estimates machine capability (cf. BASELINE.md
-    # variance methodology, same estimator as the crawl/scaling tables)
-    for name in HEADLINE:
+    # variance methodology, same estimator as the crawl/scaling tables).
+    # The suite is bracketed by the same fixed-cost calib kernel as the
+    # crawl bench (start / middle / end): a round where every query
+    # looks slow next to inflated calib samples is a machine phase, not
+    # a regression — compare queries via suite_calib_ratio across
+    # rounds, not wall seconds.
+    calib = [round(_calib_spark(spark), 3)]
+    for i, name in enumerate(HEADLINE):
         fn = qs[name]
         best = None
         for _ in range(2):
@@ -67,7 +73,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             best = sec if best is None else min(best, sec)
             assert n >= 0
         out[name] = round(best, 3)
-    return out
+        if i == len(HEADLINE) // 2:
+            calib.append(round(_calib_spark(spark), 3))
+    calib.append(round(_calib_spark(spark), 3))
+    return out, calib
 
 
 def _calib_spark(spark) -> float:
@@ -224,10 +233,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.monotonic()
-    queries = bench_queries(spark, sf_dir)
+    queries, suite_calib = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
     total = round(time.monotonic() - t0, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    calib_med = sorted(suite_calib)[len(suite_calib) // 2]
     print(
         json.dumps(
             {
@@ -235,6 +245,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "suite_calib_spark_sec": suite_calib,
+                "suite_calib_ratio": round(
+                    sum(queries.values()) / calib_med, 1
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
                 "cpus": int(cpus),
