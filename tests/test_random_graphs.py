@@ -73,6 +73,161 @@ def make_random_site(seed: int):
     return model, rows, seed_url
 
 
+def make_random_multihost_site(seed: int):
+    """Random TWO-host graph with cross-host links, form edges
+    (POST-sensitive and GET-fallback responses), redirects, dangling
+    hrefs and flaky pages — the batch-mode regimes single-host budget=1
+    fixtures never reach."""
+    from urllib.parse import urlsplit
+
+    rng = random.Random(seed)
+    hosts = [f"m{seed}a.test", f"m{seed}b.test"]
+    n_classes = rng.randint(3, 5)
+    classes = [f"c{i}" for i in range(n_classes)]
+    host_of_class = {c: hosts[0] if i == 0 else rng.choice(hosts)
+                     for i, c in enumerate(classes)}
+    model_rows = []
+    form_edges = set()
+    for i in range(1, n_classes):
+        src = classes[rng.randrange(i)]
+        ltype = "form" if rng.random() < 0.3 else "list"
+        if ltype == "form":
+            form_edges.add(f"//x{i}")
+        model_rows.append([src, "link", f"//x{i}", classes[i], ltype])
+    for _ in range(rng.randint(1, 3)):
+        a, b = rng.sample(range(n_classes), 2)
+        model_rows.append([classes[a], "link", f"//e{a}_{b}", classes[b], ""])
+    model_rows.append([classes[-1], "string", "//h1/text()", "title"])
+    model = parse_target_rows(model_rows)
+
+    pages_by_class = {
+        c: [
+            f"http://{host_of_class[c]}/{c}/p{j}"
+            for j in range(rng.randint(1, 3))
+        ]
+        for c in classes
+    }
+    edges_by_src: dict[str, list] = {}
+    for e in model.class_links:
+        edges_by_src.setdefault(e["src_class"], []).append(e)
+
+    rows = []
+    post_rows = []
+    for c, urls in pages_by_class.items():
+        for u in urls:
+            out = {}
+            for e in edges_by_src.get(c, []):
+                dsts = pages_by_class[e["dst_class"]]
+                hrefs = []
+                for _ in range(rng.randint(0, 3)):
+                    dst = rng.choice(dsts)
+                    if e["xpath"] in form_edges:
+                        params = f"q={rng.randint(0, 2)};"
+                        hrefs.append(dst + ">" + params)
+                        # ~half the param sets get their own
+                        # POST-response row; the rest fall back to the
+                        # GET page's content (CrawlPage.fetchUrl:135-141)
+                        if rng.random() < 0.5:
+                            post_rows.append((dst + ">" + params,
+                                              e["dst_class"]))
+                    else:
+                        hrefs.append(dst)
+                if rng.random() < 0.2:
+                    hrefs.append(
+                        f"http://{rng.choice(hosts)}/dangling/{rng.random()}"
+                    )
+                if hrefs:
+                    out[e["xpath"]] = hrefs
+            redirect = None
+            if rng.random() < 0.15 and len(urls) > 1:
+                redirect = rng.choice([x for x in urls if x != u])
+            rows.append(
+                {
+                    "url": u,
+                    "host": urlsplit(u).netloc,
+                    "true_class": c,
+                    "title": c,
+                    "link_schema": sorted(out),
+                    "label_schema": [],
+                    "out_links": out,
+                    "data_values": {"//h1/text()": f"T {u}"},
+                    "image_id": None,
+                    "caption_xpath": None,
+                    "redirect_to": redirect,
+                    "fetch_fail_n": 1 if rng.random() < 0.15 else 0,
+                }
+            )
+    for post_url, cls in dict(post_rows).items():
+        rows.append(
+            {
+                "url": post_url,
+                "host": urlsplit(post_url.split(">", 1)[0]).netloc,
+                "true_class": cls,
+                "title": cls,
+                "link_schema": [],
+                "label_schema": [],
+                "out_links": {},
+                "data_values": {"//h1/text()": f"P {post_url}"},
+                "image_id": None,
+                "caption_xpath": None,
+                "redirect_to": None,
+                "fetch_fail_n": 0,
+            }
+        )
+    seed_url = pages_by_class[model.root][0]
+    return model, rows, seed_url
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+@pytest.mark.parametrize("budget", [1, 3])
+def test_engine_equals_oracle_on_random_multihost_graph(
+    spark, tmp_path, seed, budget
+):
+    """Batch-mode invariants on random multi-host+form graphs: the
+    engine's dispatch multiset (url, class, fetched), final seen set and
+    record multiset equal the sequential oracle's, for any per-host
+    round budget (exact ORDER parity is only claimed for budget=1
+    single-host — rounds interleave hosts differently than the oracle's
+    single sequential frontier)."""
+    model, rows, seed_url = make_random_multihost_site(seed)
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages_df, model, str(tmp_path / f"m{seed}b{budget}"),
+        EngineConfig(budget_per_host=budget),
+    )
+    res = eng.run([seed_url])
+    want = crawl_all(rows, model, [seed_url])
+    host = next(iter(want))
+
+    got_disp = sorted(
+        (r["url"], r["page_class"], r["fetched"])
+        for r in res.order.collect()
+    )
+    assert got_disp == sorted(
+        (o["url"], o["page_class"], o["fetched"]) for o in want[host].order
+    )
+    # every frontier row carries its URL's OWN authority
+    for r in res.order.collect():
+        assert r["host"] == r["url"].split("/")[2], r
+
+    oracle_hashes = {
+        r["h"]
+        for r in spark.createDataFrame(
+            [(k,) for k in sorted(want[host].seen)], "k string"
+        ).select(F.xxhash64("k").alias("h")).collect()
+    }
+    assert {r["url_hash"] for r in res.seen.collect()} == oracle_hashes
+
+    got_recs = sorted(
+        (r["url"], r["page_class"], tuple(r["fields"]))
+        for r in res.records.collect()
+    )
+    assert got_recs == sorted(
+        (rec["url"], rec["page_class"], tuple(rec["fields"]))
+        for rec in want[host].records
+    )
+
+
 @pytest.mark.parametrize("seed", [7, 23])
 @pytest.mark.parametrize("max_tries", [1, 2])
 def test_engine_equals_oracle_on_random_graph(spark, tmp_path, seed, max_tries):
