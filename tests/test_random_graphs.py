@@ -228,6 +228,107 @@ def test_engine_equals_oracle_on_random_multihost_graph(
     )
 
 
+def _order_seen_records(res):
+    order = [
+        (r["seq"], r["url"], r["page_class"], r["fetched"])
+        for r in res.order.orderBy("seq").collect()
+    ]
+    seen = sorted(r["url_hash"] for r in res.seen.collect())
+    records = sorted(
+        (r["url"], r["page_class"], tuple(r["fields"]))
+        for r in res.records.collect()
+    )
+    return order, seen, records
+
+
+def _oracle_order_seen_records(spark, want_one):
+    order = [
+        (o["seq"], o["url"], o["page_class"], o["fetched"])
+        for o in want_one.order
+    ]
+    seen = sorted(
+        r["h"]
+        for r in spark.createDataFrame(
+            [(k,) for k in sorted(want_one.seen)], "k string"
+        ).select(F.xxhash64("k").alias("h")).collect()
+    )
+    records = sorted(
+        (rec["url"], rec["page_class"], tuple(rec["fields"]))
+        for rec in want_one.records
+    )
+    return order, seen, records
+
+
+@pytest.mark.parametrize("seed,cap", [(5, 3), (31, 7)])
+def test_random_graph_page_budget_counts_dispatches(spark, tmp_path, seed, cap):
+    """F5 on random graphs: the per-host page cap counts DISPATCHES
+    (pageCount++ in sendURL, CrawlFrontier.java:132-139), so with 20 %
+    flaky pages and max_tries=1 a failed fetch still consumes budget —
+    order parity must hold exactly at the truncation point."""
+    model, rows, seed_url = make_random_site(seed)
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages_df, model, str(tmp_path / f"cap{seed}"),
+        EngineConfig(budget_per_host=1, max_pages_per_host=cap),
+    )
+    res = eng.run([seed_url])
+    want = crawl_all(rows, model, [seed_url], max_pages=cap)
+    host = next(iter(want))
+    assert _order_seen_records(res) == _oracle_order_seen_records(
+        spark, want[host]
+    )
+    assert res.order.count() <= cap
+
+
+@pytest.mark.parametrize("seed", [13, 57])
+def test_random_graph_resume_equals_uninterrupted(spark, tmp_path, seed):
+    """Lossless resume on random graphs: crash right after the round-2
+    mid-round snapshot (batch in flight), resume in a new engine, and the
+    final order/seen/records still equal the sequential oracle's."""
+    model, rows, seed_url = make_random_site(seed)
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    wd = str(tmp_path / f"res{seed}")
+    CrawlEngine(
+        spark, pages_df, model, wd,
+        EngineConfig(budget_per_host=1, checkpoint_every=1, crash_at_round=2),
+    ).run([seed_url])
+    resumed = CrawlEngine(
+        spark, pages_df, model, wd,
+        EngineConfig(budget_per_host=1, checkpoint_every=1),
+    ).run(resume=True)
+    want = crawl_all(rows, model, [seed_url])
+    host = next(iter(want))
+    assert _order_seen_records(resumed) == _oracle_order_seen_records(
+        spark, want[host]
+    )
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_random_graph_bloom_matches_exact(spark, tmp_path, seed):
+    """F1 path equivalence on a random multi-host graph: the bloom
+    prefilter (probe + confirm anti-join) and the plain exact anti-join
+    must produce identical dispatch multisets and seen sets — the
+    prefilter may only prune definitely-new keys, never answer seen."""
+    model, rows, seed_url = make_random_multihost_site(seed)
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    outs = []
+    for name, use_bloom in (("exact", False), ("bloom", True)):
+        res = CrawlEngine(
+            spark, pages_df, model, str(tmp_path / f"{name}{seed}"),
+            EngineConfig(budget_per_host=2, use_bloom=use_bloom),
+        ).run([seed_url])
+        outs.append(
+            (
+                sorted(
+                    (r["url"], r["page_class"], r["fetched"])
+                    for r in res.order.collect()
+                ),
+                sorted(r["url_hash"] for r in res.seen.collect()),
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 @pytest.mark.parametrize("seed", [7, 23])
 @pytest.mark.parametrize("max_tries", [1, 2])
 def test_engine_equals_oracle_on_random_graph(spark, tmp_path, seed, max_tries):
