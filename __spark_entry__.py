@@ -216,6 +216,19 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/textops.py
+    sequence_pack): concat-and-chunk the deterministic document stream
+    into 512-token training sequences. The global token prefix sum is
+    two-phase — per-md5-bucket window cumsum, then a 64-row broadcast
+    bucket-offset table — so no window partition ever holds the whole
+    corpus; per doc it reports the sequence id, the offset inside it,
+    and whether the doc straddles a sequence boundary."""
+    return textops.sequence_pack(
+        _t(spark, sf_dir, "documents"), budget=512
+    ).orderBy("doc_id")
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1285,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample_orders,
         "repetition_stats": repetition_stats,
         "approx_quantiles": approx_quantiles,
+        "sequence_pack": sequence_pack,
     }
 
 
@@ -1944,6 +1958,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'purchase') p
               ON c.ts >= p.lo AND c.ts <= p.hi
             ORDER BY click_id, purchase_id
+        """,
+        "sequence_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 64 AS bucket
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY bucket, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS strt
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
+                   CAST(strt % 512 AS BIGINT) AS seq_offset,
+                   floor((strt + greatest(n_tokens, 1) - 1) / 512.0)
+                       > floor(strt / 512.0) AS straddles
+            FROM s
+            ORDER BY doc_id
         """,
         "stratified_sample": """
             SELECT o_orderkey, o_orderstatus, o_totalprice

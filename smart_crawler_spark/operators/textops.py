@@ -218,3 +218,72 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fp_bucket"),
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk): lay the corpus
+    out as ONE deterministic token stream — documents ordered by
+    (md5-bucket, id) — and split it into fixed-``budget`` training
+    sequences. Emits, per document, the sequence it starts in, its token
+    offset there, and whether it straddles a sequence boundary (the
+    cross-attention-mask case a packer has to know about).
+
+    The global prefix sum is TWO-PHASE so no window ever sees the corpus
+    in one partition: (1) a per-bucket cumulative sum — each md5-derived
+    bucket is an independent window partition; (2) a bucket-offset
+    table, ``n_buckets`` rows, cumulated in a single tiny window and
+    broadcast back. At 100 TB all corpus-sized work stays parallel; the
+    serial step touches 64 rows. The md5 bucketing (not xxhash) keeps
+    the stream order engine-reproducible, so the DuckDB oracle replays
+    the identical layout with one flat window cumsum.
+    """
+    ntok = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets
+    )
+    base = docs.select(
+        F.col(id_col), bucket.alias("bucket"), ntok.alias("n_tokens")
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = base.withColumn(
+        "_pre", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
+    )
+    # one row per bucket; the only non-partitioned window in the plan
+    across = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("_btok").over(across), F.lit(0)).alias("_boff"),
+        )
+    )
+    start = F.col("_boff") + F.col("_pre")
+    end = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(start / budget).alias("seq_id"),
+            (start % budget).alias("seq_offset"),
+            (F.floor(end / budget) > F.floor(start / budget)).alias(
+                "straddles"
+            ),
+        )
+    )

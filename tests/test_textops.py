@@ -35,3 +35,40 @@ def test_repetition_stats_golden(spark):
     assert got[3]["dup_trigram_frac"] == 0.0  # below n: empty, not NaN
     assert got[4]["n_words"] == 0
     assert got[4]["dup_word_frac"] == 0.0
+
+
+def test_sequence_pack_matches_flat_prefix_sum(spark):
+    """The two-phase prefix sum (per-bucket cumsum + broadcast bucket
+    offsets) must equal the flat single-stream layout, and the chunk
+    geometry must be consistent: offsets in [0, budget), straddles iff
+    the doc crosses a 32-token boundary."""
+    import hashlib
+
+    from smart_crawler_spark.operators.textops import sequence_pack
+
+    budget, n_buckets = 32, 8
+    docs = [(i, " ".join(["w"] * ((i * 7) % 13 + 1))) for i in range(40)]
+    # one empty doc: occupies zero width, may sit at offset 0 of any seq
+    docs.append((40, "   "))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in sequence_pack(
+            df, budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_buckets
+
+    stream = sorted(
+        ((bucket(i), i, len(t.split()))) for i, t in docs
+    )
+    off = 0
+    for _b, i, n in stream:
+        assert got[i]["n_tokens"] == n
+        assert got[i]["seq_id"] == off // budget
+        assert got[i]["seq_offset"] == off % budget
+        end = off + max(n, 1) - 1
+        assert got[i]["straddles"] == (end // budget > off // budget)
+        off += n
