@@ -363,3 +363,54 @@ def test_engine_equals_oracle_on_random_graph(spark, tmp_path, seed, max_tries):
     assert got_recs == sorted(
         (rec["url"], tuple(rec["fields"])) for rec in want[host].records
     )
+
+
+@pytest.mark.parametrize("seed", [3, 47])
+def test_random_graph_robots_equals_pruned_oracle(spark, tmp_path, seed):
+    """Robots integration on random graphs: the engine under a
+    Disallow-list policy produces exactly the oracle's crawl of the SAME
+    graph with the disallowed URLs pruned from every href list and the
+    seed list — blocked URLs never consume budget, never enter the
+    frontier or the seen set, and the dispatch ORDER of the surviving
+    URLs is untouched."""
+    import copy
+    from urllib.parse import urlsplit
+
+    from smart_crawler_spark.frontier.robots import RobotsPolicy
+
+    model, rows, seed_url = make_random_site(seed)
+    rng = random.Random(seed * 31 + 7)
+    candidates = sorted(r["url"] for r in rows if r["url"] != seed_url)
+    blocked = set(rng.sample(candidates, max(1, len(candidates) // 4)))
+
+    by_host: dict[str, list[str]] = {}
+    for u in sorted(blocked):
+        parts = urlsplit(u)
+        by_host.setdefault(parts.netloc, []).append(parts.path + "$")
+    policy = RobotsPolicy(
+        {
+            h: "User-agent: *\n" + "\n".join(f"Disallow: {p}" for p in ps)
+            for h, ps in by_host.items()
+        }
+    )
+
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages_df, model, str(tmp_path / f"rob{seed}"),
+        EngineConfig(budget_per_host=1), robots=policy,
+    )
+    res = eng.run([seed_url])
+
+    pruned = copy.deepcopy(rows)
+    for r in pruned:
+        r["out_links"] = {
+            xp: [h for h in hrefs if h not in blocked]
+            for xp, hrefs in r["out_links"].items()
+        }
+        r["out_links"] = {xp: hs for xp, hs in r["out_links"].items() if hs}
+        r["link_schema"] = sorted(r["out_links"])
+    want = crawl_all(pruned, model, [seed_url])
+    host = next(iter(want))
+    assert _order_seen_records(res) == _oracle_order_seen_records(
+        spark, want[host]
+    )
