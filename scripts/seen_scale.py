@@ -1,7 +1,7 @@
 """10^9-key URL-seen evidence (north_rule: 10^10-URL frontier).
 
 Measures the seen-filter's exact and bloom-cogroup paths with
-|seen| = 1e9 keys (overridable) against a 1e7-candidate batch at an
+|seen| = 1e9 keys (overridable) against a 2e8-candidate batch at an
 adversarial 50%-seen mix, and prints ONE JSON line with cand/s plus the
 per-shard memory ledger. The 10^10 extrapolation arithmetic lives in
 BASELINE.md next to the recorded rows — the design property that makes

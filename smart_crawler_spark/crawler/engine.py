@@ -129,13 +129,19 @@ class CrawlEngine:
             .repartition(int(n_part), "url")
             .localCheckpoint(eager=True)
         )
+        self.model = model
         # POST-sensitive corpora carry response rows keyed "url>params"
-        # (CrawlPage.fetchUrl:135-141 "URL will change"); detect once so
-        # GET-only corpora keep the single-join fetch
-        self._form_sensitive = bool(
+        # (CrawlPage.fetchUrl:135-141 "URL will change"). Only a model
+        # with form-type class links can put form_params rows into the
+        # frontier (getOutLinks, CrawlPage.java:159-167), so GET-only
+        # models keep the single-join fetch WITHOUT a startup corpus
+        # scan; form-modeled runs probe the corpus once for POST rows.
+        has_form_links = any(
+            (e.get("link_type") or "") == "form" for e in model.class_links
+        )
+        self._form_sensitive = has_form_links and bool(
             self.site_pages.filter(F.col("url").contains(">")).take(1)
         )
-        self.model = model
         self.workdir = workdir
         self.cfg = cfg or EngineConfig()
         self.class_links = model.class_links_df(spark)
@@ -222,11 +228,17 @@ class CrawlEngine:
             self._truncate_sinks(rnd if snap.in_flight.take(1) else rnd + 1)
         else:
             # reused workdir: a fresh run must not merge a previous
-            # run's sink parquet into its own results
+            # run's sink parquet into its own results — nor leave that
+            # run's committed snapshots behind, or a later resume=True
+            # would restore the OLD run's frontier/seen over this run's
+            # sinks (stale rounds past this run's last snapshot win
+            # checkpoint.latest())
             import shutil
 
             shutil.rmtree(self._order_dir, ignore_errors=True)
             shutil.rmtree(self._records_dir, ignore_errors=True)
+            if self.checkpoint:
+                self.checkpoint.clear()
             frontier = robots_ok(self.seed_frontier(seeds)).localCheckpoint()
             seed_hashes = frontier.select(
                 url_seen_key(F.col("url"), F.col("form_params")).alias("url_hash")
@@ -534,20 +546,34 @@ class CrawlEngine:
         """Drop sink rows of rounds >= from_round (resume re-appends
         them). Filter-rewrite is fine at resume frequency; a production
         deployment partitioning the sinks by round would delete
-        directories instead."""
+        directories instead.
+
+        Crash-safe: the swap keeps one complete sink copy on disk at
+        every instant (write tmp -> rename live to old -> rename tmp to
+        live -> drop old), and the next resume heals an interrupted
+        swap by promoting the finished tmp copy. A plain
+        rmtree-then-rename would lose every committed row if the
+        process died between the two calls."""
         import shutil
 
         for d in (self._order_dir, self._records_dir):
+            tmp = d + "._resume_tmp"
+            old = d + "._resume_old"
+            if not os.path.isdir(d) and os.path.isdir(tmp):
+                # previous truncate crashed between the two renames:
+                # tmp holds the complete filtered copy — promote it
+                os.replace(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
             if not os.path.isdir(d):
                 continue
             df = self.spark.read.parquet(d)
             if df.filter(F.col("round") >= from_round).isEmpty():
                 continue
-            tmp = d + "._resume_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             df.filter(F.col("round") < from_round).write.parquet(tmp)
-            shutil.rmtree(d)
+            os.replace(d, old)
             os.replace(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
 
     def _append_order(self, rnd: int, fetched: DataFrame, host_stats: DataFrame) -> None:
         df = fetched.withColumn(

@@ -58,6 +58,14 @@ class CrawlCheckpoint:
     def _dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"round={rnd}")
 
+    def clear(self) -> None:
+        """Drop every committed snapshot (fresh runs in a reused
+        workdir call this so resume can never restore a prior run)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+
     def write(
         self,
         rnd: int,

@@ -45,7 +45,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE byte string → (int16 sample array, sample_rate)."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, end = 12, 8 + struct.unpack("<I", data[4:8])[0]
     fmt_tag = channels = bits = rate = None
@@ -55,6 +55,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         chunk = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # a short fmt chunk must surface as ValueError (the
+            # corrupt-payload contract callers catch), not struct.error
+            if len(chunk) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt_tag, channels, rate = struct.unpack("<HHI", chunk[:8])
             bits = struct.unpack("<H", chunk[14:16])[0]
         elif cid == b"data":

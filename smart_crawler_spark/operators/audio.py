@@ -91,7 +91,9 @@ def audio_features(audio: DataFrame, window: int = 800) -> DataFrame:
 def resample_audio(audio: DataFrame, factor: int) -> DataFrame:
     """Integer-factor decimation: keep every ``factor``-th sample and
     re-encode at sr/factor. Same schema as the input table (checksum
-    recomputed for the decimated signal)."""
+    recomputed for the decimated signal). Undecodable payloads are
+    dropped from the output (the filter-out convention for a resample
+    stage; audio_features is the op that REPORTS corrupt clips)."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
 
@@ -99,7 +101,10 @@ def resample_audio(audio: DataFrame, factor: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for cid, data, fmt in zip(pdf["clip_id"], pdf["bytes"], pdf["fmt"]):
-                v, sr = decode_wav(bytes(data))
+                try:
+                    v, sr = decode_wav(bytes(data))
+                except (ValueError, NotImplementedError):
+                    continue
                 d = v[::factor]
                 rows.append(
                     {

@@ -173,12 +173,9 @@ def stratified_sample(
     on every run, engine, and partitioning (unlike ``df.sample``, whose
     output depends on partition layout). Strata missing from
     ``fractions`` are dropped (fraction 0.0)."""
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        / float(1 << 32)
-    )
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    u = md5_hash32(key_col).cast("double") / float(1 << 32)
     frac = F.create_map(
         *[x for kv in fractions.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     )

@@ -26,6 +26,18 @@ STOPWORDS = {
 }
 
 
+def md5_hash32(col: Column | str) -> Column:
+    """First 8 hex digits of md5(key) as a long in [0, 2^32) — the
+    engine-reproducible uniform draw shared by every deterministic
+    sampling/layout operator (stratified_sample, sequence_pack).
+    DuckDB replays it as ``('0x' || substr(md5(key), 1, 8))::BIGINT``;
+    keep the two dialects in sync HERE, not per operator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Lowercase + whitespace-collapse + trim — the dedup identity
     (mirrors the reference's record normalization,
@@ -246,12 +258,7 @@ def sequence_pack(
     ntok = F.size(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     ).cast("long")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % n_buckets
-    )
+    bucket = md5_hash32(id_col) % n_buckets
     base = docs.select(
         F.col(id_col), bucket.alias("bucket"), ntok.alias("n_tokens")
     )

@@ -125,7 +125,13 @@ class SeedConfig:
             # crawling.pages bounds each SITE's frontier: the reference
             # creates one CrawlFrontier per seed with set.pages
             # (CrawlController.java:74-77), counting dispatches — the
-            # per-host cap, not a cross-site total
+            # per-host cap, not a cross-site total. Per-host == per-seed
+            # is faithful because a reference frontier is single-host by
+            # construction: link extraction drops cross-domain hrefs
+            # (HtmlUtils.isValidURL:160-175 via getAbsoluteInternalURLs).
+            # Synthetic multi-host graphs (an extension the reference
+            # cannot reach) wanting one shared budget across hosts set
+            # EngineConfig.max_pages_total instead.
             kw["max_pages_per_host"] = settings.pages
         kw.update(overrides)
         return EngineConfig(**kw)

@@ -101,3 +101,27 @@ def test_resample_decimates_exactly(spark):
         assert r["n_samples"] == want.size
         assert np.array_equal(got, want)
         assert r["checksum"] == int(want.astype(np.int64).sum())
+
+
+def test_truncated_fmt_chunk_is_valueerror_not_structerror(spark):
+    """A RIFF/WAVE header with a short fmt chunk must surface as the
+    documented ValueError contract (struct.error would escape the
+    operators' corrupt-payload handling and kill the whole job)."""
+    bad = (
+        b"RIFF" + struct.pack("<I", 18) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 6) + b"\x01\x00\x01\x00\x40\x1f"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+    rows = [audio_row(0), audio_row(1)]
+    rows[1]["bytes"] = bad
+    df = spark.createDataFrame(
+        rows,
+        schema="clip_id string, bytes binary, sr int, n_samples int, "
+        "fmt string, checksum long",
+    )
+    out = audio_features(df).collect()
+    assert {r["clip_id"] for r in out if not r["ok"]} == {"clip1"}
+    # resample drops the undecodable clip instead of dying
+    kept = resample_audio(df, factor=2).collect()
+    assert {r["clip_id"] for r in kept} == {"clip0"}

@@ -222,3 +222,60 @@ def test_fresh_run_clears_stale_sinks(spark, site, tmp_path):
         spark, pages, model, d, EngineConfig(budget_per_host=1)
     ).run(seeds)
     assert _summary(second) == want
+
+
+def test_fresh_run_clears_stale_checkpoints(spark, site, tmp_path):
+    """A fresh run in a reused workdir must drop the previous run's
+    committed snapshots too: otherwise a later --resume restores the OLD
+    run's round-N state (N past this run's last snapshot wins latest())
+    over the new run's sinks — a corrupt mix of two runs."""
+    model, pages, seeds = site
+    wd = str(tmp_path / "wd")
+    a = CrawlEngine(
+        spark, pages, model, wd, EngineConfig(budget_per_host=1, checkpoint_every=1)
+    ).run(seeds)
+    assert a.rounds > 3
+    # fresh shorter run B in the same workdir
+    b = CrawlEngine(
+        spark, pages, model, wd,
+        EngineConfig(budget_per_host=1, checkpoint_every=1, max_pages_total=3),
+    ).run(seeds)
+    assert b.rounds < a.rounds
+    latest = CrawlCheckpoint(spark, wd + "/checkpoints").latest()
+    assert latest.round <= b.rounds  # A's stale round-N snapshots gone
+    # resuming now continues B's crawl, never restores A's frontier
+    resumed = CrawlEngine(
+        spark, pages, model, wd,
+        EngineConfig(budget_per_host=1, checkpoint_every=1, max_pages_total=3),
+    ).run(resume=True)
+    assert _summary(resumed) == _summary(b)
+
+
+def test_truncate_sinks_survives_interrupted_swap(spark, site, tmp_path):
+    """Crash-safety of the sink truncation swap: if a previous resume
+    died between the two renames (live dir gone, filtered tmp copy
+    complete), the next resume must heal and still produce the
+    uninterrupted run's results."""
+    import os
+
+    model, pages, seeds = site
+    want = _summary(
+        CrawlEngine(
+            spark, pages, model, str(tmp_path / "clean"),
+            EngineConfig(budget_per_host=1, checkpoint_every=1),
+        ).run(seeds)
+    )
+    wd = str(tmp_path / "killed")
+    crash_cfg = EngineConfig(
+        budget_per_host=1, checkpoint_every=1, crash_at_round=3
+    )
+    CrawlEngine(spark, pages, model, wd, crash_cfg).run(seeds)
+    # simulate the torn state mid-swap: tmp holds the complete filtered
+    # copy, the live dir is gone
+    order_dir = os.path.join(wd, "crawl_order")
+    os.replace(order_dir, order_dir + "._resume_tmp")
+    resumed = CrawlEngine(
+        spark, pages, model, wd,
+        EngineConfig(budget_per_host=1, checkpoint_every=1),
+    ).run(resume=True)
+    assert _summary(resumed) == want
