@@ -62,3 +62,28 @@ def test_form_params_distinguish_pages(spark, tmp_path):
     assert res.seen.count() == len(want.seen) == 3
     # records: one per fetched form page
     assert res.records.count() == 2
+
+
+def test_get_only_model_skips_corpus_probe(spark, tmp_path):
+    """Form sensitivity derives from the MODEL (only form-type class
+    links can put form_params into the frontier, CrawlPage.java:159-167)
+    — a GET-only model stays on the single-join fetch without scanning
+    the corpus, even if the corpus happens to carry '>' keyed rows
+    (unreachable without form links)."""
+    get_model = parse_target_rows(
+        [["home", "link", "//a", "result", "list"],
+         ["result", "string", "//h1/text()", "title"]]
+    )
+    pages = PAGES + [_page("http://h.test/search>q=alpha", "result")]
+    pages_df = spark.createDataFrame(pages, SITE_PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages_df, get_model, str(tmp_path / "get"),
+        EngineConfig(budget_per_host=1),
+    )
+    assert eng._form_sensitive is False
+    # the form-modeled engine on the same corpus stays param-sensitive
+    eng2 = CrawlEngine(
+        spark, pages_df, parse_target_rows(MODEL_ROWS),
+        str(tmp_path / "form"), EngineConfig(budget_per_host=1),
+    )
+    assert eng2._form_sensitive is True
