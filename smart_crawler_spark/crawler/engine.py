@@ -48,7 +48,11 @@ from smart_crawler_spark.frontier.checkpoint import (
     partition_metrics,
 )
 from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
-from smart_crawler_spark.frontier.queue import FRONTIER_ORDER, priority_rank
+from smart_crawler_spark.frontier.queue import (
+    FRONTIER_ORDER,
+    priority_rank,
+    salted_prelimit,
+)
 
 FRONTIER_SCHEMA = (
     "url string, host string, page_class string, class_depth int,"
@@ -170,9 +174,20 @@ class CrawlEngine:
         root = self.model.root
         depth = self.model.depths[root]
         df = self.spark.createDataFrame(
-            [(u, root, depth, root, None) for u in seeds],
+            [(u, root, depth, root, None, i) for i, u in enumerate(seeds)],
             "url string, page_class string, class_depth int, class_name string,"
-            " form_params string",
+            " form_params string, _pos int",
+        )
+        # seeds that are distinct strings but one canonical page (e.g.
+        # "http://h" vs "http://h/") collapse to the FIRST in list order
+        # — the oracle's enqueue-time seen check admits only one
+        w = Window.partitionBy(
+            url_seen_key(F.col("url"), F.col("form_params"))
+        ).orderBy("_pos")
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_pos")
         )
         return df.withColumn("host", url_host("url")).select(
             "url", "host", "page_class", "class_depth", "class_name", "form_params"
@@ -200,6 +215,10 @@ class CrawlEngine:
             return filter_allowed(df, self.robots)
 
         if resume:
+            if self.checkpoint is None:
+                raise RuntimeError(
+                    "resume requires checkpointing (checkpoint_every > 0)"
+                )
             snap = self.checkpoint.latest()
             if snap is None:
                 raise RuntimeError("resume requested but no committed snapshot")
@@ -318,6 +337,20 @@ class CrawlEngine:
                     return self._result(rnd, frontier, seen_filter, metrics)
 
             fetched_ok = fetched.filter("fetch_ok")
+            # redirecting pages of this round, with their dispatch-order
+            # tuple: their adopted final URLs enter the seen set at fetch
+            # time in the sequential semantics (E8), which both blocks
+            # later same-round link enqueues (_dedup_links) and feeds the
+            # round-end seen update below
+            redirectors = fetched_ok.filter(
+                F.col("redirect_to").isNotNull()
+            ).select(
+                url_seen_key(F.col("final_url")).alias("r_hash"),
+                F.col("class_depth").alias("r_depth"),
+                F.col("page_class").alias("r_class"),
+                F.col("url").alias("r_url"),
+                F.coalesce("form_params", F.lit("")).alias("r_fp"),
+            )
 
             # the two sinks, the link-dedup pipeline, and the host-stats
             # roll-up are independent given the materialized batch — run
@@ -339,7 +372,8 @@ class CrawlEngine:
             def _new_links():
                 links = extract_links(fetched_ok, self.class_links)
                 new = self._dedup_links(
-                    robots_ok(links), seen_filter, prefer_bloom
+                    robots_ok(links), seen_filter, prefer_bloom,
+                    redirectors=redirectors,
                 ).localCheckpoint(eager=True)
                 return new, new.count()
 
@@ -370,9 +404,9 @@ class CrawlEngine:
             # requires run as separate pool jobs below so the seen table
             # and the bitmaps (when maintained) materialize concurrently
             # with the frontier union instead of serializing
-            redirect_hashes = fetched_ok.filter(
-                F.col("redirect_to").isNotNull()
-            ).select(url_seen_key(F.col("final_url")).alias("url_hash"))
+            redirect_hashes = redirectors.select(
+                F.col("r_hash").alias("url_hash")
+            )
             seen_filter.add(
                 new.select("url_hash").unionByName(redirect_hashes)
             )
@@ -426,17 +460,7 @@ class CrawlEngine:
             # that filters nothing; measured ~1.8 s/round at 17k-row
             # rounds in local mode)
             return df
-        if cfg.salt_buckets > 1:
-            df = df.withColumn(
-                "_salt",
-                F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int"),
-            )
-            w1 = Window.partitionBy("host", "_salt").orderBy(*FRONTIER_ORDER())
-            df = (
-                df.withColumn("_r1", F.row_number().over(w1))
-                .filter(F.col("_r1") <= budget)
-                .drop("_salt", "_r1")
-            )
+        df = salted_prelimit(df, budget, cfg.salt_buckets)
         # rank <= budget FIRST, directly on the window output: Spark
         # plans it as a map-side Partial WindowGroupLimit (the skew
         # defense); any join inserted between row_number and this filter
@@ -511,6 +535,7 @@ class CrawlEngine:
         links: DataFrame,
         seen_filter: SeenFilter,
         prefer_bloom: bool | None = None,
+        redirectors: DataFrame | None = None,
     ) -> DataFrame:
         # intra-batch: first enqueuer wins, in the order the reference's
         # sequential loop would enqueue (source dequeue order = the
@@ -532,13 +557,35 @@ class CrawlEngine:
         first = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop(
-                "_rn", "rel", "src_depth", "src_class", "src_url",
-                "src_fp", "link_seq",
-            )
+            .drop("_rn", "rel")
         )
         first = first.withColumn(
             "url_hash", url_seen_key(F.col("url"), F.col("form_params"))
+        )
+        if redirectors is not None:
+            # E8 seen timing (oracle.py crawl_site: res.seen.add(final)
+            # runs at the redirecting page's FETCH, before any LATER
+            # page's link enqueues): a link to a redirect target is
+            # blocked iff some redirector at-or-before its winning
+            # enqueuer in the round's dispatch order (the frontier
+            # comparator) adopted that URL; a winner that precedes every
+            # such redirector was enqueued first in the sequential
+            # semantics and stays.
+            eq = [
+                (F.col("r_depth"), F.col("src_depth")),
+                (F.col("r_class"), F.col("src_class")),
+                (F.col("r_url"), F.col("src_url")),
+            ]
+            r_le_s = F.col("r_fp") <= F.col("src_fp")
+            for ra, sa in reversed(eq):
+                r_le_s = (ra < sa) | ((ra == sa) & r_le_s)
+            first = first.join(
+                redirectors,
+                (F.col("url_hash") == F.col("r_hash")) & r_le_s,
+                "left_anti",
+            )
+        first = first.drop(
+            "src_depth", "src_class", "src_url", "src_fp", "link_seq"
         )
         return seen_filter.filter_new(first, prefer_bloom=prefer_bloom)
 

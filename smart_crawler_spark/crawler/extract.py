@@ -201,8 +201,13 @@ def extract_links(fetched_ok: DataFrame, class_links: DataFrame) -> DataFrame:
     classified = plain.unionByName(by_href)
     # form links encode a future POST as "url>k=v;k=v" (E2,
     # model/CrawlURL.java:46-56, factories/CrawlURLFactory.java:33-44)
+    # split at the FIRST '>' like the oracle/reference (oracle.py
+    # url.split('>', 1); CrawlURLFactory keeps everything after it as
+    # the param blob) — substring_index(-1) would keep only the LAST
+    # segment of a href whose param VALUES contain '>'
     form_params = F.when(
-        F.col("url").contains(">"), F.substring_index("url", ">", -1)
+        F.col("url").contains(">"),
+        F.expr("substring(url, instr(url, '>') + 1)"),
     ).otherwise(F.lit(None).cast("string"))
     plain_url = F.substring_index("url", ">", 1)
     # link_seq reproduces the reference's sequential enqueue order within

@@ -178,10 +178,18 @@ def crawl_all(
     max_pages: int = 1 << 30,
     max_tries: int = 1,
 ) -> dict[str, OracleResult]:
-    """One independent frontier per seed, like the reference controller."""
+    """One independent frontier per seed, like the reference controller.
+
+    Keyed by the seed's host: two seeds sharing a host would silently
+    overwrite each other's result, so that input is rejected."""
     by_url = {r["url"]: r for r in pages_rows}
     out: dict[str, OracleResult] = {}
     for seed in seeds:
         host = urlsplit(seed).netloc.lower()
+        if host in out:
+            raise ValueError(
+                f"two seeds share host {host!r}; crawl_all results are "
+                "keyed by host — run crawl_site per seed instead"
+            )
         out[host] = crawl_site(by_url, model, seed, max_pages, max_tries)
     return out

@@ -58,6 +58,25 @@ def priority_rank(df: DataFrame, per: str = "host") -> DataFrame:
     return df.withColumn("rank", F.row_number().over(w))
 
 
+def salted_prelimit(df: DataFrame, budget: int, salt_buckets: int) -> DataFrame:
+    """Phase 1 of the skew-safe two-phase top-K: rank within
+    (host, salt) and keep rank <= budget, bounding any hot host's input
+    to the final per-host window at salt_buckets × budget rows. Shared
+    by pick_batch and the crawl engine so the skew defense has one
+    definition."""
+    if salt_buckets <= 1:
+        return df
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*FRONTIER_ORDER())
+    return (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= budget)
+        .drop("_salt", "_r1")
+    )
+
+
 def pick_batch(
     frontier: DataFrame,
     budget_per_host: int,
@@ -71,17 +90,7 @@ def pick_batch(
     the same total order, host-insensitive, matching the reference's
     global ``pages`` cap.
     """
-    df = frontier
-    if salt_buckets > 1:
-        df = df.withColumn(
-            "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
-        )
-        w1 = Window.partitionBy("host", "_salt").orderBy(*FRONTIER_ORDER())
-        df = (
-            df.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= budget_per_host)
-            .drop("_salt", "_r1")
-        )
+    df = salted_prelimit(frontier, budget_per_host, salt_buckets)
     batch = (
         priority_rank(df, "host")
         .filter(F.col("rank") <= budget_per_host)

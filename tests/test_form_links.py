@@ -87,3 +87,38 @@ def test_get_only_model_skips_corpus_probe(spark, tmp_path):
         str(tmp_path / "form"), EngineConfig(budget_per_host=1),
     )
     assert eng2._form_sensitive is True
+
+
+def test_form_params_split_at_first_gt(spark, tmp_path):
+    """A '>' inside a param VALUE must stay in form_params: the split is
+    at the FIRST '>' (oracle url.split('>', 1); CrawlURLFactory keeps
+    everything after it), not the last."""
+    model = parse_target_rows(MODEL_ROWS)
+    pages = [
+        _page(
+            "http://h.test/", "home",
+            out={"//form//a": ["http://h.test/search>q=a>b;"]},
+        ),
+        _page("http://h.test/search", "result",
+              data={"//h1/text()": "get"}),
+        # the POST-response row keyed by the FULL param blob
+        _page("http://h.test/search>q=a>b;", "result",
+              data={"//h1/text()": "post"}),
+    ]
+    pages_df = spark.createDataFrame(pages, SITE_PAGES_SCHEMA)
+    res = CrawlEngine(
+        spark, pages_df, model, str(tmp_path),
+        EngineConfig(budget_per_host=1),
+    ).run(["http://h.test/"])
+    want = crawl_all(pages, model, ["http://h.test/"])["h.test"]
+    got_order = [
+        (r["seq"], r["url"], r["fetched"])
+        for r in res.order.orderBy("seq").collect()
+    ]
+    assert got_order == [
+        (o["seq"], o["url"], o["fetched"]) for o in want.order
+    ]
+    # the form fetch answered from the POST row, not the GET fallback
+    recs = {tuple(r["fields"]) for r in res.records.collect()}
+    assert ("post",) in recs
+    assert res.seen.count() == len(want.seen)

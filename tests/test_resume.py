@@ -279,3 +279,27 @@ def test_truncate_sinks_survives_interrupted_swap(spark, site, tmp_path):
         EngineConfig(budget_per_host=1, checkpoint_every=1),
     ).run(resume=True)
     assert _summary(resumed) == want
+
+
+def test_resume_without_checkpointing_is_clear_error(spark, site, tmp_path):
+    model, pages, _seeds = site
+    eng = CrawlEngine(
+        spark, pages, model, str(tmp_path), EngineConfig(checkpoint_every=0)
+    )
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        eng.run(resume=True)
+
+
+def test_canonically_equal_seeds_collapse(spark, site, tmp_path):
+    """Seeds that are distinct strings but one canonical page dispatch
+    once (the oracle's enqueue-time seen check admits only the first)."""
+    model, pages, seeds = site
+    base = CrawlEngine(
+        spark, pages, model, str(tmp_path / "one"),
+        EngineConfig(budget_per_host=1),
+    ).run(seeds)
+    dup = CrawlEngine(
+        spark, pages, model, str(tmp_path / "two"),
+        EngineConfig(budget_per_host=1),
+    ).run([seeds[0], seeds[0].rstrip("/")])
+    assert _summary(dup) == _summary(base)

@@ -2,6 +2,7 @@
 hand-built page graphs."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
 from smart_crawler_spark.crawler.oracle import crawl_all, seen_key
@@ -92,3 +93,59 @@ def test_engine_matches_oracle(spark, model, tmp_path, max_tries):
 
     assert res.seen.count() == len(want.seen)
     assert seen_key("http://h.test/d1") in want.seen
+
+
+def test_redirect_target_seen_at_fetch_blocks_same_round_links(
+    spark, tmp_path
+):
+    """E8 seen timing: a redirect target enters the seen set the moment
+    the redirecting page is FETCHED (oracle res.seen.add(final) before
+    any later link enqueue) — so a link to that target discovered at or
+    after the redirect is blocked, while one enqueued BEFORE the
+    redirect stays queued and is dispatched."""
+    model2 = parse_target_rows(
+        [
+            ["home", "link", "//x", "det", "list"],
+            ["det", "link", "//y", "det", "list"],
+            ["det", "string", "//h1/text()", "title"],
+        ]
+    )
+    pages = [
+        _page("http://h.test/", "home",
+              out={"//x": ["http://h.test/a", "http://h.test/z",
+                           "http://h.test/z2"]}),
+        # keep case: /a enqueues /b BEFORE /z's redirect adds it to seen
+        _page("http://h.test/a", "det", out={"//y": ["http://h.test/b"]},
+              data={"//h1/text()": "a"}),
+        _page("http://h.test/b", "det", out={"//y": ["http://h.test/b"]},
+              data={"//h1/text()": "b"}),
+        _page("http://h.test/z", "det", redirect="http://h.test/b"),
+        # blocked case: /c is reachable ONLY through /z2's adopted
+        # content — the redirect fetch marks /c seen first
+        _page("http://h.test/z2", "det", redirect="http://h.test/c"),
+        _page("http://h.test/c", "det", out={"//y": ["http://h.test/c"]},
+              data={"//h1/text()": "c"}),
+    ]
+    pages_df = spark.createDataFrame(pages, SITE_PAGES_SCHEMA)
+    res = CrawlEngine(
+        spark, pages_df, model2, str(tmp_path),
+        EngineConfig(budget_per_host=1),
+    ).run(["http://h.test/"])
+    want = crawl_all(pages, model2, ["http://h.test/"])["h.test"]
+
+    got_order = [
+        (r["seq"], r["url"], r["fetched"])
+        for r in res.order.orderBy("seq").collect()
+    ]
+    assert got_order == [
+        (o["seq"], o["url"], o["fetched"]) for o in want.order
+    ]
+    urls = [u for _, u, _ in got_order]
+    assert "http://h.test/b" in urls        # enqueued before the redirect
+    assert "http://h.test/c" not in urls    # seen at z2's fetch, never dispatched
+    assert {r["url_hash"] for r in res.seen.collect()} == {
+        r["h"]
+        for r in spark.createDataFrame(
+            [(k,) for k in sorted(want.seen)], "k string"
+        ).select(F.xxhash64("k").alias("h")).collect()
+    }
