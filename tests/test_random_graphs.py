@@ -28,6 +28,11 @@ def make_random_site(seed: int):
         model_rows.append(
             [classes[a], "link", f"//e{a}_{b}", classes[b], ""]
         )
+    # self-class edge (dir1->dir1next-style pagination): cycles through
+    # one class make redirect targets reachable from their own class,
+    # the regime where E8 fetch-time seen insertion bites
+    s = rng.randrange(n_classes)
+    model_rows.append([classes[s], "link", f"//self{s}", classes[s], ""])
     model_rows.append([classes[-1], "string", "//h1/text()", "title"])
     model = parse_target_rows(model_rows)
 
