@@ -73,8 +73,17 @@ def candidate_clusters(pages: DataFrame) -> DataFrame:
     ).drop("_sig", "class_labels")
 
 
-def cluster_summaries(pages_with_cand: DataFrame) -> DataFrame:
-    """Aggregate per-candidate sufficient statistics (all distributed)."""
+def cluster_summaries(
+    pages_with_cand: DataFrame, collect_urls: bool = False
+) -> DataFrame:
+    """Aggregate per-candidate sufficient statistics (all distributed).
+
+    ``collect_urls`` additionally ships every member URL per candidate
+    to the driver — diagnostics/tests only: the MDL collapse needs just
+    the sufficient statistics (size / urls_total / link_df /
+    label_counts), and the page→cluster assignment comes from the
+    candidate-id join in cluster_pages, so at corpus scale the driver
+    must NOT materialize O(pages) URL strings."""
     base = pages_with_cand.select(
         "candidate_id",
         "url",
@@ -88,11 +97,13 @@ def cluster_summaries(pages_with_cand: DataFrame) -> DataFrame:
             )
         ).alias("urls_size"),
     )
-    sizes = base.groupBy("candidate_id").agg(
+    aggs = [
         F.count(F.lit(1)).alias("size"),
         F.sum("urls_size").alias("urls_total"),
-        F.collect_list("url").alias("urls"),
-    )
+    ]
+    if collect_urls:
+        aggs.append(F.collect_list("url").alias("urls"))
+    sizes = base.groupBy("candidate_id").agg(*aggs)
     link_df = (
         base.select("candidate_id", F.explode_outer("link_schema").alias("xpath"))
         .filter(F.col("xpath").isNotNull())
@@ -167,7 +178,7 @@ class ClusterStats:
             cid=r["candidate_id"],
             size=r["size"],
             urls_total=r["urls_total"] or 0,
-            urls=list(r["urls"]),
+            urls=list(r["urls"]) if "urls" in r.__fields__ else [],
             link_df=dict(r["link_df"] or {}),
             label_counts=lc,
             members=[r["candidate_id"]],
@@ -332,16 +343,17 @@ def schema_minhash_sig(schema_col, num_perm: int = 32):
 
 def lsh_schema_pairs(
     summaries: DataFrame,
-    threshold: float = MIN_DISTANCE,
     num_perm: int = 32,
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate pairs with estimated schema distance < threshold via
+    """Candidate pairs with estimated schema distance < MIN_DISTANCE via
     MinHash banding over schema sets — replaces the O(n²) loop input when
     candidates are many (the C3 scale path). Distance < 0.2 means
     Jaccard similarity > 0.8, so 16 bands × 2 rows catches such pairs
-    with P ≈ 1-(1-0.8²)¹⁶ ≈ 0.9997. Verification stays exact on the
-    driver over the pruned pair list."""
+    with P ≈ 1-(1-0.8²)¹⁶ ≈ 0.9997 — a caller collapsing at a different
+    threshold must re-derive (bands, rows) for that similarity, which is
+    why there is deliberately no threshold parameter here. Verification
+    stays exact on the driver over the pruned pair list."""
     from smart_crawler_spark.operators.minhash import lsh_candidate_pairs
 
     schema_col = F.array_union(
@@ -366,6 +378,7 @@ def lsh_schema_pairs(
 def cluster_pages(
     pages: DataFrame,
     use_lsh_pairs: bool = False,
+    collect_urls: bool = False,
 ) -> tuple[list[ClusterStats], DataFrame]:
     """Full C1→C2→C3→C4→C8(schema part) pipeline.
 
@@ -374,7 +387,7 @@ def cluster_pages(
     Returns (final clusters, page→cluster assignment DataFrame).
     """
     with_cand = candidate_clusters(pages).localCheckpoint()
-    summaries = cluster_summaries(with_cand)
+    summaries = cluster_summaries(with_cand, collect_urls=collect_urls)
     allowed = None
     if use_lsh_pairs:
         allowed = {

@@ -314,20 +314,26 @@ class DynamicModeler:
         candidates = [c for c in candidates if c] + split_off
         candidates.sort(key=len, reverse=True)
         # C3 collapse below min distance (page-set jaccard on schemas)
+        stats = [self._pages_stats(c) for c in candidates]
         merged = collapsed(
-            [self._pages_stats(c) for c in candidates],
-            lambda a, b: distance(a, b) < self.min_distance,
+            stats, lambda a, b: distance(a, b) < self.min_distance
         )
-        by_cid = {id(c): c for c in candidates}
+        by_cid = {st.cid: c for st, c in zip(stats, candidates)}
         return [
-            sum((by_cid[int(m)] for m in st.members), []) for st in merged
+            sum((by_cid[m] for m in st.members), []) for st in merged
         ]
 
     def _pages_stats(self, pages: list[MPage]) -> ClusterStats:
-        st = pages[0].to_stats(str(id(pages)))
+        # cid from the instance counter — NEVER str(id(list)): fresh
+        # lists die after each round, CPython reuses their addresses,
+        # and a recycled id colliding with a persisted model cid would
+        # silently attach new pages to the wrong cluster
+        self._id += 1
+        cid = str(self._id)
+        st = pages[0].to_stats(cid)
         for p in pages[1:]:
-            st = st.merge(p.to_stats(str(id(pages))))
-        st.members = [str(id(pages))]
+            st = st.merge(p.to_stats(cid))
+        st.members = [cid]
         return st
 
     def _inspect(
@@ -361,11 +367,11 @@ class DynamicModeler:
 
     def _refine(self, collection: LinkCollection) -> bool:
         """C6 XPath refinement search (changeXPath:354-385)."""
-        page = collection.page
-        xp = collection.xpath
-        snapshot = [t for t in xp.tags]  # tags are mutated in place
         import copy
 
+        page = collection.page
+        xp = collection.xpath
+        # refine() mutates xp.tags in place; the deepcopy is the restore
         original = copy.deepcopy(xp)
         while xp.refine(collection.finer):
             links = _eval_xpath_hrefs(page, xp)
@@ -373,7 +379,6 @@ class DynamicModeler:
                 collection.links = links
                 return True
         collection.xpath = original
-        del snapshot
         return False
 
     def _update(self, collection, new_pages, candidates, queue) -> None:
@@ -384,12 +389,11 @@ class DynamicModeler:
             idf = _global_idf(self.visited.values())
             cost = CostModel(idf)
             model_stats = {st.cid: (st, pages) for st, pages in self.model}
+            fresh_stats = [self._pages_stats(c) for c in fresh]
+            by_mid = {st.cid: c for st, c in zip(fresh_stats, fresh)}
             merged = mdl_update(
-                [st for st, _p in self.model],
-                [self._pages_stats(c) for c in fresh],
-                cost,
+                [st for st, _p in self.model], fresh_stats, cost
             )
-            by_mid = {str(id(c)): c for c in fresh}
             new_model = []
             for st in merged:
                 pages: list[MPage] = []

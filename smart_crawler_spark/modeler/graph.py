@@ -68,6 +68,15 @@ def class_links_from_pages(assigned: DataFrame) -> DataFrame:
       ``xpath[@href=...]`` edge per distinct href;
     - single destination cluster, >1 href per page → **list**;
     - otherwise → **singleton** (e.g. NEXT self-links).
+
+    Contract: fixed-menu ``@href`` predicates are emitted in the SAME
+    value space as the hrefs in ``assigned.out_links`` — this batch
+    builder is fed structured corpora whose hrefs are already absolute
+    (raw == resolved). A real-HTML flow must either pass RAW href
+    attributes in ``out_links`` or alias-expand its corpus link keys
+    like ``sources/htmlsite.py`` does; the dynamic modeler
+    (``dynamic.py`` via ``href_map``) emits raw-href predicates, the
+    reference's MenuItem.hrefXPath dialect.
     """
     from pyspark.sql import Window
 

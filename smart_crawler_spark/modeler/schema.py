@@ -96,7 +96,9 @@ def _chain(node: _Node) -> list[tuple[str, list[tuple[str, str]]]]:
 def is_valid_link(href: str, base_url: str) -> str | None:
     """Resolve + filter an href (HtmlUtils.java:160-176). Returns the
     absolute URL or None."""
-    if not href or href.startswith("#"):
+    # '#' ANYWHERE rejects (fragment links are the same page) — the
+    # reference tests link.contains("#"), not just a leading fragment
+    if not href or "#" in href:
         return None
     low = href.lower()
     if low.startswith(("javascript:", "mailto:")) or "@" in href:

@@ -191,9 +191,14 @@ def minhash_near_dup_pairs(
     (band, bucket) and id.
     """
     # the signature UDF feeds both sides of the bucket self-join —
-    # persist so Arrow hashing runs once (at 100 TB: a materialized
-    # signatures table)
-    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col).persist()
+    # materialize so Arrow hashing runs once (at 100 TB: a materialized
+    # signatures table). localCheckpoint, NOT persist: cached plans stay
+    # pinned in the CacheManager until an explicit unpersist (a leak in
+    # long-lived sessions calling this per corpus), while checkpointed
+    # RDDs are GC'd with the DataFrame
+    sigs = minhash_signatures(
+        docs, num_perm, shingle_n, text_col, id_col
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, bands, id_col, num_perm=num_perm)
     ws = docs.select(F.col(id_col), shingle_set(text_col, shingle_n).alias("ws"))
     pairs = (
@@ -274,7 +279,8 @@ def simhash_near_dup_pairs(
     identical block, pigeonhole), verified by popcount of xor."""
     from smart_crawler_spark.operators.images import _hamming_blocks
 
-    sh = simhash64(docs, text_col, id_col).persist()
+    # localCheckpoint, not persist — see minhash_near_dup_pairs
+    sh = simhash64(docs, text_col, id_col).localCheckpoint(eager=True)
     blocks = sh.select(
         F.col(id_col),
         "simhash",

@@ -63,15 +63,22 @@ def asof_join(
                  F.col(right_cols[0]).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # fill the whole right ROW as one struct (null for left rows): a
+    # per-column last(ignorenulls) would stitch fields from DIFFERENT
+    # right rows whenever the latest row carries nulls — the as-of
+    # contract is "the latest row's values, nulls included"
+    row = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
     filled = unioned.select(
-        key, "_ts", "_side",
+        key, "_side",
         *[F.col(f"_l_{c}") for c in lcols if c != key],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last(row, ignorenulls=True).over(w).alias("_r"),
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c != key],
         F.col(key),
-        *right_cols,
+        *[F.col("_r")[c].alias(c) for c in right_cols],
     )
 
 

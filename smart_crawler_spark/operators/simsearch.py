@@ -239,6 +239,17 @@ def ivf_centroids_kmeans(
             .collect()
         )
         centroids = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+        if centroids.size == 0:
+            # the stride seed assumes dense integer ids from 0 (the
+            # corpus-table convention); offset/sparse/hashed ids would
+            # otherwise yield zero centroids and an EMPTY ivf_topk
+            # result with no error — fail loudly instead
+            raise ValueError(
+                f"stride seeding selected no rows ({id_col} % {stride}"
+                f" == 0, < {stride * n_cells}): ivf_centroids_kmeans"
+                f" requires dense integer ids starting at 0; remap ids"
+                f" (e.g. row_number) before quantizing"
+            )
         for _ in range(iters):
             assign = _ivf_cell_udf(centroids, 1)
             assigned = corpus.select(

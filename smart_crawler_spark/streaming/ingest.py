@@ -45,6 +45,15 @@ def start_frontier_ingest(
     anti-join semantics of the batch engine (F1) per micro-batch."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT per-batch sinks: each micro-batch overwrites its
+        # own batch=<id> partition, so a Structured Streaming replay of
+        # a half-committed batch rewrites the same directories instead
+        # of appending duplicates (the standard foreachBatch exactly-
+        # once pattern for non-transactional sinks). The seen read
+        # excludes the replaying batch's own partition — otherwise a
+        # crash after both writes but before the checkpoint commit
+        # would anti-join the replay against its own output and
+        # overwrite the partition with empty data.
         spark = batch_df.sparkSession
         enriched = (
             batch_df.withColumn("host", url_host(F.col("url")))
@@ -55,15 +64,23 @@ def start_frontier_ingest(
             .dropDuplicates(["url_hash"])
         )
         try:
-            seen = spark.read.parquet(seen_dir).select("url_hash")
+            seen = spark.read.parquet(seen_dir)
+            if "batch" in seen.columns:
+                seen = seen.filter(F.col("batch") != batch_id)
+            seen = seen.select("url_hash")
         except Exception:  # first batch: no seen snapshot yet
             seen = spark.createDataFrame([], "url_hash long")
-        new = enriched.join(seen, "url_hash", "left_anti")
-        new.select(
-            "url", "host", "page_class", "class_depth", "class_name",
-            "form_params", "url_hash",
-        ).write.mode("append").parquet(frontier_out)
-        new.select("url_hash").write.mode("append").parquet(seen_dir)
+        new = enriched.join(seen, "url_hash", "left_anti").persist()
+        try:
+            new.select(
+                "url", "host", "page_class", "class_depth", "class_name",
+                "form_params", "url_hash",
+            ).write.mode("overwrite").parquet(f"{frontier_out}/batch={batch_id}")
+            new.select("url_hash").write.mode("overwrite").parquet(
+                f"{seen_dir}/batch={batch_id}"
+            )
+        finally:
+            new.unpersist()
 
     return (
         candidates.writeStream.foreachBatch(process)

@@ -146,8 +146,8 @@ def test_lsh_pair_pruning_equals_exact(spark):
 
     cfg = SiteConfig(n_hosts=3, dirs=3, chain=2, details_per_page=2, n_images=20)
     pages = _modeler_input(generate_site_pages(spark, cfg)).localCheckpoint()
-    exact_model, exact_assign = cp(pages, use_lsh_pairs=False)
-    lsh_model, lsh_assign = cp(pages, use_lsh_pairs=True)
+    exact_model, exact_assign = cp(pages, use_lsh_pairs=False, collect_urls=True)
+    lsh_model, lsh_assign = cp(pages, use_lsh_pairs=True, collect_urls=True)
     exact_sets = sorted(
         tuple(sorted(c.urls)) for c in exact_model
     )

@@ -128,3 +128,27 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     assert not any(k % 3 == 2 for k in keep1)  # stratum 'c' dropped
     assert abs(n_a / 1000 - 0.5) < 0.05
     assert abs(n_b / 1000 - 0.1) < 0.03
+
+
+def test_asof_join_returns_whole_latest_row_with_nulls(spark):
+    """The as-of contract is "the latest right row's values, NULLS
+    INCLUDED" — a per-column last(ignorenulls) would stitch fields from
+    different right rows."""
+    from smart_crawler_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 3), ("k", 1)], "key string, lts int"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, 100, None), ("k", 2, None, 5)],
+        "key string, rts int, price int, qty int",
+    )
+    got = {
+        r["lts"]: (r["price"], r["qty"])
+        for r in asof_join(
+            left, right, "key", "lts", "rts", ["price", "qty"]
+        ).collect()
+    }
+    # lts=3 sees the ts=2 row AS IS (price null), never price=100/qty=5
+    assert got[3] == (None, 5)
+    assert got[1] == (100, None)
