@@ -263,16 +263,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    planted = (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
-        .select(
-            (F.col("a.vec_id") + 100000).alias("vec_id"),
-            F.zip_with(
-                "a.embedding", "b.embedding", lambda x, y: x + F.lit(0.18) * y
-            ).alias("embedding"),
-        )
-    )
+    planted = _planted_query_vecs(spark, sf_dir, n=None)
     # the LSH operator scans its corpus several times (two banded sides
     # + one id-only vector re-join per side); a real deployment's corpus
     # is a parquet/Iceberg table where each scan is column-pruned, but
@@ -464,24 +455,28 @@ def lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _planted_query_vecs(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+def _planted_query_vecs(
+    spark: SparkSession, sf_dir: str, n: int | None = 5
+) -> DataFrame:
     """Deterministic near-neighbor queries: w_i = v_i + 0.18*v_{i+1}
     (double arithmetic, reproducible bit-exactly in SQL). cos(w_i, v_i)
     ~ 0.98 >> the corpus' random-pair ceiling (~0.5), so each query has
-    one unambiguous nearest neighbor — the regime ANN exists for."""
+    one unambiguous nearest neighbor — the regime ANN exists for.
+    ``n=None`` plants over every consecutive pair (the near-dup corpus).
+    The ONE definition of the planting formula — its DuckDB oracles must
+    stay bit-identical to this expression."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
-        .filter(F.col("a.vec_id") < n)
-        .select(
-            (F.col("a.vec_id") + 100000).alias("vec_id"),
-            F.zip_with(
-                "a.embedding", "b.embedding", lambda x, y: x + F.lit(0.18) * y
-            ).alias("embedding"),
-        )
+    joined = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+    if n is not None:
+        joined = joined.filter(F.col("a.vec_id") < n)
+    return joined.select(
+        (F.col("a.vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            "a.embedding", "b.embedding", lambda x, y: x + F.lit(0.18) * y
+        ).alias("embedding"),
     )
 
 
@@ -2001,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
                        '[^a-z0-9]+'), x -> x <> '') AS w
                 FROM ({doubled})
+                WHERE doc_id % 100000 < 1000
             ),
             sh AS (
                 SELECT doc_id,
@@ -2065,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(list_filter(regexp_split_to_array(
                        lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
                 FROM ({doubled})
+                WHERE doc_id % 100000 < 1000
             ),
             tc AS (
                 SELECT doc_id, tok, count(*) AS cnt

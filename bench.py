@@ -45,7 +45,7 @@ HEADLINE = [
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], list[float]]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     # one-time session warm-up (JVM codegen + parquet footer cache) so

@@ -79,6 +79,12 @@ def main() -> None:
         from smart_crawler_spark.sources.config import load_settings_file
 
         settings = load_settings_file(args.conf)
+        if not settings.seeds:
+            # a seedless conf would silently drop the crawling.pages
+            # budget the --conf help promises to apply
+            raise SystemExit(
+                f"--conf {args.conf}: no crawler.modeler seeds configured"
+            )
         if settings.seeds:
             seed_cfg = settings.seeds[0]
             cfg = seed_cfg.engine_config(

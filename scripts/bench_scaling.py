@@ -213,13 +213,31 @@ def main() -> None:
     cpus = [8, 32]
     scale = 1.0
     jobs = "dedup,topk,links,crawl"
-    for a in sys.argv[1:]:
-        if a.startswith("--cpus"):
-            cpus = [int(x) for x in a.split("=", 1)[1].split(",")]
-        elif a.startswith("--scale"):
-            scale = float(a.split("=", 1)[1])
-        elif a.startswith("--jobs"):
-            jobs = a.split("=", 1)[1]
+    # accept BOTH --flag=value and --flag value; reject anything else
+    # (the old =-only parser crashed on the space form and silently ran
+    # defaults when values were mistyped)
+    args = sys.argv[1:]
+    i = 0
+    opts: dict[str, str] = {}
+    while i < len(args):
+        a = args[i]
+        if "=" in a:
+            k, v = a.split("=", 1)
+        elif i + 1 < len(args) and not args[i + 1].startswith("--"):
+            k, v = a, args[i + 1]
+            i += 1
+        else:
+            raise SystemExit(f"missing value for {a!r}")
+        if k not in ("--cpus", "--scale", "--jobs"):
+            raise SystemExit(f"unknown flag {k!r} (use --cpus --scale --jobs)")
+        opts[k] = v
+        i += 1
+    if "--cpus" in opts:
+        cpus = [int(x) for x in opts["--cpus"].split(",")]
+    if "--scale" in opts:
+        scale = float(opts["--scale"])
+    if "--jobs" in opts:
+        jobs = opts["--jobs"]
     results = {c: run_level(c, scale, repo, jobs) for c in cpus}
     lo, hi = min(cpus), max(cpus)
     ideal = hi / lo

@@ -62,9 +62,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -99,7 +101,8 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(sdf)} rows match")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    scope = "" if ran == len(qs) else f" ({len(qs) - ran} skipped by filter)"
+    print(f"\n{ran - len(failures)}/{ran} queries pass{scope}")
     return 1 if failures else 0
 
 

@@ -61,7 +61,7 @@ def audio_row(idx: int) -> dict:
 def generate_audio(
     spark: SparkSession, n: int, partitions: int | None = None
 ) -> DataFrame:
-    parts = partitions or min(max(1, n // 64), 64)
+    parts = partitions or min(max(1, -(-n // 8)), 64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -77,7 +77,10 @@ def image_row(idx: int, jpeg_every: int = 0) -> dict:
 def generate_images(
     spark: SparkSession, n: int, jpeg_every: int = 10, partitions: int | None = None
 ) -> DataFrame:
-    parts = partitions or min(max(1, n // 256), 64)
+    # ceil-divide into ~16-image tasks: the pure-Python JPEG encode is
+    # the slowest per-row work in the suite, and floor division
+    # serialized any corpus under 512 images into ONE task
+    parts = partitions or min(max(1, -(-n // 16)), 64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -123,7 +126,7 @@ def generate_videos(
     partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic uncompressed .y4m clips, generated distributed."""
-    parts = partitions or min(max(1, n // 32), 64)
+    parts = partitions or min(max(1, -(-n // 4)), 64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -59,6 +59,13 @@ class SiteConfig:
     # like the reference fixture's directory1)
     hosts: list[str] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        # detail pages hardcode menu links to /dir0 and /dir1 (and
+        # target_rows emits a detail->dir1 edge): dirs < 2 would crawl
+        # dead URLs silently instead of failing here
+        if self.dirs < 2:
+            raise ValueError("SiteConfig requires dirs >= 2")
+
     def host(self, k: int) -> str:
         return self.hosts[k] if self.hosts else f"site{k}.test"
 
