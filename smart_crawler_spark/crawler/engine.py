@@ -146,6 +146,12 @@ class CrawlEngine:
         self._form_sensitive = has_form_links and bool(
             self.site_pages.filter(F.col("url").contains(">")).take(1)
         )
+        # redirect presence is corpus-static: a redirect-free corpus must
+        # not pay the per-round redirector scan + seen-timing anti-join
+        # (one init probe over the checkpointed corpus instead)
+        self._has_redirects = bool(
+            self.site_pages.filter(F.col("redirect_to").isNotNull()).take(1)
+        )
         self.workdir = workdir
         self.cfg = cfg or EngineConfig()
         self.class_links = model.class_links_df(spark)
@@ -341,16 +347,19 @@ class CrawlEngine:
             # tuple: their adopted final URLs enter the seen set at fetch
             # time in the sequential semantics (E8), which both blocks
             # later same-round link enqueues (_dedup_links) and feeds the
-            # round-end seen update below
-            redirectors = fetched_ok.filter(
-                F.col("redirect_to").isNotNull()
-            ).select(
-                url_seen_key(F.col("final_url")).alias("r_hash"),
-                F.col("class_depth").alias("r_depth"),
-                F.col("page_class").alias("r_class"),
-                F.col("url").alias("r_url"),
-                F.coalesce("form_params", F.lit("")).alias("r_fp"),
-            )
+            # round-end seen update below. None on redirect-free corpora
+            # — both consumers skip their work entirely.
+            redirectors = None
+            if self._has_redirects:
+                redirectors = fetched_ok.filter(
+                    F.col("redirect_to").isNotNull()
+                ).select(
+                    url_seen_key(F.col("final_url")).alias("r_hash"),
+                    F.col("class_depth").alias("r_depth"),
+                    F.col("page_class").alias("r_class"),
+                    F.col("url").alias("r_url"),
+                    F.coalesce("form_params", F.lit("")).alias("r_fp"),
+                )
 
             # the two sinks, the link-dedup pipeline, and the host-stats
             # roll-up are independent given the materialized batch — run
@@ -404,12 +413,12 @@ class CrawlEngine:
             # requires run as separate pool jobs below so the seen table
             # and the bitmaps (when maintained) materialize concurrently
             # with the frontier union instead of serializing
-            redirect_hashes = redirectors.select(
-                F.col("r_hash").alias("url_hash")
-            )
-            seen_filter.add(
-                new.select("url_hash").unionByName(redirect_hashes)
-            )
+            adds = new.select("url_hash")
+            if redirectors is not None:
+                adds = adds.unionByName(
+                    redirectors.select(F.col("r_hash").alias("url_hash"))
+                )
+            seen_filter.add(adds)
             seen_jobs = seen_filter.materialize_jobs()
             with ThreadPoolExecutor(1 + len(seen_jobs)) as pool:
                 f_front = pool.submit(_next_frontier)
