@@ -229,6 +229,30 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/textops.py
+    benchmark_contamination): flag documents sharing >=1 13-gram with a
+    benchmark set. The benchmark is derived deterministically from the
+    corpus itself — a 27-word slice (words 4..30) of every 25th document
+    — so the planted overlaps are SQL-expressible and the contaminated
+    set is known: the slice sources plus their true duplicates. The
+    probe is a broadcast hash join on md5(gram); per-doc grams dedup
+    map-side via array_distinct before the explode — no cross join,
+    no corpus-sized gram shuffle (plan pinned in test_textops.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(textops._word_list("text"), 4, 27)).alias(
+            "text"
+        )
+    )
+    out = textops.benchmark_contamination(docs, bench, n=13)
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1294,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": repetition_stats,
         "approx_quantiles": approx_quantiles,
         "sequence_pack": sequence_pack,
+        "decontaminate": decontaminate,
     }
 
 
@@ -1412,6 +1437,39 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.w, b.w))) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "decontaminate": """
+            WITH wl AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            dg AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(w) >= 13 THEN list_distinct(
+                        list_transform(generate_series(1, len(w) - 12),
+                                       i -> array_to_string(w[i:i+12], ' ')))
+                    ELSE [] END) AS g
+                FROM wl
+            ),
+            bwl AS (SELECT w[4:30] AS bw FROM wl WHERE doc_id % 25 = 0),
+            bg AS (
+                SELECT DISTINCT unnest(
+                    CASE WHEN len(bw) >= 13 THEN
+                        list_transform(generate_series(1, len(bw) - 12),
+                                       i -> array_to_string(bw[i:i+12], ' '))
+                    ELSE [] END) AS g
+                FROM bwl
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM dg JOIN bg USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            ORDER BY d.doc_id
         """,
         "token_stats": r"""
             SELECT doc_id,

@@ -156,6 +156,59 @@ def repetition_stats(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    one word ``n``-gram (default 13, the WMDP/GPT-3-style window) with a
+    benchmark set. Returns one row per document: ``(id, n_hits,
+    contaminated)`` where ``n_hits`` counts the DISTINCT benchmark
+    n-grams the document contains.
+
+    Scale design (100 TB corpus, MB-scale benchmark): the benchmark
+    n-gram set is tiny relative to the corpus, so the hit probe is a
+    BROADCAST hash join on the 16-byte md5 of each gram — the corpus
+    side is map-only (per-document grams are deduped with
+    ``array_distinct`` BEFORE the explode, so no corpus-sized shuffle
+    ever carries gram rows). Only the matched hits (rare) shuffle for
+    the per-document count, and that small hit table is broadcast back
+    onto the corpus for the zero-hit rows. No cross join anywhere
+    (plan-pinned in tests/test_textops.py).
+    """
+    bench_grams = (
+        bench.select(
+            F.explode(
+                F.array_distinct(_ngrams(_word_list(bench_text_col), n))
+            ).alias("gram")
+        )
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_ngrams(_word_list(text_col), n))
+        ).alias("gram"),
+    ).select(id_col, F.md5("gram").alias("gh"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return docs.select(id_col).join(
+        F.broadcast(hits), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
     return docs.select(

@@ -37,6 +37,41 @@ def test_repetition_stats_golden(spark):
     assert got[4]["dup_word_frac"] == 0.0
 
 
+def test_benchmark_contamination_golden_and_plan(spark):
+    """Hand-computed contamination flags, multiplicity semantics
+    (n_hits counts DISTINCT benchmark grams, repeats inside one doc
+    count once), and the scale-plan pin: no cartesian/nested-loop join,
+    and the gram probe is a broadcast hash join."""
+    from smart_crawler_spark.operators.textops import benchmark_contamination
+
+    g13 = " ".join(f"t{k}" for k in range(13))  # one known 13-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix " + g13 + " suffix"),          # 1 bench gram
+            (2, g13 + " mid " + g13),                  # repeat: still 1
+            (3, "clean words only " + " ".join(f"u{k}" for k in range(13))),
+            (4, "short doc"),                          # < 13 words
+            (5, g13 + " t13"),                         # 2 grams: g13 + shifted
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(g13 + " t13",)], "text string"
+    )  # bench grams: {t0..t12, t1..t13}
+    out = benchmark_contamination(docs, bench, n=13)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[1] == {"doc_id": 1, "n_hits": 1, "contaminated": True}
+    assert got[2] == {"doc_id": 2, "n_hits": 1, "contaminated": True}
+    assert got[3]["contaminated"] is False and got[3]["n_hits"] == 0
+    assert got[4]["contaminated"] is False
+    assert got[5] == {"doc_id": 5, "n_hits": 2, "contaminated": True}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_sequence_pack_matches_flat_prefix_sum(spark):
     """The two-phase prefix sum (per-bucket cumsum + broadcast bucket
     offsets) must equal the flat single-stream layout, and the chunk
