@@ -455,6 +455,36 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(pairs, docs).orderBy("doc_id")
 
 
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as near_dup_components, solved by the alternating
+    large-star/small-star algorithm (operators/components.py
+    connected_components_star, Kiveris et al. SoCC'14) — the
+    diameter-independent O(log^2 n)-round variant for adversarial pair
+    graphs where min-label propagation would do O(diameter) rounds.
+    Shares the recursive-CTE oracle shape, so the gate proves both
+    component implementations against the same exact edge set."""
+    from smart_crawler_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 1000
+    )
+    pairs = minhash.minhash_near_dup_pairs(
+        docs, threshold=0.8, num_perm=64, bands=16
+    )
+    comp = connected_components_star(
+        pairs.select("id_a", "id_b"),
+        nodes=docs.select("doc_id"),
+        src="id_a",
+        dst="id_b",
+        node_col="doc_id",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, oracle-checked end-to-end: the md5-derived
     token hash (operators/minhash.py:_md5_token_hash) is reproducible in
@@ -1287,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": event_pivot,
         "minhash_near_dup": minhash_near_dup,
         "near_dup_components": near_dup_components,
+        "near_dup_components_star": near_dup_components_star,
         "simhash_near_dup": simhash_near_dup,
         "lsh_embedding_topk": lsh_embedding_topk,
         "ivf_embedding_topk": ivf_embedding_topk,
@@ -1338,7 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
         " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
     )
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2215,3 +2246,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
     }
+    # the star-variant components query answers the identical question
+    # (same pair graph, same min-label contract) via a different
+    # algorithm — one oracle text, two engine implementations under it
+    out["near_dup_components_star"] = out["near_dup_components"]
+    return out

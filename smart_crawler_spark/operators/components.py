@@ -43,6 +43,7 @@ def connected_components(
     dst: str = "dst",
     node_col: str = "id",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (id, component) with component = min reachable node id.
 
@@ -63,7 +64,9 @@ def connected_components(
     )
     e = e.localCheckpoint(eager=True)
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min label over neighbours (map-side partial agg, then join)
         nbr = (
             e.join(lab.withColumnRenamed("id", "d_id"), e.d == F.col("d_id"))
@@ -99,7 +102,122 @@ def connected_components(
         lab = new_lab
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return lab
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "id",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-diameter alternative to the min-label
+    propagation in :func:`connected_components`.
+
+    Each round rewires the edge set toward star graphs rooted at
+    component minima:
+
+      large-star(u): m = min(Γ(u) ∪ {u}); for v ∈ Γ(u), v > u emit (v, m)
+      small-star(u): on edges oriented (larger, smaller), m = min(Γ(u));
+                     emit (u, m) and (v, m) for v ∈ Γ(u), v ≠ m
+
+    Both steps are one groupBy-min + one join + one distinct — the same
+    shuffle primitives as propagation, but convergence is O(log^2 n)
+    rounds INDEPENDENT of graph diameter, so a 10^10-edge path graph
+    (where any frontier-style propagation does diameter rounds) still
+    terminates. Per round the edge set only moves toward the minima;
+    termination = small-star output equals its input edge set, at which
+    point every edge is (node, component-min). Loop state is eagerly
+    localCheckpoint-ed per round (lazy checkpoints re-plan the whole
+    lineage; measured 2x slower — BASELINE.md).
+
+    Returns (id, comp) with the same contract as
+    :func:`connected_components`; the two implementations are
+    differential-tested against each other and a driver union-find on
+    random graphs incl. diameter >> 30 paths (test_components.py,
+    test_random_graphs.py).
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if nodes is None:
+        # capture the universe BEFORE dropping self-loops, so a node
+        # appearing only as (x, x) still gets its singleton label
+        universe = (
+            raw.select("u")
+            .unionAll(raw.select(F.col("v").alias("u")))
+            .distinct()
+            .select(F.col("u").alias("id"))
+        )
+    else:
+        universe = nodes.select(F.col(node_col).alias("id")).distinct()
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionAll(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        d = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        j = d.join(m, "u")
+        out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).unionAll(
+            j.select("u", F.col("m").alias("v"))
+        )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        stepped = small_star(large_star(e)).localCheckpoint(eager=True)
+        # set-equality convergence: symmetric difference empty. Both
+        # sides are distinct canonical pairs, so two anti-join counts
+        # suffice (cheaper than exceptAll at equal correctness).
+        grew = stepped.join(e, ["u", "v"], "left_anti").count()
+        shrank = e.join(stepped, ["u", "v"], "left_anti").count()
+        e = stepped
+        if grew == 0 and shrank == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # converged edges are (child, root): comp = min(self, min neighbor)
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+    return universe.join(
+        lab.withColumnRenamed("u", "id"), "id", "left"
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
 
 
 def dedup_groups(
