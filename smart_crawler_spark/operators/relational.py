@@ -122,6 +122,49 @@ def bfs_depths(
     return visited
 
 
+def _interval_level(
+    lo_ts: str, hi_ts: str, bin_width_s: int, max_bins: int
+):
+    """Level k = smallest k >= 0 with span <= max_bins * w * max_bins^k,
+    i.e. the coarsest-enough resolution where the interval explodes to
+    at most ~max_bins bins."""
+    span = F.unix_timestamp(F.col(hi_ts)) - F.unix_timestamp(F.col(lo_ts))
+    raw = F.ceil(
+        F.log(float(max_bins), span / F.lit(float(max_bins * bin_width_s)))
+    )
+    return F.greatest(F.lit(0).cast("long"), F.coalesce(raw, F.lit(0)))
+
+
+def _binned_intervals(
+    intervals: DataFrame,
+    lo_ts: str,
+    hi_ts: str,
+    bin_width_s: int,
+    max_bins: int,
+) -> DataFrame:
+    """Intervals tagged with their resolution level and exploded over
+    the bins of THAT level — per interval at most ~max_bins+1 bin rows
+    regardless of span (the explosion guard; pinned in
+    test_relational_ops.py)."""
+    lvl = _interval_level(lo_ts, hi_ts, bin_width_s, max_bins)
+    width = (
+        F.pow(F.lit(float(max_bins)), F.col("_lvl")).cast("long")
+        * bin_width_s
+    )
+    return (
+        intervals.withColumn("_lvl", lvl)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(lo_ts)) / width),
+                    F.floor(F.unix_timestamp(F.col(hi_ts)) / width),
+                )
+            ),
+        )
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -130,39 +173,49 @@ def range_join(
     hi_ts: str,
     bin_width_s: int = 300,
     extra_keys: list[str] | None = None,
+    max_bins_per_interval: int = 64,
 ) -> DataFrame:
     """Interval-containment join (lo <= point <= hi) without a
-    theta-join cartesian: each interval explodes over the fixed-width
-    time bins it overlaps, each point maps to exactly one bin, the two
-    sides equi-join on the bin and the exact predicate filters inside
-    the join partition. Shuffle volume is
-    rows x (interval_span / bin_width + 1), never |L| x |R| — pick
-    bin_width on the order of the typical interval span so intervals
-    explode to ~2 bins. A point lands in one bin and every overlapped
-    bin of an interval is distinct, so a qualifying pair matches on
-    exactly one bin key — no post-join dedup needed. ``extra_keys``
+    theta-join cartesian: intervals explode over fixed-width time bins,
+    points map to bins, the two sides equi-join on the bin and the
+    exact predicate filters inside the join partition. ``extra_keys``
     (columns present on both sides, e.g. a user id) join alongside the
-    bin, tightening shuffle partitioning to (key, bin)."""
+    bin, tightening shuffle partitioning to (key, bin).
+
+    Span guard: a single pathological interval (a days-long span over
+    300 s bins) must not explode into thousands of bin rows, so the bin
+    index is MULTI-RESOLUTION — level k uses width
+    ``bin_width_s * max_bins_per_interval^k`` and each interval lives at
+    the one level where it covers <= ~max_bins_per_interval bins. Points
+    emit one row per level (a map-side explode by a 1-3 element array —
+    the level count comes from one tiny max-span aggregate over the
+    interval side) and the join key is (level, bin), so the whole join
+    is still ONE equi-join shuffle. A qualifying pair matches at exactly
+    the interval's level on exactly one bin — no post-join dedup. With
+    well-sized bins (typical span ~ bin width) there is one level and
+    the plan is identical to the single-resolution one."""
+    w = bin_width_s
+    f = max_bins_per_interval
+    span = F.unix_timestamp(F.col(hi_ts)) - F.unix_timestamp(F.col(lo_ts))
+    max_span = intervals.agg(F.max(span)).first()[0] or 0
+    n_levels = 1
+    while f * w * (f ** (n_levels - 1)) < max_span:
+        n_levels += 1
+
+    i = _binned_intervals(intervals, lo_ts, hi_ts, w, f)
+    width = F.pow(F.lit(float(f)), F.col("_lvl")).cast("long") * w
     p = points.withColumn(
-        "_bin",
-        F.floor(F.unix_timestamp(F.col(point_ts)) / bin_width_s),
-    )
-    i = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(lo_ts)) / bin_width_s),
-                F.floor(F.unix_timestamp(F.col(hi_ts)) / bin_width_s),
-            )
-        ),
+        "_lvl", F.explode(F.array(*[F.lit(k).cast("long") for k in range(n_levels)]))
+    ).withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / width)
     )
     return (
-        p.join(i, ["_bin"] + (extra_keys or []))
+        p.join(i, ["_lvl", "_bin"] + (extra_keys or []))
         .filter(
             (F.col(point_ts) >= F.col(lo_ts))
             & (F.col(point_ts) <= F.col(hi_ts))
         )
-        .drop("_bin")
+        .drop("_lvl", "_bin")
     )
 
 

@@ -109,6 +109,114 @@ def test_range_join_matches_theta_join(spark):
     assert not any(i == 3 for _, i in got)
 
 
+def test_range_join_span_guard_pathological_intervals(spark):
+    """A days-long interval over 300 s bins must NOT explode into
+    thousands of bin rows: the multi-resolution index caps every
+    interval at ~max_bins_per_interval bins (coarser level), and the
+    join output is still exactly the theta-join answer."""
+    import datetime as dt
+
+    from smart_crawler_spark.operators.relational import (
+        _binned_intervals,
+        range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=29 * i)) for i in range(300)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            # pathological: 5-day span = 1440 bins at 300 s single-level
+            (0, base, base + dt.timedelta(days=5)),
+            # 3-week span = 6048 bins single-level
+            (1, base + dt.timedelta(days=1), base + dt.timedelta(days=22)),
+            # normal spans
+            (2, base + dt.timedelta(hours=3),
+             base + dt.timedelta(hours=3, minutes=7)),
+            (3, base + dt.timedelta(days=4),
+             base + dt.timedelta(days=4, seconds=1)),
+        ],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "lo", "hi", bin_width_s=300,
+            max_bins_per_interval=64,
+        ).collect()
+    }
+    brute = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    }
+    assert got == brute and len(got) > 100
+
+    # the guard itself: no interval explodes past max_bins+2 bin rows
+    per_iid = {
+        r["iid"]: r["n"]
+        for r in _binned_intervals(intervals, "lo", "hi", 300, 64)
+        .groupBy("iid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 66 for n in per_iid.values()), per_iid
+    # normal intervals stay at fine resolution (level 0, few bins)
+    assert per_iid[2] <= 3 and per_iid[3] <= 2
+
+
+def test_range_join_span_guard_property(spark):
+    """Randomized spans from seconds to months: bin-row explosion stays
+    bounded and output == theta join."""
+    import datetime as dt
+    import random
+
+    from smart_crawler_spark.operators.relational import (
+        _binned_intervals,
+        range_join,
+    )
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    spans = [rng.randrange(0, 90 * 86400) for _ in range(40)]
+    rows = [
+        (k, base + dt.timedelta(seconds=rng.randrange(0, 30 * 86400)))
+        for k in range(40)
+    ]
+    intervals = spark.createDataFrame(
+        [(k, lo, lo + dt.timedelta(seconds=spans[k])) for k, lo in rows],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=rng.randrange(0, 120 * 86400)))
+            for i in range(400)
+        ],
+        "pid long, ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "lo", "hi", bin_width_s=300,
+            max_bins_per_interval=32,
+        ).collect()
+    }
+    brute = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    }
+    assert got == brute
+    max_bins = (
+        _binned_intervals(intervals, "lo", "hi", 300, 32)
+        .groupBy("iid").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n")).first()[0]
+    )
+    assert max_bins <= 34, max_bins
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     """Same rows kept across runs and partitionings; per-stratum
     fractions honored approximately; unknown strata dropped."""
