@@ -867,6 +867,108 @@ def streaming_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked late-data DROP, oracle-checked (streaming/ingest.py
+    url_arrival_stats: 1-minute event-time windows, 2-minute watermark,
+    append mode). Two availableNow waves share one checkpoint:
+
+    - wave 1 arrives with event times spread over minutes 0..10, so the
+      committed watermark is 10:00 - 2:00 = 8:00;
+    - wave 2 plants LATE rows at minutes {0, 2} — their windows ended
+      well below the restored 8:00 watermark, so Spark must drop them
+      (their windows were already finalized in wave 1's append output;
+      re-emission would duplicate keys and hash-mismatch) — plus
+      on-time rows at minutes 9/10 that aggregate WITH wave 1's rows in
+      the still-open windows, plus one far-future closer row (minute
+      120) that pushes the final watermark past every real window so
+      append mode flushes them all. The closer's own window stays open
+      and never appears.
+
+    The oracle states the on-time multiset in SQL: all wave-1 rows plus
+    wave-2 rows marked on-time, counted per (window, host)."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        read_candidate_stream,
+        url_arrival_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    cand_dir = f"{base}/candidates"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/out"
+    base_epoch = 1709251200  # 2024-03-01 00:00:00 UTC
+    try:
+        ev = _t(spark, sf_dir, "events")
+
+        def cand_frame(df: DataFrame, minute) -> DataFrame:
+            return df.select(
+                F.concat(
+                    F.lit("http://h"),
+                    (F.col("event_id") % 3).cast("string"),
+                    F.lit(".test/p/"),
+                    F.col("event_id").cast("string"),
+                ).alias("url"),
+                F.lit("dir").alias("page_class"),
+                F.lit(0).cast("int").alias("class_depth"),
+                F.lit(None).cast("string").alias("form_params"),
+                F.timestamp_seconds(
+                    F.lit(base_epoch) + minute.cast("long") * 60
+                ).alias("event_ts"),
+            )
+
+        def run_wave() -> None:
+            q = (
+                url_arrival_stats(
+                    read_candidate_stream(spark, cand_dir), "1 minute"
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # wave 1: minutes 0..10 (max event 10:00 => watermark 8:00)
+        w1 = cand_frame(
+            ev.filter(F.col("event_id") < 200), F.col("event_id") % 11
+        )
+        w1.coalesce(1).write.mode("overwrite").json(cand_dir)
+        run_wave()
+        # wave 2: even ids late (minutes 0/2, below watermark -> drop),
+        # odd ids on-time (minutes 9/10), one closer at minute 120
+        w2src = ev.filter(
+            (F.col("event_id") >= 200) & (F.col("event_id") < 400)
+        )
+        minute2 = (
+            F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 4)
+            .when(F.col("event_id") % 4 == 1, F.lit(9))
+            .otherwise(F.lit(10))
+        )
+        closer = cand_frame(
+            spark.range(1).select(F.col("id").alias("event_id")), F.lit(120)
+        ).withColumn("url", F.lit("http://closer.test/p/0"))
+        cand_frame(w2src, minute2).unionByName(closer).coalesce(
+            1
+        ).write.mode("append").json(cand_dir)
+        run_wave()
+
+        out = (
+            spark.read.parquet(out_dir)
+            .select("start", "end", "host", "n_urls")
+            .orderBy("start", "host")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "start", "host"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimation (§2.6: approx_count_distinct at
     10^10 scale, where exact countDistinct would shuffle every key).
@@ -1330,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": phash_near_dup,
         "streaming_ingest_dedup": streaming_ingest_dedup,
         "streaming_host_rate": streaming_host_rate,
+        "streaming_late_drop": streaming_late_drop,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -1800,6 +1903,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST((event_id % 1500) % 3 AS INT) AS class_depth
             FROM events WHERE event_id < 6000
             ORDER BY url
+        """,
+        "streaming_late_drop": """
+            WITH w1 AS (
+                SELECT 'h' || (event_id % 3) || '.test' AS host,
+                       (event_id % 11) AS m
+                FROM events WHERE event_id < 200
+            ),
+            w2 AS (
+                SELECT 'h' || (event_id % 3) || '.test' AS host,
+                       CASE WHEN event_id % 2 = 0 THEN event_id % 4
+                            WHEN event_id % 4 = 1 THEN 9
+                            ELSE 10 END AS m,
+                       (event_id % 2 = 0) AS late
+                FROM events WHERE event_id >= 200 AND event_id < 400
+            ),
+            ontime AS (
+                SELECT host, m FROM w1
+                UNION ALL
+                -- late wave-2 rows (windows ended below the restored
+                -- 8:00 watermark) are DROPPED by the engine
+                SELECT host, m FROM w2 WHERE NOT late
+            )
+            SELECT TIMESTAMP '2024-03-01 00:00:00'
+                       + m * INTERVAL 1 MINUTE AS start,
+                   TIMESTAMP '2024-03-01 00:00:00'
+                       + (m + 1) * INTERVAL 1 MINUTE AS "end",
+                   host, count(*) AS n_urls
+            FROM ontime GROUP BY host, m
+            ORDER BY start, host
         """,
         "streaming_host_rate": """
             WITH e AS (
