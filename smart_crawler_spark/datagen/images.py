@@ -101,7 +101,8 @@ def video_frame_pixels(vid: int, frame: int, w: int, h: int) -> np.ndarray:
     return image_pixels(30_000_017 + vid * 1000 + frame, w, h)
 
 
-def video_row(vid: int, n_frames: int = 12) -> dict:
+def video_row(vid: int, n_frames: int = 12, fmt: str = "y4m") -> dict:
+    from smart_crawler_spark.functions.mjpeg import encode_mjpeg
     from smart_crawler_spark.functions.y4m import encode_y4m
 
     w = 32 + (vid % 3) * 16
@@ -109,10 +110,18 @@ def video_row(vid: int, n_frames: int = 12) -> dict:
     frames = np.stack(
         [video_frame_pixels(vid, f, w, h) for f in range(n_frames)]
     )
+    if fmt == "y4m":
+        data = encode_y4m(frames)
+    elif fmt == "mjpeg":
+        # q98: the synthetic half-noise frames need q97+ for the 40 dB
+        # invariant (same finding as the still-image jpeg corpus)
+        data = encode_mjpeg(frames, quality=98)
+    else:
+        raise NotImplementedError(f"no video encoder for fmt={fmt!r}")
     return {
         "video_id": f"vid{vid}",
-        "bytes": encode_y4m(frames),
-        "fmt": "y4m",
+        "bytes": data,
+        "fmt": fmt,
         "n_frames": n_frames,
         "w": w,
         "h": h,
@@ -124,13 +133,17 @@ def generate_videos(
     n: int,
     n_frames: int = 12,
     partitions: int | None = None,
+    fmt: str = "y4m",
 ) -> DataFrame:
-    """Deterministic uncompressed .y4m clips, generated distributed."""
+    """Deterministic video clips, generated distributed — uncompressed
+    .y4m or compressed AVI/MJPEG (fmt='mjpeg')."""
     parts = partitions or min(max(1, -(-n // 4)), 64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([video_row(int(i), n_frames) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [video_row(int(i), n_frames, fmt) for i in pdf["id"]]
+            )
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(
         gen, VIDEOS_SCHEMA

@@ -262,24 +262,29 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling over binary payloads: decode in Arrow-batched
     mapInPandas, keep every ``every_n``-th frame, re-encode each kept
     frame as PNG. Real decode for fmt='y4m' (uncompressed YUV4MPEG2,
-    functions/y4m.py — roundtrips at ~48 dB); compressed codecs raise
-    NotImplementedError (no codec libs in this sandbox) — the schema,
-    batching and partitioning are identical for any codec plugged in.
+    functions/y4m.py — roundtrips at ~48 dB) and fmt='mjpeg' (AVI/MJPEG,
+    functions/mjpeg.py — real per-frame baseline JPEG, ~43 dB at q98);
+    inter-frame codecs (h264 etc.) raise NotImplementedError (no codec
+    libs in this sandbox) — the schema, batching and partitioning are
+    identical for any codec plugged in.
 
     Input: (video_id string, bytes binary, fmt string).
     Output: (video_id string, frame_no int, bytes binary, w int, h int).
     """
+    from smart_crawler_spark.functions.mjpeg import decode_mjpeg
     from smart_crawler_spark.functions.y4m import decode_y4m
+
+    decoders = {"y4m": decode_y4m, "mjpeg": decode_mjpeg, "avi": decode_mjpeg}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for vid, data, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
-                if fmt != "y4m":
+                if fmt not in decoders:
                     raise NotImplementedError(
                         f"no video decoder for fmt={fmt!r} in this sandbox"
                     )
-                frames, meta = decode_y4m(bytes(data))
+                frames, meta = decoders[fmt](bytes(data))
                 for fno in range(0, meta["n_frames"], every_n):
                     rows.append(
                         {

@@ -121,6 +121,60 @@ def test_y4m_decoder_gates():
         decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n")
 
 
+def test_mjpeg_roundtrip_and_mixed_corpus_sampling(spark):
+    import numpy as np
+
+    from smart_crawler_spark.datagen.images import (
+        generate_videos,
+        video_frame_pixels,
+    )
+    from smart_crawler_spark.functions.mjpeg import decode_mjpeg, encode_mjpeg
+    from smart_crawler_spark.functions.png import decode_png, psnr
+
+    # codec roundtrip: container + real per-frame baseline JPEG (q98
+    # holds the 40 dB invariant on the half-noise synthetic frames)
+    frames = np.stack([video_frame_pixels(1, f, 48, 40) for f in range(4)])
+    dec, meta = decode_mjpeg(encode_mjpeg(frames, quality=98))
+    assert dec.shape == frames.shape and meta["n_frames"] == 4
+    assert meta["w"] == 48 and meta["h"] == 40 and meta["fps"] == 25
+    assert min(psnr(frames[i], dec[i]) for i in range(4)) >= 40.0
+
+    # MIXED corpus: y4m and mjpeg clips in one frame-sampling pass
+    mixed = generate_videos(spark, 4, n_frames=12, fmt="y4m").unionByName(
+        generate_videos(spark, 4, n_frames=12, fmt="mjpeg").withColumn(
+            "video_id", F.concat(F.lit("m"), F.col("video_id"))
+        )
+    )
+    out = sample_frames(mixed, every_n=5).collect()
+    assert len(out) == 24  # 8 clips x frames {0, 5, 10}
+    for vid_prefix in ("vid2", "mvid2"):
+        r = next(
+            x for x in out
+            if x["video_id"] == vid_prefix and x["frame_no"] == 10
+        )
+        got = decode_png(bytes(r["bytes"]))
+        ref = video_frame_pixels(2, 10, r["w"], r["h"])
+        assert got.shape == ref.shape and psnr(ref, got) >= 40.0
+
+
+def test_mjpeg_decoder_gates():
+    import numpy as np
+    import struct
+
+    from smart_crawler_spark.functions.mjpeg import decode_mjpeg, encode_mjpeg
+
+    with pytest.raises(ValueError):
+        decode_mjpeg(b"not an avi")
+    with pytest.raises(ValueError):  # truncated mid-chunk
+        good = encode_mjpeg(np.zeros((2, 16, 16, 3), np.uint8))
+        decode_mjpeg(good[: len(good) // 2])
+    # a non-MJPG video stream is an honest NotImplementedError
+    good = encode_mjpeg(np.zeros((1, 16, 16, 3), np.uint8))
+    h264 = good.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(NotImplementedError, match="only MJPG"):
+        decode_mjpeg(h264)
+
+
 def test_video_compressed_codec_gate(spark):
     import pandas as pd
 
