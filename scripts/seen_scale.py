@@ -1,13 +1,28 @@
-"""10^9-key URL-seen evidence (north_rule: 10^10-URL frontier).
+"""10^9/10^10-geometry URL-seen evidence (north_rule: 10^10 frontier).
 
 Measures the seen-filter's exact and bloom-cogroup paths with
-|seen| = 1e9 keys (overridable) against a 2e8-candidate batch at an
-adversarial 50%-seen mix, and prints ONE JSON line with cand/s plus the
-per-shard memory ledger. The 10^10 extrapolation arithmetic lives in
-BASELINE.md next to the recorded rows — the design property that makes
-it valid is shard ownership: every path (build, merge, probe, exact
+|seen| = SEEN_KEYS (default 1e9) against a CAND_KEYS-candidate batch at
+an adversarial 50%-seen mix, and prints ONE JSON line with cand/s, the
+per-shard memory ledger, and — when TASK_STATS=1 — per-stage TASK-TIME
+quantiles from the Spark REST API. The design property the numbers
+evidence is shard ownership: every path (build, merge, probe, exact
 anti-join) touches a key only inside its `pmod(url_hash, shards)`
 partition, so scale-out adds shards, never widens any single task.
+
+The 10^10 claim is measured (not just arithmetic) by running the
+PER-SHARD GEOMETRY of the production layout at two total scales:
+10^10 keys / 4096 shards = 2.44M keys/shard, so
+
+    SEEN_KEYS=1e9 SHARDS=410 TASK_STATS=1 python scripts/seen_scale.py
+    SEEN_KEYS=2e9 SHARDS=820 TASK_STATS=1 python scripts/seen_scale.py
+
+hold keys/shard at 2.44M while total keys double: flat per-task time
+quantiles between the two runs are exactly the "adding shards, never
+widening tasks" property the 4096-shard 10^10 layout rests on. (The
+disk ceiling on this box — ~70 GB free, random 8-byte keys are
+incompressible, and probe shuffles transiently double the footprint —
+caps the run at 2e9 total keys; the geometry, not the total, is what
+the claim needs.)
 
 Usage:  python scripts/seen_scale.py            # 1e9 keys, ~10 min
         SEEN_KEYS=1e8 python scripts/seen_scale.py   # smaller rehearsal
@@ -19,6 +34,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,6 +44,52 @@ from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter  # noqa: 
 from smart_crawler_spark.session import spark_session  # noqa: E402
 
 
+def _rest(spark, path: str):
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def task_stats(spark, since_ms: float, top_n: int = 3) -> list[dict]:
+    """Per-task executorRunTime quantiles of the heaviest completed
+    stages submitted after ``since_ms`` (epoch millis) — the per-shard
+    task-width evidence. Uses the REST API so the numbers are Spark's
+    own task accounting, not wall-clock inference."""
+    stages = [
+        s
+        for s in _rest(spark, "/stages?status=complete")
+        if s.get("firstTaskLaunchedTime")
+        and _ts(s["submissionTime"]) >= since_ms
+    ]
+    stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+    out = []
+    for s in stages[:top_n]:
+        q = _rest(
+            spark,
+            f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+            "?quantiles=0.5,0.95,1.0",
+        )
+        out.append(
+            {
+                "stage": s["stageId"],
+                "name": s.get("name", "")[:60],
+                "tasks": s["numCompleteTasks"],
+                "task_ms_p50": round(q["executorRunTime"][0]),
+                "task_ms_p95": round(q["executorRunTime"][1]),
+                "task_ms_max": round(q["executorRunTime"][2]),
+                "stage_cpu_sec": round(s["executorRunTime"] / 1000, 1),
+            }
+        )
+    return out
+
+
+def _ts(iso: str) -> float:
+    from datetime import datetime
+
+    return datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%fGMT").timestamp() * 1000
+
+
 def main() -> None:
     n_seen = int(float(os.environ.get("SEEN_KEYS", "1e9")))
     n_cand = int(float(os.environ.get("CAND_KEYS", "2e8")))
@@ -35,6 +97,7 @@ def main() -> None:
     shards = int(os.environ.get("SHARDS", "256"))
     bits_per_shard = 1 << int(os.environ.get("SHARD_BITS_LOG2", "25"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    want_stats = os.environ.get("TASK_STATS") == "1"
     spark = spark_session(
         app_name="seen-scale",
         master=f"local[{cpus}]",
@@ -46,6 +109,9 @@ def main() -> None:
             # JVM on this 125 GiB box
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
             "spark.local.dir": "/tmp/spark-seen-scale",
+            # REST task metrics for the per-shard task-width ledger
+            "spark.ui.enabled": "true" if want_stats else "false",
+            "spark.ui.retainedStages": "200",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,6 +151,7 @@ def main() -> None:
     filt.seen = spark.read.parquet(seen_path)
     out["seen_build_sec"] = round(time.monotonic() - t0, 1)
     best = None
+    t_probe0 = time.time() * 1000
     for _ in range(runs):
         t0 = time.monotonic()
         n_new = filt.filter_new(cand).count()
@@ -92,6 +159,8 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     assert n_new == want_new, (n_new, want_new)
     out["exact"] = {"sec": round(best, 2), "cand_per_sec": round(n_cand / best)}
+    if want_stats:
+        out["exact"]["task_stats"] = task_stats(spark, t_probe0)
     print("PARTIAL " + json.dumps(out), flush=True)
 
     # --- bloom-cogroup prefilter (the 10^10 layout) --------------------
@@ -106,6 +175,7 @@ def main() -> None:
     total_bytes = shards * cfg.blob_bytes()
     assert total_bytes > bfilt.BROADCAST_BLOOM_MAX_BYTES  # cogroup path
     best = None
+    t_probe0 = time.time() * 1000
     for _ in range(runs):
         t0 = time.monotonic()
         n_new_b = bfilt.filter_new(cand).count()
@@ -116,6 +186,8 @@ def main() -> None:
         "sec": round(best, 2),
         "cand_per_sec": round(n_cand / best),
     }
+    if want_stats:
+        out["bloom_cogroup"]["task_stats"] = task_stats(spark, t_probe0)
     out["memory"] = {
         "shards": shards,
         "bitmap_mib_per_shard": round(cfg.blob_bytes() / (1 << 20), 2),

@@ -66,39 +66,45 @@ class OracleResult:
     seen: set[str] = field(default_factory=set)        # canonical seen keys
     records: list[dict] = field(default_factory=list)  # url,page_class,fields
     frontier_left: int = 0
+    # round metadata (crawl_site_recrawl only): round, batch, expired
+    rounds: list[dict] = field(default_factory=list)
 
 
-def crawl_site(
-    pages: dict[str, dict],
-    model: NavigationModel,
-    seed_url: str,
-    max_pages: int = 1 << 30,
-    max_tries: int = 1,
-    frontier_heap: int | None = None,
-) -> OracleResult:
-    """Crawl one site exactly as the reference frontier would.
+class _SiteCrawl:
+    """Shared sequential core: enqueue-time seen dedup + the per-dispatch
+    fetch/extract body. ``crawl_site`` drives it as one flat best-first
+    loop (the reference's shape); ``crawl_site_recrawl`` drives it in
+    engine-shaped rounds with expiry."""
 
-    ``frontier_heap`` models the reference's in-memory cap
-    (``frontierheap``, default 10k): when the frontier outgrows it, the
-    dequeue order degrades toward FIFO across spill batches
-    (``CrawlQueue.java:138-204`` via frontier/spill.py). Default None =
-    unbounded (never spills — the order the Spark engine matches)."""
-    res = OracleResult()
-    links_by_class: dict[str, list[dict]] = {}
-    for e in model.class_links:
-        links_by_class.setdefault(e["src_class"], []).append(e)
-    data_by_class: dict[str, list[dict]] = {}
-    for d in model.data_links:
-        data_by_class.setdefault(d["src_class"], []).append(d)
+    def __init__(
+        self,
+        pages: dict[str, dict],
+        model: NavigationModel,
+        max_tries: int,
+        frontier_heap: int | None = None,
+    ):
+        from smart_crawler_spark.frontier.spill import (
+            UNBOUNDED,
+            BoundedFrontierQueue,
+        )
 
-    from smart_crawler_spark.frontier.spill import UNBOUNDED, BoundedFrontierQueue
+        self.pages = pages
+        self.model = model
+        self.max_tries = max_tries
+        self.res = OracleResult()
+        self.queue = BoundedFrontierQueue(frontier_heap or UNBOUNDED)
+        self.seq = 0
+        self.links_by_class: dict[str, list[dict]] = {}
+        for e in model.class_links:
+            self.links_by_class.setdefault(e["src_class"], []).append(e)
+        self.data_by_class: dict[str, list[dict]] = {}
+        for d in model.data_links:
+            self.data_by_class.setdefault(d["src_class"], []).append(d)
 
-    queue = BoundedFrontierQueue(frontier_heap or UNBOUNDED)
-
-    def enqueue(url: str, cls: str) -> None:
+    def enqueue(self, url: str, cls: str) -> None:
         # unknown class -> dropped BEFORE the visited set, like
         # CrawlQueue.add(String,String) returning early on a null class
-        depth = model.depths.get(cls)
+        depth = self.model.depths.get(cls)
         if depth is None:
             return
         # form links arrive as "url>k=v;..." (CrawlURLFactory.java:33-44)
@@ -106,30 +112,31 @@ def crawl_site(
         if ">" in url:
             url, form_params = url.split(">", 1)
         key = seen_key(url, form_params)
-        if key in res.seen:
+        if key in self.res.seen:
             return
-        res.seen.add(key)
-        queue.add(_Entry(depth, cls, url, form_params or ""))
+        self.res.seen.add(key)
+        self.queue.add(_Entry(depth, cls, url, form_params or ""))
 
-    enqueue(seed_url, model.root)
-    seq = 0
-    # budget counts dispatches (reference pageCount++ in sendURL), so a
-    # failed fetch still consumes it
-    while len(queue) and seq < max_pages:
-        e = queue.next()
-        seq += 1
+    def dispatch(self, e: _Entry) -> None:
+        pages, res = self.pages, self.res
+        self.seq += 1
         # form fetches POST their params; a corpus with the POST-response
         # row keyed "url>params" answers per-params (CrawlPage.fetchUrl:
         # 135-141), else the GET page stands in for every param set
         page = pages.get(e.url + ">" + e.form_params) if e.form_params else None
         if page is None:
             page = pages.get(e.url)
-        ok = page is not None and page.get("fetch_fail_n", 0) < max_tries
+        ok = page is not None and page.get("fetch_fail_n", 0) < self.max_tries
         res.order.append(
-            {"seq": seq, "url": e.url, "page_class": e.class_name, "fetched": ok}
+            {
+                "seq": self.seq,
+                "url": e.url,
+                "page_class": e.class_name,
+                "fetched": ok,
+            }
         )
         if not ok:
-            continue
+            return
         if page.get("redirect_to"):
             final = page["redirect_to"]
             res.seen.add(seen_key(final))
@@ -137,7 +144,7 @@ def crawl_site(
         else:
             final = e.url
         out = page.get("out_links", {})
-        for edge in links_by_class.get(e.class_name, []):
+        for edge in self.links_by_class.get(e.class_name, []):
             hrefs = out.get(edge["xpath"])
             if hrefs is None and edge.get("link_type") == "menu":
                 # href-predicated menu items (MenuItem.getXpath) classify
@@ -156,8 +163,8 @@ def crawl_site(
                             cand.extend(v)
                     hrefs = [h for h in cand if h == href]
             for href in hrefs or []:
-                enqueue(href, edge["dst_class"])
-        dls = data_by_class.get(e.class_name)
+                self.enqueue(href, edge["dst_class"])
+        dls = self.data_by_class.get(e.class_name)
         if dls:
             vals = page.get("data_values", {})
             res.records.append(
@@ -167,8 +174,82 @@ def crawl_site(
                     "fields": [vals.get(d["xpath"], "") for d in dls],
                 }
             )
-    res.frontier_left = len(queue)
-    return res
+
+
+def crawl_site(
+    pages: dict[str, dict],
+    model: NavigationModel,
+    seed_url: str,
+    max_pages: int = 1 << 30,
+    max_tries: int = 1,
+    frontier_heap: int | None = None,
+) -> OracleResult:
+    """Crawl one site exactly as the reference frontier would.
+
+    ``frontier_heap`` models the reference's in-memory cap
+    (``frontierheap``, default 10k): when the frontier outgrows it, the
+    dequeue order degrades toward FIFO across spill batches
+    (``CrawlQueue.java:138-204`` via frontier/spill.py). Default None =
+    unbounded (never spills — the order the Spark engine matches)."""
+    c = _SiteCrawl(pages, model, max_tries, frontier_heap)
+    c.enqueue(seed_url, model.root)
+    # budget counts dispatches (reference pageCount++ in sendURL), so a
+    # failed fetch still consumes it
+    while len(c.queue) and c.seq < max_pages:
+        c.dispatch(c.queue.next())
+    c.res.frontier_left = len(c.queue)
+    return c.res
+
+
+def crawl_site_recrawl(
+    pages: dict[str, dict],
+    model: NavigationModel,
+    seed_url: str,
+    budget: int,
+    recrawl_after_rounds: int,
+    max_rounds: int,
+    max_tries: int = 1,
+) -> OracleResult:
+    """Round-based recrawl-expiry mirror of the Spark engine
+    (EngineConfig.recrawl_after_rounds / max_rounds): each round
+    dispatches up to ``budget`` entries in best-first order (links
+    enqueue as they are discovered, enqueue-time seen dedup); at round
+    END, every entry dispatched in rounds <= r - N expires — it leaves
+    the seen set (the engine's exact-table removal + cuckoo fingerprint
+    delete) and is immediately re-enqueued with its original class,
+    re-entering seen. Fetch-time (redirect-target) seen entries carry no
+    dispatch round and never expire, matching the engine. The engine's
+    per-round dispatch MULTISET, final seen set, and per-round expiry
+    counts must equal this oracle's."""
+    c = _SiteCrawl(pages, model, max_tries)
+    c.enqueue(seed_url, model.root)
+    # pool: seen-key -> (dispatch_round, entry); insertion order is
+    # deterministic, and expiry re-enqueues via the comparator-ordered
+    # queue so iteration order never matters
+    pool: dict[str, tuple[int, _Entry]] = {}
+    rnd = 0
+    rounds_meta: list[dict] = []
+    while len(c.queue) and rnd < max_rounds:
+        rnd += 1
+        batch = [c.queue.next() for _ in range(min(budget, len(c.queue)))]
+        for e in batch:
+            c.dispatch(e)
+            pool[seen_key(e.url, e.form_params or None)] = (rnd, e)
+        expired = [
+            k for k, (d, _) in pool.items()
+            if d <= rnd - recrawl_after_rounds
+        ]
+        for k in expired:
+            _, e = pool.pop(k)
+            c.res.seen.discard(k)
+            url = e.url + (">" + e.form_params if e.form_params else "")
+            c.enqueue(url, e.class_name)
+        rounds_meta.append(
+            {"round": rnd, "batch": len(batch), "expired": len(expired)}
+        )
+    c.res.frontier_left = len(c.queue)
+    c.res.rounds = rounds_meta
+    return c.res
 
 
 def crawl_all(

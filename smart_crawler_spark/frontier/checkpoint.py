@@ -47,6 +47,9 @@ class Snapshot:
     metrics: DataFrame
     host_stats: DataFrame
     extras: dict
+    # dispatched rows awaiting recrawl expiry (None: snapshot written
+    # by a run without recrawl, or before the part existed)
+    recrawl_pool: DataFrame | None = None
 
 
 class CrawlCheckpoint:
@@ -75,6 +78,7 @@ class CrawlCheckpoint:
         metrics: DataFrame,
         host_stats: DataFrame,
         extras: dict | None = None,
+        recrawl_pool: DataFrame | None = None,
     ) -> None:
         # each snapshot of a round goes to a fresh versioned subdir and
         # the manifest (the commit point) flips to it LAST: the mid-round
@@ -93,11 +97,20 @@ class CrawlCheckpoint:
         v = max(existing, default=0) + 1
         vd = os.path.join(d, f"v={v}")
         parts = (frontier, seen, in_flight, metrics, host_stats)
+        names = list(_PARTS)
         for name, df in zip(_PARTS, parts):
             df.write.mode("overwrite").parquet(os.path.join(vd, name))
+        if recrawl_pool is not None:
+            # optional part: only recrawl-enabled runs carry it, and
+            # snapshots without it resume with an empty pool (counters
+            # restart after the next dispatches — same as pre-part runs)
+            recrawl_pool.write.mode("overwrite").parquet(
+                os.path.join(vd, "recrawl_pool")
+            )
+            names.append("recrawl_pool")
         manifest = {
             "round": rnd,
-            "parts": list(_PARTS),
+            "parts": names,
             "version": v,
             "extras": extras or {},
         }
@@ -131,6 +144,8 @@ class CrawlCheckpoint:
         with open(os.path.join(d, "_MANIFEST.json")) as f:
             manifest = json.load(f)
         dfs = {p: self._read_part(d, p, manifest) for p in _PARTS}
+        v = manifest.get("version")
+        pool_dir = os.path.join(d, f"v={v}" if v else "", "recrawl_pool")
         return Snapshot(
             round=rnd,
             frontier=dfs["frontier"],
@@ -139,6 +154,11 @@ class CrawlCheckpoint:
             metrics=dfs["metrics"],
             host_stats=dfs["host_stats"],
             extras=manifest.get("extras", {}),
+            recrawl_pool=(
+                self.spark.read.parquet(pool_dir)
+                if os.path.isdir(pool_dir)
+                else None
+            ),
         )
 
     def _read_part(self, d: str, part: str, manifest: dict) -> DataFrame:

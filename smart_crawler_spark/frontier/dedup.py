@@ -387,6 +387,53 @@ class SeenFilter:
                 self._dense_cache.unpersist()
                 self._dense_cache = None
 
+    def remove(self, hashes: DataFrame, hash_col: str = "url_hash") -> None:
+        """Delete hashes from the seen set — F1's inverse, the
+        recrawl-expiry maintenance op. The exact table drops rows via
+        the co-partitioned (shard, url_hash) anti-join; active CUCKOO
+        shards delete the fingerprints in place (CuckooFilter.delete —
+        the capability this layout exists for; the caller feeds back
+        only previously-added keys, satisfying the deletion
+        precondition); BLOOM bitmaps cannot unset bits, so they are
+        rebuilt from the surviving seen table (grow-only layouts pay a
+        full rebuild per expiry wave — use kind='cuckoo' for recrawl
+        deployments)."""
+        gone = self._with_shard(
+            hashes.select(F.col(hash_col).alias("url_hash")).distinct()
+        ).localCheckpoint(eager=True)
+        self.seen = self.seen.join(gone, ["shard", "url_hash"], "left_anti")
+        if self.blooms is None:
+            return
+        if self.cfg.kind == "cuckoo":
+            def delete(_key, bloom_pdf: pd.DataFrame, gone_pdf: pd.DataFrame) -> pd.DataFrame:
+                if bloom_pdf.empty:
+                    # no bitmap for this shard: nothing to delete from
+                    # (filter_new fails safe to the exact join there)
+                    return pd.DataFrame({"shard": [], "bitmap": []})
+                from smart_crawler_spark.frontier.cuckoo import CuckooFilter
+
+                blob = bloom_pdf["bitmap"].iloc[0]
+                if gone_pdf.empty:
+                    return pd.DataFrame(
+                        {"shard": [int(_key[0])], "bitmap": [blob]}
+                    )
+                f = CuckooFilter.from_bytes(blob)
+                f.delete(gone_pdf["url_hash"].to_numpy().astype(np.uint64))
+                return pd.DataFrame(
+                    {"shard": [int(_key[0])], "bitmap": [f.to_bytes()]}
+                )
+
+            self.blooms = (
+                self.blooms.groupBy("shard")
+                .cogroup(gone.groupBy("shard"))
+                .applyInPandas(delete, BLOOM_SCHEMA)
+            )
+        else:
+            self.blooms = self._build_blooms(self.seen)
+        if self._dense_cache is not None:
+            self._dense_cache.unpersist()
+            self._dense_cache = None
+
     def activate_blooms(self) -> None:
         """Build the per-shard bitmaps ONCE from the current seen table
         and switch from lazy to incremental maintenance. No-op unless

@@ -114,6 +114,42 @@ def test_seen_filter_bloom_equals_exact(spark):
     assert got_cg == got_exact
 
 
+def test_seen_filter_remove_exact_and_cuckoo(spark):
+    """remove() (recrawl expiry): removed keys become 'new' again on
+    both the exact path and cuckoo bitmaps (real fingerprint deletes),
+    surviving keys stay seen, and a remove->add roundtrip restores the
+    original behavior. Bloom-kind bitmaps rebuild from the surviving
+    table and must agree too."""
+    cfgs = [
+        BloomConfig(shards=4, kind="cuckoo", cuckoo_buckets=1 << 8),
+        BloomConfig(shards=4, bits_per_shard=1 << 14, num_hashes=4),
+    ]
+    keys = spark.createDataFrame(
+        [(f"http://h.test/p{i}",) for i in range(120)], "url string"
+    ).withColumn("url_hash", url_seen_key(F.col("url")))
+    gone = keys.filter(F.col("url").rlike("p[0-9]?[02468]$"))
+    probe = keys  # every key
+    for cfg in cfgs:
+        for use_bloom in (False, True):
+            f = SeenFilter(spark, cfg, use_bloom=use_bloom)
+            f.add(keys.select("url_hash"))
+            assert f.filter_new(probe).count() == 0
+            f.remove(gone.select("url_hash"))
+            got = sorted(r["url"] for r in f.filter_new(probe).collect())
+            want = sorted(r["url"] for r in gone.collect())
+            assert got == want, (cfg.kind, use_bloom)
+            # re-add (the recrawl re-enqueue): nothing is new again
+            f.add(gone.select("url_hash"))
+            assert f.filter_new(probe).count() == 0, (cfg.kind, use_bloom)
+            # removing keys never added is a no-op on the exact set
+            other = spark.createDataFrame(
+                [("http://x.test/q1",)], "url string"
+            ).withColumn("url_hash", url_seen_key(F.col("url")))
+            if cfg.kind != "cuckoo":  # cuckoo delete requires prior add
+                f.remove(other.select("url_hash"))
+                assert f.filter_new(probe).count() == 0
+
+
 def test_politeness_budget_math():
     from smart_crawler_spark.frontier.queue import politeness_budget
 

@@ -264,6 +264,90 @@ def _oracle_order_seen_records(spark, want_one):
     return order, seen, records
 
 
+@pytest.mark.parametrize(
+    "seed,budget,n_recrawl,max_rounds",
+    # seeds chosen so every sweep point actually expires entries
+    # (liveness asserted below — a drained-before-expiry graph would
+    # test nothing)
+    [(3, 1, 2, 12), (23, 3, 1, 8), (10, 2, 3, 15), (47, 1, 1, 20)],
+)
+def test_random_graph_recrawl_equals_oracle(
+    spark, tmp_path, seed, budget, n_recrawl, max_rounds
+):
+    """Recrawl-expiry sweep: the engine's per-round dispatch multiset,
+    final seen set, record multiset, and per-round expiry counts equal
+    the round-based oracle (crawl_site_recrawl); cuckoo bitmap shards
+    take real deletes (filter_deletes metric) and the prefilter still
+    agrees with the exact path afterwards (the dedup would diverge on a
+    wrongly-deleted fingerprint)."""
+    from smart_crawler_spark.crawler.oracle import crawl_site_recrawl
+    from smart_crawler_spark.frontier.dedup import BloomConfig
+
+    model, rows, seed_url = make_random_site(seed)
+    pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages_df, model,
+        str(tmp_path / f"rc{seed}b{budget}n{n_recrawl}"),
+        EngineConfig(
+            budget_per_host=budget,
+            recrawl_after_rounds=n_recrawl,
+            max_rounds=max_rounds,
+            use_bloom=True,
+            bloom=BloomConfig(kind="cuckoo", shards=4, cuckoo_buckets=1 << 8),
+        ),
+    )
+    res = eng.run([seed_url])
+    want = crawl_site_recrawl(
+        {r["url"]: r for r in rows}, model, seed_url,
+        budget=budget, recrawl_after_rounds=n_recrawl, max_rounds=max_rounds,
+    )
+
+    # per-round dispatch multiset (budget=1 makes it the exact order)
+    got_rounds: dict[int, list] = {}
+    for r in res.order.collect():
+        got_rounds.setdefault(r["round"], []).append(
+            (r["url"], r["page_class"], r["fetched"])
+        )
+    want_rounds: dict[int, list] = {}
+    i = 0
+    for meta in want.rounds:
+        chunk = want.order[i : i + meta["batch"]]
+        i += meta["batch"]
+        want_rounds[meta["round"]] = [
+            (o["url"], o["page_class"], o["fetched"]) for o in chunk
+        ]
+    assert {k: sorted(v) for k, v in got_rounds.items()} == {
+        k: sorted(v) for k, v in want_rounds.items()
+    }
+
+    # final seen set
+    oracle_hashes = {
+        r["h"]
+        for r in spark.createDataFrame(
+            [(k,) for k in sorted(want.seen)], "k string"
+        ).select(F.xxhash64("k").alias("h")).collect()
+    } if want.seen else set()
+    assert {r["url_hash"] for r in res.seen.collect()} == oracle_hashes
+
+    # records multiset (recrawled pages re-extract their records)
+    got_recs = sorted(
+        (r["url"], tuple(r["fields"])) for r in res.records.collect()
+    )
+    assert got_recs == sorted(
+        (rec["url"], tuple(rec["fields"])) for rec in want.records
+    )
+
+    # expiry metadata: engine metrics mirror the oracle per round, and
+    # the cuckoo shards saw real deletes somewhere in the run
+    got_exp = [(m["round"], m["expired"]) for m in res.metrics]
+    want_exp = [(m["round"], m["expired"]) for m in want.rounds]
+    assert got_exp == want_exp
+    assert sum(m["filter_deletes"] for m in res.metrics) == sum(
+        m["expired"] for m in want.rounds
+    )
+    assert sum(m["expired"] for m in want.rounds) > 0  # sweep is live
+
+
 @pytest.mark.parametrize("seed,cap", [(5, 3), (31, 7)])
 def test_random_graph_page_budget_counts_dispatches(spark, tmp_path, seed, cap):
     """F5 on random graphs: the per-host page cap counts DISPATCHES

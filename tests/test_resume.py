@@ -55,6 +55,40 @@ def test_kill_and_resume(spark, site, tmp_path):
     assert _summary(resumed) == want
 
 
+def test_recrawl_pool_survives_resume(spark, site, tmp_path):
+    """Recrawl expiry state (the dispatch pool) is part of the snapshot:
+    stopping after round K (post-round snapshot) and resuming yields the
+    same per-round dispatches, seen set, and expiry counts as one
+    uninterrupted run. (A MID-round kill replays the in-flight batch in
+    the next round number, which legitimately shifts later expiry
+    timing — the lossless claim for recrawl is across post-round
+    snapshots, the shape a scheduled shutdown takes.)"""
+
+    def run(workdir, max_rounds, resume=False):
+        cfg = EngineConfig(
+            budget_per_host=1,
+            recrawl_after_rounds=2,
+            max_rounds=max_rounds,
+            checkpoint_every=1,
+        )
+        model, pages, seeds = site
+        eng = CrawlEngine(spark, pages, model, str(tmp_path / workdir), cfg)
+        return eng.run(None if resume else seeds, resume=resume)
+
+    want_res = run("rc_base", 9)
+    want = _summary(want_res)
+    want_exp = [(m["round"], m["expired"]) for m in want_res.metrics]
+    assert sum(e for _, e in want_exp) > 0  # the sweep is live
+
+    first = run("rc_split", 5)
+    assert first.rounds == 5
+    resumed = run("rc_split", 9, resume=True)
+    assert _summary(resumed) == want
+    resumed_exp = [(m["round"], m["expired"]) for m in resumed.metrics]
+    # resumed metrics cover rounds 6..9; they must match the base run's
+    assert resumed_exp == want_exp[5:]
+
+
 def test_snapshot_lineage_metrics(spark, site, tmp_path):
     model, pages, seeds = site
     cfg = EngineConfig(budget_per_host=2, checkpoint_every=2)
