@@ -5,9 +5,13 @@ on identical input, report throughput at both + scaling efficiency.
 Each level runs in a fresh subprocess (own JVM) to avoid cache warm-up
 bias. Jobs (the crawl hot path, sized so executor work dominates):
 
-  dedup  — exact seen-filter anti-join: 8M candidates vs 4M-key seen set
-  topk   — per-host priority top-K over a skewed frontier (WindowGroupLimit)
-  links  — explode + broadcast-classify + intra-batch dedup on 2M pages
+  dedup      — exact seen-filter anti-join: 8M candidates vs 4M-key seen
+  topk       — per-host priority top-K over a mildly skewed frontier
+  topk_skew  — same top-K with 90% of the frontier on ONE host (the
+               adversarial politeness case; salted path cross-checked)
+  links      — explode + broadcast-classify + intra-batch dedup, 2M pages
+  crawl      — end-to-end engine drain of a flat synthetic site
+  crawl_skew — end-to-end drain with ~90% of URLs on host 0
 
 Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
                                        [--jobs dedup,topk,links,crawl]
@@ -89,6 +93,30 @@ if "topk" in jobs:
     out["topk"] = {{"rows": N_FRONT, "sec": round(dt, 3),
                     "rows_per_sec": round(N_FRONT / dt), "batch": nb}}
 
+# --- topk_skew: 90% of the frontier on ONE host (north_rule politeness
+# under adversarial skew). The WindowGroupLimit plan (salt=0) keeps the
+# map-side partial limit parallel — each map task emits <= budget rows
+# per host BEFORE the shuffle, so the hot host's final window sees
+# tasks x budget rows, not 90% of the frontier; the salted two-phase
+# path is cross-checked for output size at the same budget ------------
+if "topk_skew" in jobs:
+    front = spark.range(N_FRONT).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot.test")).otherwise(
+            F.concat(F.lit("site"), (F.col("id") % 997))).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    from smart_crawler_spark.frontier.queue import pick_batch
+    nb, dt = timed(lambda: pick_batch(front, budget_per_host=100, salt_buckets=0))
+    nb_s, dt_s = timed(lambda: pick_batch(front, budget_per_host=100, salt_buckets=32))
+    assert nb == nb_s, (nb, nb_s)
+    out["topk_skew"] = {{"rows": N_FRONT, "sec": round(dt, 3),
+                         "rows_per_sec": round(N_FRONT / dt), "batch": nb,
+                         "salted_sec": round(dt_s, 3)}}
+
 # --- links: explode out-links + broadcast model classify + window dedup --
 if "links" in jobs:
     pages = spark.range(N_PAGES).select(
@@ -160,6 +188,45 @@ if "crawl" in jobs:
                            if k in ("round", "batch", "sec", "sec_fetch",
                                     "sec_sinks", "sec_state")}}
                          for m in res.metrics]}}
+
+# --- crawl_skew: end-to-end drain where ~90% of URLs live on host 0
+# (skew_factor 135 over 16 hosts: 135/(135+15)). The hot host drains
+# over several politeness-budget rounds while the engine's skewed
+# frontier windows, fetch joins, and sinks all see the hot partition —
+# the adversarial version of the flat crawl job above ----------------
+if "crawl_skew" in jobs:
+    import tempfile, shutil
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.datagen.site import (SiteConfig, generate_site_pages,
+                                                  target_tsv)
+    from smart_crawler_spark.sources.targets import load_target_tsv
+    site = SiteConfig(n_hosts=16, dirs=4, chain=1,
+                      details_per_page=int(1000 * scale), n_images=1000,
+                      skew_factor=135)
+    pages = generate_site_pages(spark, site).localCheckpoint()
+    n_pages = pages.count()
+    hot = pages.filter(F.col("host") == site.host(0)).count()
+    workdir = tempfile.mkdtemp(prefix="scaling_crawl_skew_")
+    try:
+        eng = CrawlEngine(spark, pages, load_target_tsv(target_tsv(site)), workdir,
+                          EngineConfig(budget_per_host=int(70000 * scale),
+                                       salt_buckets=0, use_bloom=False))
+        t0 = time.monotonic()
+        res = eng.run([f"http://{{site.host(k)}}/" for k in range(site.n_hosts)])
+        dt = time.monotonic() - t0
+        fetched = res.order.filter("fetched").count()
+        assert fetched == n_pages, (fetched, n_pages)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out["crawl_skew"] = {{"rows": fetched, "sec": round(dt, 3),
+                          "rows_per_sec": round(fetched / dt),
+                          "rounds": res.rounds,
+                          "hot_host_share": round(hot / n_pages, 3),
+                          "round_metrics": [
+                              {{k: v for k, v in m.items()
+                                if k in ("round", "batch", "sec", "sec_fetch",
+                                         "sec_sinks", "sec_state")}}
+                              for m in res.metrics]}}
 
 print("RESULT " + json.dumps(out))
 spark.stop()
