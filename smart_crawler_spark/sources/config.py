@@ -133,6 +133,9 @@ class SeedConfig:
             # cannot reach) wanting one shared budget across hosts set
             # EngineConfig.max_pages_total instead.
             kw["max_pages_per_host"] = settings.pages
+        if settings is not None and settings.recrawl_rounds:
+            kw["recrawl_after_rounds"] = settings.recrawl_rounds
+            kw["max_rounds"] = settings.max_rounds
         kw.update(overrides)
         return EngineConfig(**kw)
 
@@ -143,6 +146,12 @@ class CrawlerSettings:
     fetchers: int = 1
     pages: int = 1_000_000
     frontierheap: int = 10_000
+    # recrawl expiry (Spark-side extension; the reference has no
+    # recrawl): crawling.recrawl-rounds > 0 re-enqueues every URL that
+    # many rounds after its dispatch, crawling.max-rounds bounds the
+    # otherwise-endless run
+    recrawl_rounds: int = 0
+    max_rounds: int = 1 << 30
 
 
 _SEED_SUFFIXES = (
@@ -200,6 +209,8 @@ def load_settings(text: str) -> CrawlerSettings:
         fetchers=int(flat.get("crawler.crawling.fetchers", 1)),
         pages=int(flat.get("crawler.crawling.pages", 1_000_000)),
         frontierheap=int(flat.get("crawler.crawling.frontierheap", 10_000)),
+        recrawl_rounds=int(flat.get("crawler.crawling.recrawl-rounds", 0)),
+        max_rounds=int(flat.get("crawler.crawling.max-rounds", 1 << 30)),
     )
 
 

@@ -35,6 +35,8 @@ crawler {
     fetchers = 4
     pages = 5000       // global budget
     frontierheap = 128
+    recrawl-rounds = 6
+    max-rounds = 40
   }
 }
 """
@@ -69,6 +71,11 @@ def test_engine_config_mapping():
     cfg = a.engine_config(s, budget_per_host=7)
     assert cfg.max_tries == 1 and cfg.wait_ms == 500
     assert cfg.random_pause_ms == 0 and cfg.budget_per_host == 7
+    # recrawl knobs (Spark-side extension) ride the crawling block
+    assert cfg.recrawl_after_rounds == 6 and cfg.max_rounds == 40
+    # absent knobs leave recrawl off
+    ref = load_settings(REFERENCE_MASTER_CONF)
+    assert ref.recrawl_rounds == 0 and ref.max_rounds == 1 << 30
 
 
 def test_parser_nesting_and_comments():
