@@ -1126,6 +1126,147 @@ def video_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_sample_verified(spark, "mjpeg")
 
 
+def _aspect_sql_case(w_expr: str, h_expr: str) -> str:
+    """The aspect-bucket CASE in DuckDB SQL, generated from the SAME
+    ladder constants the Spark plan bakes in (operators/images.py
+    aspect_bucket_expr) — one definition, two dialects. repr() gives
+    shortest-roundtrip decimals, so DuckDB parses the exact doubles the
+    JVM compares against (corpus min |ln-ratio - threshold| gap is
+    1.03e-2, 13 orders above any cross-engine libm ulp)."""
+    import math
+
+    from smart_crawler_spark.operators.images import DEFAULT_ASPECT_BUCKETS
+
+    ordered = sorted(DEFAULT_ASPECT_BUCKETS, key=lambda b: b[0] / b[1])
+    logs = [math.log(bw / bh) for bw, bh in ordered]
+    mids = [(a + b) / 2 for a, b in zip(logs, logs[1:])]
+    lr = f"ln(({w_expr})::DOUBLE / ({h_expr})::DOUBLE)"
+    case = "CASE"
+    for (bw, bh), mid in zip(ordered[:-1], mids):
+        case += f" WHEN {lr} < {mid!r} THEN '{bw}x{bh}'"
+    bw, bh = ordered[-1]
+    case += f" ELSE '{bw}x{bh}' END"
+    return case
+
+
+def image_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucketing for image-training batches:
+    dims come from container HEADERS only (functions/headers.py — PNG
+    IHDR / JPEG SOF0; never decodes pixels, so the scan is parquet-IO
+    bound at 100 TB), bucket assignment is a pure Catalyst CASE chain
+    over ln(w/h) midpoints (map-only, zero shuffle). Oracle re-derives
+    dims from the generation rule and replays the identical thresholds
+    (generated from the same constants by _aspect_sql_case)."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import aspect_buckets
+
+    corpus = generate_images(spark, 500, jpeg_every=10)
+    return aspect_buckets(corpus).orderBy("image_id")
+
+
+def image_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality filtering for a training pipeline: decode, compute
+    luma contrast + histogram entropy, drop flat/low-information images
+    (operators/images.py image_quality_stats). The corpus plants a
+    solid-color image every 7th row (flat_every=7 — zero contrast, zero
+    entropy, the 'tracking pixel / placeholder banner' case); the oracle
+    predicts the keep/drop decision exactly from the plant rule."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import image_quality_stats
+
+    corpus = generate_images(spark, 400, jpeg_every=10, flat_every=7)
+    return (
+        image_quality_stats(corpus)
+        .select("image_id", "fmt", "keep")
+        .orderBy("image_id")
+    )
+
+
+def image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (byte-identical) image dedup: md5 over raw payload bytes,
+    one map-side-partial hash aggregation + an id-only join back
+    (operators/images.py exact_dup_groups — pixels never shuffle). The
+    corpus plants a byte-identical duplicate every 7th row (dup_every=7:
+    full content of the predecessor index, only image_id differs); the
+    oracle derives the exact groups from the plant rule."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import exact_dup_groups
+
+    corpus = generate_images(spark, 400, jpeg_every=10, dup_every=7)
+    return exact_dup_groups(corpus).orderBy("image_id")
+
+
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-corpus scrub): emails, NANP phones, IPv4s
+    replaced by typed placeholders + per-doc counts, all in native
+    regexp_replace/regexp_count (map-only, zero Python, zero shuffle —
+    operators/textops.py redact_pii). The word-soup corpus has no PII,
+    so deterministic PII is planted in SQL-expressible concat arithmetic
+    on doc_id; the oracle plants identically and replays the identical
+    regexes (module constants)."""
+    from smart_crawler_spark.operators.textops import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted).orderBy("doc_id")
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level dedup (RefinedWeb-style boilerplate
+    removal): lines occurring in >=2 distinct docs are stripped from
+    every doc (operators/textops.py line_dedup — two hash aggs over
+    line hashes + one equi-join; no corpus-wide window). Docs are
+    restructured into two lines — their leading words plus, for every
+    5th doc, a planted boilerplate footer — so the operator must find
+    exactly the planted line (plus any organically duplicated text); the
+    oracle mirrors the line semantics relationally, not the plant."""
+    from smart_crawler_spark.operators.textops import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    boiler = "subscribe to our newsletter for updates"
+    two_line = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(words, 1, 6), " "),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(boiler)).otherwise(
+                F.array_join(F.slice(words, 7, 6), " ")
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(two_line).orderBy("doc_id")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1469,10 +1610,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": approx_quantiles,
         "sequence_pack": sequence_pack,
         "decontaminate": decontaminate,
+        "image_aspect_bucket": image_aspect_bucket,
+        "image_quality_filter": image_quality_filter,
+        "image_exact_dedup": image_exact_dedup,
+        "pii_redact": pii_redact_docs,
+        "line_dedup": line_dedup_docs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from smart_crawler_spark.operators.textops import (
+        PII_EMAIL_RE as _PII_EMAIL,
+        PII_IPV4_RE as _PII_IP,
+        PII_PHONE_RE as _PII_PHONE,
+    )
+
     doubled = (
         "SELECT doc_id, text FROM documents "
         "UNION ALL SELECT doc_id + 100000, text FROM documents"
@@ -2392,6 +2544,121 @@ def oracle_sql() -> dict[str, str]:
             FROM ph a JOIN ph b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        # dims re-derived from the generation rule (datagen/images.py:
+        # w = 32+(i%4)*16, h = 24+(i%3)*16); thresholds generated from
+        # the SAME ladder constants as the Spark plan
+        "image_aspect_bucket": f"""
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
+                   (32 + (i % 4) * 16)::INT AS w,
+                   (24 + (i % 3) * 16)::INT AS h,
+                   {_aspect_sql_case('32 + (i % 4) * 16',
+                                     '24 + (i % 3) * 16')} AS bucket
+            FROM range(500) t(i)
+            ORDER BY image_id
+        """,
+        # keep/drop predicted from the flat_every=7 plant rule: solid
+        # images have zero contrast/entropy, every other image in this
+        # corpus is half-noise (contrast ~40, entropy ~7.9)
+        "image_quality_filter": """
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
+                   (i % 7 <> 6) AS keep
+            FROM range(400) t(i)
+            ORDER BY image_id
+        """,
+        # groups predicted from the dup_every=7 plant: img(i) for i%7=6
+        # is byte-identical to img(i-1); every other payload is unique
+        # (PCG64-seeded noise per content index)
+        "image_exact_dedup": """
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   CASE
+                     WHEN i % 7 = 6 THEN
+                       least('img' || (i - 1)::VARCHAR, 'img' || i::VARCHAR)
+                     WHEN i % 7 = 5 AND i + 1 < 400 THEN
+                       least('img' || i::VARCHAR, 'img' || (i + 1)::VARCHAR)
+                     ELSE 'img' || i::VARCHAR
+                   END AS group_rep,
+                   (CASE WHEN i % 7 = 6 OR (i % 7 = 5 AND i + 1 < 400)
+                         THEN 2 ELSE 1 END)::INT AS group_size
+            FROM range(400) t(i)
+            ORDER BY image_id
+        """,
+        # identical plant arithmetic + identical regexes (the pattern
+        # constants in operators/textops.py are the single definition);
+        # counts are taken on the pre-redaction text on both sides
+        "pii_redact": f"""
+            WITH planted AS (
+                SELECT doc_id, text
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact u' || doc_id::VARCHAR
+                               || '@example.org' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 1
+                          THEN ' call 555-010-'
+                               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 2
+                          THEN ' from 10.' || (doc_id % 200)::VARCHAR
+                               || '.0.' || (doc_id % 250)::VARCHAR
+                          ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}'))::INT
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{_PII_PHONE}'))::INT
+                       AS n_phones,
+                   len(regexp_extract_all(text, '{_PII_IP}'))::INT AS n_ips
+            FROM planted
+            ORDER BY doc_id
+        """,
+        # semantic mirror of the line-dedup contract (explode lines,
+        # count distinct docs per line, strip lines in >=2 docs), NOT
+        # the plant rule — organic cross-doc duplicates must match too
+        "line_dedup": """
+            WITH two_line AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 6), ' '
+                       ) AS l0,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'subscribe to our newsletter for updates'
+                            ELSE array_to_string(
+                                list_slice(string_split(text, ' '), 7, 12),
+                                ' ')
+                       END AS l1
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, 0 AS line_no, l0 AS line FROM two_line
+                UNION ALL
+                SELECT doc_id, 1 AS line_no, l1 AS line FROM two_line
+            ),
+            freq AS (
+                SELECT line, count(DISTINCT doc_id) AS n_docs
+                FROM lines GROUP BY line
+            ),
+            marked AS (
+                SELECT l.doc_id, l.line_no, l.line,
+                       (f.n_docs >= 2) AS is_dup
+                FROM lines l JOIN freq f USING (line)
+            )
+            SELECT doc_id,
+                   count(*)::INT AS n_lines,
+                   sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::INT AS dup_lines,
+                   round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS dup_frac,
+                   coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                       chr(10) ORDER BY line_no),
+                            '') AS clean_text
+            FROM marked
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
     }
     # the star-variant components query answers the identical question

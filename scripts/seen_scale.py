@@ -142,25 +142,37 @@ def main() -> None:
     # storage — the 10^10 production layout (Iceberg) — not an in-memory
     # checkpoint; probes are column-pruned scans of it
     seen_path = "/tmp/spark-seen-scale/seen_parquet"
-    (
-        filt._with_shard(seen_keys)
-        .select("url_hash", "shard")
-        .write.mode("overwrite")
-        .parquet(seen_path)
-    )
+    # REUSE_SEEN=1 resumes a run that died after the build phase: the
+    # parquet layout is deterministic in (SEEN_KEYS, SHARDS), so a table
+    # left on disk by the interrupted run is byte-identical to a rebuild
+    if os.environ.get("REUSE_SEEN") == "1" and os.path.exists(
+        seen_path + "/_SUCCESS"
+    ):
+        out["seen_build_sec"] = None
+    else:
+        (
+            filt._with_shard(seen_keys)
+            .select("url_hash", "shard")
+            .write.mode("overwrite")
+            .parquet(seen_path)
+        )
+        out["seen_build_sec"] = round(time.monotonic() - t0, 1)
     filt.seen = spark.read.parquet(seen_path)
-    out["seen_build_sec"] = round(time.monotonic() - t0, 1)
-    best = None
-    t_probe0 = time.time() * 1000
-    for _ in range(runs):
-        t0 = time.monotonic()
-        n_new = filt.filter_new(cand).count()
-        dt = time.monotonic() - t0
-        best = dt if best is None else min(best, dt)
-    assert n_new == want_new, (n_new, want_new)
-    out["exact"] = {"sec": round(best, 2), "cand_per_sec": round(n_cand / best)}
-    if want_stats:
-        out["exact"]["task_stats"] = task_stats(spark, t_probe0)
+    if os.environ.get("SKIP_EXACT") != "1":
+        best = None
+        t_probe0 = time.time() * 1000
+        for _ in range(runs):
+            t0 = time.monotonic()
+            n_new = filt.filter_new(cand).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        assert n_new == want_new, (n_new, want_new)
+        out["exact"] = {
+            "sec": round(best, 2),
+            "cand_per_sec": round(n_cand / best),
+        }
+        if want_stats:
+            out["exact"]["task_stats"] = task_stats(spark, t_probe0)
     print("PARTIAL " + json.dumps(out), flush=True)
 
     # --- bloom-cogroup prefilter (the 10^10 layout) --------------------

@@ -54,11 +54,31 @@ def image_caption(idx: int) -> str:
     return f"Image {idx}: " + " ".join(words)
 
 
-def image_row(idx: int, jpeg_every: int = 0) -> dict:
-    w = 32 + (idx % 4) * 16
-    h = 24 + (idx % 3) * 16
-    fmt = "jpeg" if jpeg_every and idx % jpeg_every == jpeg_every - 1 else "png"
-    px = image_pixels(idx, w, h)
+def image_row(
+    idx: int, jpeg_every: int = 0, flat_every: int = 0, dup_every: int = 0
+) -> dict:
+    """One deterministic corpus row. Optional planted rows for the
+    filter/dedup oracles (both OFF by default, so every existing corpus
+    is byte-identical to before):
+    - ``flat_every``: every k-th image is a solid color (zero contrast,
+      zero entropy) — the quality filter must drop exactly these.
+    - ``dup_every``: every k-th image carries the FULL content (pixels,
+      dims, caption, phash, bytes) of its predecessor index — a planted
+      byte-identical duplicate pair; only image_id differs."""
+    content_idx = idx
+    if dup_every and idx % dup_every == dup_every - 1:
+        content_idx = idx - 1
+    w = 32 + (content_idx % 4) * 16
+    h = 24 + (content_idx % 3) * 16
+    fmt = (
+        "jpeg"
+        if jpeg_every and content_idx % jpeg_every == jpeg_every - 1
+        else "png"
+    )
+    if flat_every and content_idx % flat_every == flat_every - 1:
+        px = np.full((h, w, 3), (17 * content_idx) % 256, dtype=np.uint8)
+    else:
+        px = image_pixels(content_idx, w, h)
     if fmt == "png":
         data = encode_png(px)
     else:
@@ -69,13 +89,18 @@ def image_row(idx: int, jpeg_every: int = 0) -> dict:
         "w": w,
         "h": h,
         "fmt": fmt,
-        "caption": image_caption(idx),
+        "caption": image_caption(content_idx),
         "phash": perceptual_hash(px),
     }
 
 
 def generate_images(
-    spark: SparkSession, n: int, jpeg_every: int = 10, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    jpeg_every: int = 10,
+    partitions: int | None = None,
+    flat_every: int = 0,
+    dup_every: int = 0,
 ) -> DataFrame:
     # ceil-divide into ~16-image tasks: the pure-Python JPEG encode is
     # the slowest per-row work in the suite, and floor division
@@ -84,7 +109,12 @@ def generate_images(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([image_row(int(i), jpeg_every) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [
+                    image_row(int(i), jpeg_every, flat_every, dup_every)
+                    for i in pdf["id"]
+                ]
+            )
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
 

@@ -302,3 +302,160 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.select("video_id", "bytes", "fmt").mapInPandas(
         gen, "video_id string, frame_no int, bytes binary, w int, h int"
     )
+
+
+# SDXL-style aspect-bucket ladder: (bw, bh) ratio archetypes from
+# portrait 1:2 through landscape 2:1. Training batches must be
+# shape-homogeneous; bucketing by nearest log-aspect is the standard
+# way to batch a mixed-shape image corpus without destructive cropping.
+DEFAULT_ASPECT_BUCKETS = (
+    (1, 2), (9, 16), (3, 4), (1, 1), (4, 3), (16, 9), (2, 1),
+)
+
+
+def sniff_dims_df(images: DataFrame) -> DataFrame:
+    """(image_id, fmt, w, h) read from container HEADERS only
+    (functions/headers.py) — never decodes pixels, so a dims scan of a
+    100 TB corpus is bounded by parquet column IO. Rows whose payload is
+    neither PNG nor JPEG come back with null dims."""
+    from smart_crawler_spark.functions.headers import sniff_dims
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                meta = sniff_dims(bytes(data))
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "fmt": meta[0] if meta else None,
+                        "w": meta[1] if meta else None,
+                        "h": meta[2] if meta else None,
+                    }
+                )
+            out = pd.DataFrame(
+                rows, columns=["image_id", "fmt", "w", "h"]
+            )
+            for c in ("w", "h"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, "image_id string, fmt string, w int, h int"
+    )
+
+
+def aspect_bucket_expr(
+    w, h, buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS
+):
+    """Nearest-log-aspect bucket as a pure Catalyst CASE chain (map-only,
+    zero shuffle, whole-stage codegen): buckets sorted by ratio, an
+    image belongs to the bucket whose log-ratio interval (split at
+    midpoints) contains ln(w/h). The midpoints are driver-side Python
+    floats baked into the plan, so the DuckDB oracle replays the exact
+    same thresholds. Assignment = nearest ln-ratio (midpoint split is
+    equivalent), ties go to the wider bucket (right-closed intervals)."""
+    import math
+
+    ordered = sorted(buckets, key=lambda b: b[0] / b[1])
+    logs = [math.log(bw / bh) for bw, bh in ordered]
+    mids = [(a + b) / 2 for a, b in zip(logs, logs[1:])]
+    lr = F.log(w.cast("double") / h.cast("double"))
+    expr = F.lit(f"{ordered[-1][0]}x{ordered[-1][1]}")
+    for (bw, bh), mid in zip(reversed(ordered[:-1]), reversed(mids)):
+        expr = F.when(lr < F.lit(mid), F.lit(f"{bw}x{bh}")).otherwise(expr)
+    return expr
+
+
+def aspect_buckets(
+    images: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+) -> DataFrame:
+    """Assign every image to its nearest aspect-ratio bucket using
+    header-sniffed dims (no pixel decode). Map-only end to end."""
+    dims = sniff_dims_df(images)
+    return dims.select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        aspect_bucket_expr(F.col("w"), F.col("h"), buckets).alias("bucket"),
+    )
+
+
+def image_quality_stats(
+    images: DataFrame,
+    min_contrast: float = 8.0,
+    min_entropy: float = 3.0,
+) -> DataFrame:
+    """Per-image quality-filter features for a training-data pipeline:
+    mean luma, luma std (contrast), and 256-bin luma-histogram entropy,
+    with the keep/drop decision (drop flat/low-information images —
+    banners, solid placeholders, tracking pixels). Decode runs in
+    Arrow-batched mapInPandas; thresholds are plan constants."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    px = _decode(bytes(data), fmt)
+                except NotImplementedError:
+                    rows.append(
+                        {"image_id": img_id, "fmt": fmt, "mean_luma": None,
+                         "contrast": None, "entropy": None}
+                    )
+                    continue
+                luma = (
+                    0.299 * px[..., 0]
+                    + 0.587 * px[..., 1]
+                    + 0.114 * px[..., 2]
+                )
+                hist = np.bincount(
+                    luma.astype(np.uint8).ravel(), minlength=256
+                )
+                p = hist[hist > 0] / luma.size
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "fmt": fmt,
+                        "mean_luma": float(luma.mean()),
+                        "contrast": float(luma.std()),
+                        "entropy": float(-(p * np.log2(p)).sum()),
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["image_id", "fmt", "mean_luma", "contrast", "entropy"],
+            )
+            yield out
+
+    stats = images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen,
+        "image_id string, fmt string, mean_luma double, contrast double, "
+        "entropy double",
+    )
+    keep = (
+        F.col("contrast").isNotNull()
+        & (F.col("contrast") >= min_contrast)
+        & (F.col("entropy") >= min_entropy)
+    )
+    return stats.select("*", keep.alias("keep"))
+
+
+def exact_dup_groups(images: DataFrame) -> DataFrame:
+    """Exact (byte-identical) image dedup: md5 over the raw payload —
+    one hash aggregation (map-side partial) + an id-only equi-join back;
+    pixel data never shuffles beyond the md5. Output per image:
+    (image_id, group_rep, group_size) with the lexicographically
+    smallest member as the canonical representative."""
+    hashed = images.select("image_id", F.md5("bytes").alias("img_hash"))
+    groups = hashed.groupBy("img_hash").agg(
+        F.min("image_id").alias("group_rep"),
+        F.count(F.lit(1)).cast("int").alias("group_size"),
+    )
+    return hashed.join(groups, "img_hash").select(
+        "image_id", "group_rep", "group_size"
+    )

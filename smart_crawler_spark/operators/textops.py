@@ -347,3 +347,92 @@ def sequence_pack(
             ),
         )
     )
+
+
+# PII patterns shared with the oracle SQL: conservative, RE2-compatible
+# (DuckDB) AND java.util.regex-compatible (Spark) — no lookarounds, no
+# \b ambiguity across engines beyond word chars.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction for training corpora: replace emails, NANP-style
+    phone numbers, and IPv4 addresses with typed placeholder tokens and
+    count each redaction. Pure Catalyst `regexp_replace`/`regexp_count`
+    (JVM, map-only, whole-stage codegen — streams over 100 TB with zero
+    shuffles); the patterns are the module constants above so the DuckDB
+    oracle replays the identical regexes. IPs are redacted before phones
+    (a phone pattern can never match inside an IP with these regexes,
+    but a fixed order keeps the composition deterministic)."""
+    c = F.col(text_col)
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE))
+    n_ips = F.regexp_count(c, F.lit(PII_IPV4_RE))
+    n_phones = F.regexp_count(c, F.lit(PII_PHONE_RE))
+    clean = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level dedup (RefinedWeb/Falcon-style): a line
+    occurring in >= ``min_docs`` distinct documents is boilerplate;
+    remove it from every document and report per-doc stats. Two hash
+    aggregations over exploded lines (both map-side-partial, keyed by a
+    64-bit line hash — never the line text) and one equi-join back;
+    no window over the corpus, no Python. At 100 TB the line-hash
+    frequency table is orders of magnitude smaller than the corpus
+    (only lines, counted once per doc) and the join key is the hash.
+
+    Output: (id, n_lines, dup_lines, dup_frac, clean_text) where
+    clean_text keeps the doc's non-boilerplate lines in order."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    ).withColumn("line_hash", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("line_hash")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_hash", F.lit(True).alias("is_dup"))
+    )
+    marked = lines.join(boiler, "line_hash", "left").select(
+        id_col,
+        "line_no",
+        "line",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.col("is_dup").cast("int")).cast("int").alias("dup_lines"),
+        F.round(
+            F.sum(F.col("is_dup").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        ~F.col("is_dup"),
+                        F.struct("line_no", "line"),
+                    )
+                )
+            ).getField("line"),
+            sep,
+        ).alias("clean_text"),
+    )

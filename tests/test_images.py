@@ -218,3 +218,105 @@ def test_phash_lsh_recall_guarantee(spark):
     }
     assert ("a", "b", 6) in got
     assert all(p[:2] != ("a", "far") and p[:2] != ("b", "far") for p in got)
+
+
+# ---------------------------------------------------------------- round 4:
+# header sniffing, aspect bucketing, quality filter, exact byte dedup
+
+
+def test_sniff_dims_header_only():
+    """Header parsers agree with the real codecs and never decode
+    pixels: feed them truncated payloads that keep only the header."""
+    from smart_crawler_spark.functions.headers import sniff_dims
+    from smart_crawler_spark.functions.jpeg import encode_jpeg
+    from smart_crawler_spark.functions.png import encode_png
+
+    px = image_pixels(3, 48, 40)
+    png, jpg = encode_png(px), encode_jpeg(px, quality=98)
+    assert sniff_dims(png) == ("png", 48, 40)
+    assert sniff_dims(jpg) == ("jpeg", 48, 40)
+    # header-only: the dims live in the first bytes; truncating the
+    # pixel payload must not matter (PNG IHDR = first 24 bytes; JPEG
+    # SOF lands before the scan data)
+    assert sniff_dims(png[:24]) == ("png", 48, 40)
+    assert sniff_dims(jpg[:600]) == ("jpeg", 48, 40)
+    assert sniff_dims(b"garbage") is None
+    assert sniff_dims(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+
+
+def test_aspect_buckets_match_rule(spark, images):
+    """Bucket assignment == nearest-ln-ratio over the ladder, dims
+    sniffed from headers == stored metadata dims."""
+    import math
+
+    from smart_crawler_spark.operators.images import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_buckets,
+    )
+
+    rows = aspect_buckets(images).collect()
+    assert len(rows) == 40
+    meta = {r["image_id"]: (r["w"], r["h"]) for r in images.collect()}
+    ordered = sorted(DEFAULT_ASPECT_BUCKETS, key=lambda b: b[0] / b[1])
+    for r in rows:
+        assert (r["w"], r["h"]) == meta[r["image_id"]]
+        want = min(
+            ordered,
+            key=lambda b: abs(
+                math.log(r["w"] / r["h"]) - math.log(b[0] / b[1])
+            ),
+        )
+        assert r["bucket"] == f"{want[0]}x{want[1]}", r
+
+
+def test_aspect_threshold_gap():
+    """Every corpus ln-ratio is far (>1e-3) from every bucket threshold,
+    so JVM-vs-DuckDB libm ulp differences can never flip a bucket."""
+    import math
+
+    from smart_crawler_spark.operators.images import DEFAULT_ASPECT_BUCKETS
+
+    ordered = sorted(DEFAULT_ASPECT_BUCKETS, key=lambda b: b[0] / b[1])
+    logs = [math.log(bw / bh) for bw, bh in ordered]
+    mids = [(a + b) / 2 for a, b in zip(logs, logs[1:])]
+    dims = {(32 + (i % 4) * 16, 24 + (i % 3) * 16) for i in range(500)}
+    for w, h in dims:
+        lr = math.log(w / h)
+        assert min(abs(lr - m) for m in mids) > 1e-3, (w, h)
+
+
+def test_quality_filter_drops_flats(spark):
+    from smart_crawler_spark.operators.images import image_quality_stats
+
+    corpus = generate_images(spark, 70, jpeg_every=10, flat_every=7)
+    rows = image_quality_stats(corpus).collect()
+    assert len(rows) == 70
+    for r in rows:
+        idx = int(r["image_id"].removeprefix("img"))
+        flat = idx % 7 == 6
+        assert r["keep"] == (not flat), r
+        if flat:
+            assert r["contrast"] < 1.0 and r["entropy"] < 1.0, r
+        else:
+            assert r["contrast"] > 8.0 and r["entropy"] > 3.0, r
+
+
+def test_exact_dedup_finds_planted_pairs(spark):
+    from smart_crawler_spark.operators.images import exact_dup_groups
+
+    corpus = generate_images(spark, 70, jpeg_every=10, dup_every=7)
+    rows = {r["image_id"]: r for r in exact_dup_groups(corpus).collect()}
+    assert len(rows) == 70
+    for img_id, r in rows.items():
+        idx = int(img_id.removeprefix("img"))
+        if idx % 7 == 6:
+            partner = idx - 1
+        elif idx % 7 == 5 and idx + 1 < 70:
+            partner = idx + 1
+        else:
+            partner = None
+        if partner is None:
+            assert (r["group_rep"], r["group_size"]) == (img_id, 1), r
+        else:
+            assert r["group_size"] == 2, r
+            assert r["group_rep"] == min(img_id, f"img{partner}"), r

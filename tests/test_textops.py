@@ -107,3 +107,49 @@ def test_sequence_pack_matches_flat_prefix_sum(spark):
         end = off + max(n, 1) - 1
         assert got[i]["straddles"] == (end // budget > off // budget)
         off += n
+
+
+def test_redact_pii_golden(spark):
+    from smart_crawler_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.com and alice@ex.org now"),
+            (1, "call 555-123-4567 or 555-000-9999 from 192.168.1.254"),
+            (2, "no pii here, 1234-5678 is not a phone, 1.2.3 not an ip"),
+            (3, "edge 10.0.0.1 555-111-2222 u@v.io"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ips"]) == (2, 0, 0)
+    assert got[1]["clean_text"] == "call <PHONE> or <PHONE> from <IP>"
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (0, 2, 1)
+    assert got[2]["clean_text"] == docs.collect()[2]["text"]
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 0)
+    assert got[3]["clean_text"] == "edge <IP> <PHONE> <EMAIL>"
+
+
+def test_line_dedup_strips_boilerplate(spark):
+    from smart_crawler_spark.operators.textops import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique alpha\nSUBSCRIBE NOW\nunique beta"),
+            (1, "other text\nSUBSCRIBE NOW"),
+            (2, "solo document\nwith two lines"),
+            (3, "SUBSCRIBE NOW\nSUBSCRIBE NOW"),  # all lines boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[0]["n_lines"] == 3 and got[0]["dup_lines"] == 1
+    assert got[0]["clean_text"] == "unique alpha\nunique beta"
+    assert got[1]["clean_text"] == "other text"
+    assert got[2]["dup_lines"] == 0
+    assert got[2]["clean_text"] == "solo document\nwith two lines"
+    # a doc made ONLY of boilerplate collapses to the empty string
+    assert got[3]["n_lines"] == 2 and got[3]["dup_lines"] == 2
+    assert got[3]["clean_text"] == ""
+    assert got[3]["dup_frac"] == 1.0
