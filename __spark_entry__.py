@@ -1267,6 +1267,72 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(two_line).orderBy("doc_id")
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-k (operators/textops.py bm25_topk): token
+    stream filtered to the query terms BEFORE any aggregation (the tf
+    table is |terms|-bounded, not vocabulary-bounded), broadcast idf +
+    avgdl joins, TakeOrderedAndProject top-k — no corpus sort, no
+    corpus window. The oracle replays the exact Robertson idf / BM25
+    formula; scores rounded to 4 dp on both sides before ranking, ties
+    broken on doc_id."""
+    from smart_crawler_spark.operators.textops import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10).orderBy("rank")
+
+
+def pca_project_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table
+    (operators/simsearch.py pca_fit/pca_project): ONE map-side-partial
+    aggregation ships d + d(d+1)/2 moments to the driver (corpus rows
+    never leave the executors), the 64x64 eigensolve runs locally with
+    deterministic sign fixing, and projection is map-only JVM zip_with
+    arithmetic with the components as plan literals. Verified per row
+    against an independent numpy projection (Arrow-batched) plus the
+    fit invariants (orthonormal components, descending explained
+    variance) — generation-rule oracle: every row checks out."""
+    import numpy as np
+    import pandas as pd
+
+    from smart_crawler_spark.operators.simsearch import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, evar = pca_fit(emb, n_components=4)
+    fit_ok = bool(
+        np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-9)
+        and np.all(np.diff(evar) <= 1e-12)
+        and np.all(evar >= -1e-12)
+    )
+    proj = pca_project(emb, mean, comps)
+    pc_cols = [f"pc{i}" for i in range(len(comps))]
+
+    def verify(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].map(np.asarray)).astype(
+                np.float64
+            )
+            want = (vecs - mean) @ comps.T
+            got = pdf[pc_cols].to_numpy(dtype=np.float64)
+            ok = np.all(
+                np.abs(want - got) <= 1e-8 * (1 + np.abs(want)), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj_ok": ok,
+                    "fit_ok": fit_ok,
+                }
+            )
+
+    joined = emb.select("vec_id", "embedding").join(proj, "vec_id")
+    return joined.mapInPandas(
+        verify, "vec_id long, proj_ok boolean, fit_ok boolean"
+    ).orderBy("vec_id")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1615,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exact_dedup": image_exact_dedup,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
+        "bm25_topk": bm25_topk_docs,
+        "pca_project": pca_project_verify,
     }
 
 
@@ -2659,6 +2727,63 @@ def oracle_sql() -> dict[str, str]:
             FROM marked
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        # exact Robertson-idf BM25 replay; scores rounded to 4 dp on
+        # both sides BEFORE ranking (sum-order double noise ~1e-16),
+        # ties broken on doc_id on both sides
+        "bm25_topk": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(ws) AS term FROM words),
+            dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM toks
+                WHERE term IN ('spark', 'window', 'merge')
+                GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT avg(dl) FROM dl) AS avgdl
+            ),
+            idf AS (
+                SELECT term,
+                       ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+                FROM (
+                    SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tf GROUP BY 1
+                ), stats
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       round(sum(idf.idf * (tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl.dl / stats.avgdl)))), 4)
+                           AS score
+                FROM tf
+                JOIN idf USING (term)
+                JOIN dl USING (doc_id), stats
+                GROUP BY 1
+            )
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM scored
+            QUALIFY rank <= 10
+            ORDER BY rank
+        """,
+        # generation-rule oracle: the Spark side verifies its own JVM
+        # projection per row against an independent numpy projection +
+        # the fit invariants; every row must check out
+        "pca_project": """
+            SELECT vec_id, true AS proj_ok, true AS fit_ok
+            FROM embeddings
+            ORDER BY vec_id
         """,
     }
     # the star-variant components query answers the identical question

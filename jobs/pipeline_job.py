@@ -20,6 +20,7 @@ line of per-stage row counts and wall seconds. Stages:
   minhash  the raw near-dup pair table (banded LSH + exact verify)
   quality  language-ID + quality score + token stats + repetition stats,
            one joined table (all map-only column expressions)
+  scrub    cross-doc line dedup (boilerplate strip) + PII redaction
   ann      LSH-bucketed cosine top-k of each planted query vector
 """
 
@@ -101,6 +102,17 @@ def main() -> None:
             )
 
         run("quality", _quality)
+
+    if "scrub" in stages:
+        # training-corpus scrub: PII placeholders (map-only) over docs
+        # whose cross-corpus boilerplate lines were stripped first
+        def _scrub():
+            cleaned = textops.line_dedup(docs).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            return textops.redact_pii(cleaned)
+
+        run("scrub", _scrub)
 
     if "ann" in stages:
 

@@ -392,3 +392,94 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit: (mean, components[k,d], explained_var[k]).
+
+    The corpus never leaves the executors — the driver receives only
+    d + d(d+1)/2 + 1 aggregates (mean vector, upper-triangle second
+    moments, count) from ONE map-side-partial aggregation over the
+    flattened (i, j, v_i*v_j) stream, then runs the d×d eigensolve
+    locally (numpy eigh; d is the embedding width, e.g. 64 → a 4 KB
+    problem). Eigenvector sign is fixed deterministically (largest-
+    magnitude coordinate made positive) so repeated fits and resumed
+    jobs project identically."""
+    flat = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v")
+    )
+    d = embeddings.select(
+        F.size(vec_col).alias("d")
+    ).first()["d"]
+    # second-moment upper triangle: pair each element with the tail of
+    # its own row via a self-zip inside the row — no self-join; the
+    # (i, j) key space is d(d+1)/2, corpus-size-independent
+    pairs = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).select(
+        "i",
+        "vi",
+        F.posexplode(F.slice("vec", F.col("i") + 1, F.lit(d))).alias(
+            "dj", "vj"
+        ),
+    )
+    moments = (
+        pairs.groupBy("i", "dj")
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("sxy"))
+        .collect()
+    )
+    sums = flat.groupBy("i").agg(
+        F.sum("v").alias("s"), F.count("v").alias("n")
+    ).collect()
+    n = sums[0]["n"]
+    mean = np.zeros(d)
+    for r in sums:
+        mean[r["i"]] = r["s"] / n
+    m2 = np.zeros((d, d))
+    for r in moments:
+        i, j = r["i"], r["i"] + r["dj"]
+        m2[i, j] = m2[j, i] = r["sxy"]
+    cov = m2 / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:n_components]
+    comps = eigvec[:, order].T  # (k, d)
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    return mean, comps, eigval[order]
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project every embedding onto the fitted components — map-only:
+    the (k, d) component matrix rides into the plan as array literals
+    and the dot products run as JVM higher-order functions (zip_with +
+    aggregate), no Python, no shuffle."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in mean]),
+        lambda x, m: x - m,
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(w)) for w in comp]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"pc{ci}")
+        for ci, comp in enumerate(components)
+    ]
+    return embeddings.select(F.col(id_col), *projs)

@@ -436,3 +436,79 @@ def line_dedup(
             sep,
         ).alias("clean_text"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance top-k over a document corpus (Robertson/Sparck
+    Jones probabilistic idf, the +1 'BM25+' form so idf stays positive).
+    Shaped for scale: the exploded token stream is filtered to the
+    query's terms BEFORE any aggregation (the per-(doc,term) tf table
+    is |terms|-bounded, not vocabulary-bounded), document length comes
+    from size(split(...)) without an explode, df/avgdl are map-side
+    partial aggs, the |terms|-row idf table and the 1-row avgdl join
+    back as broadcasts, and top-k plans as TakeOrderedAndProject —
+    no corpus-wide sort, no window. Ties break on ascending id.
+
+    Output: (id, score, rank) for the k highest-scoring docs."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isin([t.lower() for t in terms]))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    dl = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("dl"),
+    )
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = tf.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    ).select(
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    score_term = F.col("idf") * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score_term), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "score",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("score"), F.col(id_col).asc())
+            )
+            .alias("rank"),
+        )
+    )

@@ -269,3 +269,55 @@ def test_range_join_plans_as_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_bin" in plan  # the equi-join key is the time bin
+
+
+@needs_testdata
+def test_redact_pii_is_map_only(spark):
+    """PII redaction must stream: no Exchange, no Python eval, pure
+    project over the scan (100 TB = one pass, zero shuffles)."""
+    from smart_crawler_spark.operators.textops import redact_pii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(redact_pii(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aspect_bucket_is_case_chain_no_shuffle(spark):
+    """Bucket assignment is a Catalyst CASE chain after the header
+    sniff — no join, no Exchange introduced by the bucketing itself."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import aspect_buckets
+
+    plan = _plan(aspect_buckets(generate_images(spark, 8)))
+    assert "Exchange" not in plan
+    assert "CASE WHEN" in plan
+
+
+@needs_testdata
+def test_bm25_no_corpus_window_and_takeordered(spark):
+    """Top-k must plan as TakeOrderedAndProject (no corpus-wide sort);
+    the only Window is over the k collected rows; idf/avgdl join back
+    as broadcasts."""
+    from smart_crawler_spark.operators.textops import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["spark", "window"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_line_dedup_no_cartesian_no_window(spark):
+    """Line dedup = two hash aggs + one equi-join on the line hash —
+    never a cartesian product or a corpus-wide window."""
+    from smart_crawler_spark.operators.textops import line_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(line_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # the agg path is groupBy, not window
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )

@@ -63,3 +63,39 @@ def test_lsh_recall_vs_brute(spark, emb):
     recall = hits / sum(len(v) for v in exact.values())
     # recall is the (bands, bits) dial: 8x4 gives ~0.64 here, 16x4 more
     assert recall >= 0.7, recall
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    import numpy as np
+
+    from smart_crawler_spark.operators.simsearch import pca_fit, pca_project
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    # anisotropic cloud so the component order is unambiguous
+    base = rng.normal(size=(200, 6)) * np.array([10, 5, 2, 1, 0.5, 0.1])
+    mix = rng.normal(size=(6, 6))
+    data = base @ mix
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        ["vec_id", "embedding"],
+    )
+    mean, comps, evar = pca_fit(df, n_components=3)
+    assert np.allclose(mean, data.mean(axis=0), atol=1e-9)
+    cov = np.cov(data, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    assert np.allclose(evar, w[order], rtol=1e-9)
+    # components match up to sign; the sign rule makes them exact
+    for got, want in zip(comps, v[:, order].T):
+        if want[np.argmax(np.abs(want))] < 0:
+            want = -want
+        assert np.allclose(got, want, atol=1e-9)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-12)
+    got = (
+        pca_project(df, mean, comps)
+        .orderBy("vec_id")
+        .toPandas()[["pc0", "pc1", "pc2"]]
+        .to_numpy()
+    )
+    want = (data - data.mean(axis=0)) @ comps.T
+    assert np.allclose(got, want, atol=1e-8)

@@ -153,3 +153,38 @@ def test_line_dedup_strips_boilerplate(spark):
     assert got[3]["n_lines"] == 2 and got[3]["dup_lines"] == 2
     assert got[3]["clean_text"] == ""
     assert got[3]["dup_frac"] == 1.0
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+
+    from smart_crawler_spark.operators.textops import bm25_topk
+
+    corpus = [
+        (0, "spark window merge spark spark"),
+        (1, "window window window other words here"),
+        (2, "merge alone in a much longer document of many words"),
+        (3, "nothing relevant at all"),
+        (4, "spark"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = bm25_topk(docs, ["spark", "window", "merge"], k=3).collect()
+    # reference python BM25 (same Robertson idf / k1=1.2 b=0.75)
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    def score(d):
+        s = 0.0
+        for term in ("spark", "window", "merge"):
+            tf = toks[d].count(term)
+            if not tf:
+                continue
+            df = sum(term in t for t in toks.values())
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks[d]) / avgdl))
+        return round(s, 4)
+    want = sorted(toks, key=lambda d: (-score(d), d))[:3]
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert abs(r["score"] - score(r["doc_id"])) < 1e-9
+    assert [r["rank"] for r in got] == [1, 2, 3]
