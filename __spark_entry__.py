@@ -1333,6 +1333,68 @@ def pca_project_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def charlm_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM perplexity quality score (CCNet-family filter,
+    operators/textops.py charlm_perplexity): train add-0.5-smoothed
+    trigram counts over the corpus (vocab-bounded table, broadcast
+    back), score every doc by exp(-avg logprob). The oracle replays the
+    identical normalization, counts, smoothing, and formula in SQL."""
+    from smart_crawler_spark.operators.textops import charlm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return charlm_perplexity(docs).orderBy("doc_id")
+
+
+def image_caption_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image+caption dedup over REAL bytes (operators/images.py
+    joint_dup_groups): decode -> recomputed phash, caption-hash folded
+    into the hamming-block LSH key, connected components. The corpus
+    plants a full-content duplicate (pixels+caption+bytes) every 5th
+    row; every other caption is unique, so the exact groups follow from
+    the plant rule (pairs (i-1, i) at i%5==4, all else singletons),
+    which the oracle states over range()."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import joint_dup_groups
+
+    corpus = generate_images(spark, 300, jpeg_every=10, dup_every=5)
+    return joint_dup_groups(corpus, max_hamming=6).orderBy("image_id")
+
+
+def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-passage dedup via winnowing fingerprints
+    (operators/textops.py substring_dup_pairs; Schleimer et al. SIGMOD
+    2003 selection, Lee et al. 2022 use case): every 50-char window of
+    normalized text is md5-hashed JVM-side, the min of each 8-window
+    run is kept (content-defined, so shared passages >= 57 chars are
+    guaranteed a common fingerprint), frequency-capped, self-equi-
+    joined on the fingerprint. The word-soup corpus has no long shared
+    passages, so a 71-char passage keyed by floor(doc_id/20) is planted
+    onto docs with doc_id%20 in (0,1) in SQL-expressible concat
+    arithmetic; the oracle plants identically and replays the identical
+    hash/winnow/cap/join pipeline in DuckDB list functions."""
+    from smart_crawler_spark.operators.textops import substring_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.concat(
+        F.lit("k"),
+        F.lpad(F.floor(F.col("doc_id") / 20).cast("string"), 6, "0"),
+    )
+    passage = F.concat_ws(
+        " ", tok, F.lit("alpha"), tok, F.lit("bravo"), tok,
+        F.lit("charlie"), tok, F.lit("delta"), tok, F.lit("echo"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 < 2,
+            F.concat(F.col("text"), F.lit(" "), passage),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dup_pairs(planted).orderBy("id_a", "id_b")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1683,6 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
         "pca_project": pca_project_verify,
+        "charlm_perplexity": charlm_ppl_docs,
+        "image_caption_joint_dedup": image_caption_joint_dedup,
+        "substring_dup": substring_dup_docs,
     }
 
 
@@ -2784,6 +2849,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, true AS proj_ok, true AS fit_ok
             FROM embeddings
             ORDER BY vec_id
+        """,
+        # exact replay of the char-trigram LM: identical normalization,
+        # add-0.5 smoothing over a 37-char alphabet, natural-log
+        # perplexity; ppl rounded to 4 dp on both sides (sum-order
+        # double noise ~1e-13)
+        "charlm_perplexity": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, substr(t, i, 3) AS g
+                FROM norm, unnest(generate_series(1, len(t) - 2)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            cn AS (
+                SELECT g, count(*)::DOUBLE AS cn FROM grams GROUP BY 1
+            ),
+            cc AS (
+                SELECT substr(g, 1, 2) AS ctx, sum(cn) AS cc
+                FROM cn GROUP BY 1
+            ),
+            lp AS (
+                SELECT g, ln((cn + 0.5) / (cc + 0.5 * 37)) AS lp
+                FROM cn JOIN cc ON substr(cn.g, 1, 2) = cc.ctx
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_ngrams,
+                   round(exp(-avg(lp)), 4) AS ppl
+            FROM grams JOIN lp USING (g)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        # plant-rule oracle (same family as image_exact_dedup): with
+        # dup_every=5 img(i) at i%5==4 carries img(i-1)'s full content
+        # (pixels, caption, bytes); every other caption is unique, so
+        # the joint groups are exactly those pairs. least() because the
+        # min-label runs on the STRING ids ('img10' < 'img9')
+        "image_caption_joint_dedup": """
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   CASE
+                     WHEN i % 5 = 4 THEN
+                       least('img' || (i - 1)::VARCHAR,
+                             'img' || i::VARCHAR)
+                     WHEN i % 5 = 3 AND i + 1 < 300 THEN
+                       least('img' || i::VARCHAR,
+                             'img' || (i + 1)::VARCHAR)
+                     ELSE 'img' || i::VARCHAR
+                   END AS component
+            FROM range(300) t(i)
+            ORDER BY image_id
+        """,
+        # identical plant + identical winnowing replay: 60-bit md5
+        # window hashes, min-of-8 content-defined selection, <=50-doc
+        # frequency cap, fingerprint self-join
+        "substring_dup": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 20 < 2 THEN
+                           text || ' ' || concat_ws(' ', t, 'alpha', t,
+                               'bravo', t, 'charlie', t, 'delta', t,
+                               'echo')
+                       ELSE text END AS text
+                FROM (SELECT doc_id, text,
+                             'k' || lpad((doc_id // 20)::VARCHAR, 6, '0')
+                                 AS t
+                      FROM documents)
+            ),
+            norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+                FROM planted
+            ),
+            ha AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(t) - 49),
+                           i -> ('0x' || substr(md5(substr(t, i, 50)),
+                                                1, 15))::BIGINT) AS h
+                FROM norm WHERE len(t) >= 50
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(h) >= 8 THEN
+                               list_distinct(list_transform(
+                                   generate_series(1, len(h) - 7),
+                                   j -> list_aggregate(
+                                       list_slice(h, j, j + 7), 'min')))
+                           ELSE [list_aggregate(h, 'min')] END) AS fp
+                    FROM ha)
+            ),
+            keep AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+            ),
+            f2 AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM f2 a JOIN f2 b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            ORDER BY id_a, id_b
         """,
     }
     # the star-variant components query answers the identical question

@@ -117,6 +117,29 @@ if "topk_skew" in jobs:
                          "rows_per_sec": round(N_FRONT / dt), "batch": nb,
                          "salted_sec": round(dt_s, 3)}}
 
+# --- topk_giant: the crawl_skew pick regime — budget ~ pending/8, so
+# neither the WindowGroupLimit map-side partial nor salting cuts
+# anything (per-partition hot rows << budget) and the final per-host
+# rank is the serialization suspect. Isolates the pick from the rest
+# of the engine round ------------------------------------------------
+if "topk_giant" in jobs:
+    front = spark.range(N_FRONT).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot.test")).otherwise(
+            F.concat(F.lit("site"), (F.col("id") % 997))).alias("host"),
+        F.lit("detail").alias("page_class"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    from smart_crawler_spark.frontier.queue import pick_batch
+    giant_budget = int(N_FRONT * 0.9) // 8
+    nb, dt = timed(lambda: pick_batch(front, budget_per_host=giant_budget,
+                                      salt_buckets=0))
+    out["topk_giant"] = {{"rows": N_FRONT, "sec": round(dt, 3),
+                          "rows_per_sec": round(N_FRONT / dt), "batch": nb,
+                          "budget": giant_budget}}
+
 # --- links: explode out-links + broadcast model classify + window dedup --
 if "links" in jobs:
     pages = spark.range(N_PAGES).select(

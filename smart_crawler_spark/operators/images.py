@@ -459,3 +459,96 @@ def exact_dup_groups(images: DataFrame) -> DataFrame:
     return hashed.join(groups, "img_hash").select(
         "image_id", "group_rep", "group_size"
     )
+
+
+def joint_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 6,
+    decode: bool = True,
+) -> DataFrame:
+    """Candidate+verified joint duplicate PAIRS — the single-pass stage
+    of ``joint_dup_groups`` (see there for semantics and the scale
+    rationale). Returns (id_a, id_b, hamming) with id_a < id_b; the
+    caption hash is part of the LSH bucket equi-join key (plan-pinned
+    in tests/test_plans.py)."""
+    cap_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("caption")), r"\s+", " "))
+    ).alias("cap_hash")
+    if decode:
+        feats = decode_features(images, on_unsupported="skip").filter(
+            "ok"
+        ).select("image_id", F.col("dec_phash").alias("ph"))
+        keyed = images.select("image_id", cap_hash).join(feats, "image_id")
+    else:
+        keyed = images.select(
+            "image_id", cap_hash, F.col("phash").alias("ph")
+        )
+    blocks = keyed.select(
+        "image_id",
+        "ph",
+        "cap_hash",
+        F.explode(F.array(*_hamming_blocks("ph", max_hamming))).alias("bk"),
+    ).select("image_id", "ph", "cap_hash", "bk.block", "bk.key")
+    left = blocks.select(
+        F.col("image_id").alias("id_a"), F.col("ph").alias("ph_a"),
+        "cap_hash", "block", "key",
+    )
+    right = blocks.select(
+        F.col("image_id").alias("id_b"), F.col("ph").alias("ph_b"),
+        "cap_hash", "block", "key",
+    )
+    return (
+        left.join(right, ["cap_hash", "block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def joint_dup_groups(
+    images: DataFrame,
+    max_hamming: int = 6,
+    decode: bool = True,
+) -> DataFrame:
+    """Joint image+caption near-duplicate groups — the dedup rule a
+    web-scale image+caption corpus actually needs: two rows are
+    duplicates iff their DECODED pixels near-match (phash hamming <=
+    ``max_hamming``; recomputed from bytes when ``decode``, else the
+    stored phash column) AND their captions are exactly equal after
+    text normalization. Alt-text boilerplate ("stock photo") on
+    different images and re-encoded copies of one image with rewritten
+    captions both survive; true page-mirror copies collapse.
+
+    Scale shape: the caption's md5 is FOLDED INTO the LSH bucket key —
+    candidates come from an equi-join on (hamming-block, block-key,
+    caption-hash), so a viral image (hot phash) shared under thousands
+    of captions never concentrates into one bucket, and caption
+    equality costs no separate join. Pixels stay inside the Arrow
+    decode UDF; everything after it ships (id, phash, caption-hash)
+    only. Groups come from connected components (min-label, O(log d)
+    rounds — operators/components.py).
+
+    Output: (image_id, component) with component = min image_id of the
+    duplicate group; singletons map to themselves."""
+    from smart_crawler_spark.operators.components import connected_components
+
+    if decode:
+        ids = decode_features(images, on_unsupported="skip").filter(
+            "ok"
+        ).select(F.col("image_id").alias("id"))
+    else:
+        ids = images.select(F.col("image_id").alias("id"))
+    return connected_components(
+        joint_dup_pairs(images, max_hamming=max_hamming, decode=decode),
+        nodes=ids,
+        src="id_a",
+        dst="id_b",
+        node_col="id",
+    ).select(F.col("id").alias("image_id"), F.col("comp").alias("component"))

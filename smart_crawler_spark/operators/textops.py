@@ -512,3 +512,187 @@ def bm25_topk(
             .alias("rank"),
         )
     )
+
+
+def charlm_perplexity(
+    docs: DataFrame,
+    n: int = 3,
+    alpha: float = 0.5,
+    alphabet_size: int = 37,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-n-gram LM perplexity scoring (the CCNet/Wikipedia-LM
+    quality-filter family): train an add-alpha-smoothed char n-gram LM
+    on the corpus, then score every document by the perplexity of its
+    own characters under that LM. High-perplexity docs are gibberish /
+    boilerplate / wrong-language; the score composes with
+    ``quality_score`` as a filter column.
+
+    Scale shape: n-gram extraction is a JVM ``transform`` over a
+    character-index ``sequence`` (no Python, no self-join); the trained
+    count table is VOCABULARY-bounded (<= alphabet_size**n rows, ~50k
+    for trigrams — corpus-size-independent), so both the n-gram and
+    context logprob tables join back as broadcasts; scoring is one
+    explode + two broadcast joins + a per-doc partial aggregation.
+    The only corpus-keyed shuffle is the final groupBy(id), and the
+    training groupBy's output is vocab-bounded. Docs shorter than n
+    normalized chars have no n-grams and are dropped (same rule as the
+    SQL oracle).
+
+    Output: (id, n_ngrams, ppl) with ppl rounded to 4 dp."""
+    # normalization shared with the oracle: lower, non-[a-z0-9 ] -> ' ',
+    # collapse runs, trim
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    grams = (
+        docs.select(F.col(id_col), norm.alias("t"))
+        .filter(F.length("t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - (n - 1)),
+                    lambda i: F.col("t").substr(i, F.lit(n)),
+                )
+            ).alias("g"),
+        )
+    )
+    cn = grams.groupBy("g").agg(F.count(F.lit(1)).cast("double").alias("cn"))
+    cc = (
+        cn.groupBy(F.substring("g", 1, n - 1).alias("ctx"))
+        .agg(F.sum("cn").alias("cc"))
+    )
+    logp = cn.join(
+        F.broadcast(cc), F.substring(cn["g"], 1, n - 1) == cc["ctx"]
+    ).select(
+        "g",
+        F.log(
+            (F.col("cn") + alpha) / (F.col("cc") + alpha * alphabet_size)
+        ).alias("lp"),
+    )
+    return (
+        grams.join(F.broadcast(logp), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+        )
+    )
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    width: int = 50,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed substring fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every ``width``-char window of normalized text, then
+    keep the MINIMUM hash of every ``window`` consecutive positions.
+    Selection is CONTENT-defined, so two documents sharing a passage
+    select the same fingerprints regardless of where the passage sits
+    in each doc — the winnowing guarantee: any shared substring of
+    length >= width + window - 1 yields at least one common
+    fingerprint, at ~2/(window+1) of the stride-1 fingerprint volume.
+
+    All JVM-side (transform/sequence/slice/array_min higher-order
+    functions over the normalized text — no Python, no shuffle); the
+    hash is the md5-derived 60-bit value both Spark and DuckDB compute
+    identically (the md5_hash32 family), so the oracle replays the
+    selection exactly. Production note: swap in xxhash64 for ~3x
+    cheaper hashing when SQL reproducibility isn't needed — selection
+    logic is unchanged.
+
+    Output: (id, fp) — distinct fingerprints per document."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    base = docs.select(F.col(id_col), norm.alias("t")).filter(
+        F.length("t") >= width
+    )
+    # 60-bit md5 hash of each width-char window (positive in a long;
+    # DuckDB: ('0x' || substr(md5(w), 1, 15))::BIGINT)
+    ha = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (width - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("t").substr(i, F.lit(width))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    n_win = F.size(ha)
+    winnowed = F.when(
+        n_win >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win - (window - 1)),
+                lambda j: F.array_min(F.slice(ha, j, window)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(ha)))
+    return base.select(
+        id_col, F.explode(winnowed.alias("fps")).alias("fp")
+    ).distinct()
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    width: int = 50,
+    window: int = 8,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-overlap dedup (the "Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022 family): two
+    documents are related if they share a verbatim ``width``-char
+    passage of normalized text. Completes the dedup suite's last
+    family — exact-doc, line, n-gram/minhash/simhash near-dup and
+    benchmark decontamination exist; this catches verbatim QUOTATION
+    (one long shared passage inside otherwise-different docs) that
+    whole-doc sketches dilute below threshold and line dedup misses
+    when line breaks differ.
+
+    Scale shape: fingerprints come from ``winnow_fingerprints`` (map-
+    only, content-defined selection with the winnowing detection
+    guarantee for passages >= width + window - 1), so only (id, 60-bit
+    fp) rows ever shuffle. A frequency cap drops fingerprints occurring
+    in > ``max_bucket`` docs before the self-equi-join (a window shared
+    by thousands of docs is boilerplate — line_dedup territory — and
+    would otherwise explode the pair count quadratically on one hot
+    key). The join is a plain equi-join on the fingerprint; no
+    cartesian, no window function.
+
+    Output: (id_a, id_b, n_shared) — doc pairs sharing >= 1 surviving
+    fingerprint, with the count of distinct shared fingerprints."""
+    fps = winnow_fingerprints(
+        docs, width=width, window=window, text_col=text_col, id_col=id_col
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_bucket)
+        .select("fp")
+    )
+    fps = fps.join(keep, "fp")
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

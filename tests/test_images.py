@@ -320,3 +320,54 @@ def test_exact_dedup_finds_planted_pairs(spark):
         else:
             assert r["group_size"] == 2, r
             assert r["group_rep"] == min(img_id, f"img{partner}"), r
+
+
+def test_joint_dedup_requires_both_phash_and_caption(spark):
+    """AND semantics pinned on hand-built rows (decode=False path):
+    same phash + same caption = dup; same caption alone (stock-photo
+    boilerplate) and near phash alone (recaptioned copy) are NOT."""
+    from smart_crawler_spark.operators.images import joint_dup_groups
+
+    rows = [
+        # a/b: identical phash, identical caption -> one group
+        ("a", "sunset over water", 0x1234),
+        ("b", "sunset over water", 0x1234),
+        # c/d: same boilerplate caption, far phash -> singletons
+        ("c", "stock photo", 0x0),
+        ("d", "stock photo", 0xFFFFFFFFFFFFFFFF - 1),
+        # e: phash within hamming 1 of a, different caption -> singleton
+        ("e", "a boat at dusk", 0x1235),
+        # f/g: hamming-2 phash, caption equal after normalization
+        ("f", "Red  Panda", 0x00F0),
+        ("g", "red panda", 0x00F3),
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "caption", "phash"])
+    got = {
+        r["image_id"]: r["component"]
+        for r in joint_dup_groups(df, max_hamming=6, decode=False).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "c", "d": "d", "e": "e",
+        "f": "f", "g": "f",
+    }
+
+
+def test_joint_dedup_real_decode_plant_rule(spark):
+    """decode=True on real bytes: with dup_every=5 the planted
+    full-content copies (and only they) collapse."""
+    from smart_crawler_spark.operators.images import joint_dup_groups
+
+    corpus = generate_images(spark, 40, jpeg_every=10, dup_every=5)
+    got = {
+        r["image_id"]: r["component"]
+        for r in joint_dup_groups(corpus, max_hamming=6).collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        if i % 5 == 4:
+            want = min(f"img{i-1}", f"img{i}")
+        elif i % 5 == 3:
+            want = min(f"img{i}", f"img{i+1}")
+        else:
+            want = f"img{i}"
+        assert got[f"img{i}"] == want, (i, got[f"img{i}"])

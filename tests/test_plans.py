@@ -321,3 +321,44 @@ def test_line_dedup_no_cartesian_no_window(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+@needs_testdata
+def test_charlm_broadcasts_logprob_tables(spark):
+    """The vocab-bounded trigram/context tables must come back as
+    broadcasts; no cartesian; no Python eval anywhere."""
+    from smart_crawler_spark.operators.textops import charlm_perplexity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(charlm_perplexity(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@needs_testdata
+def test_substring_dup_equi_join_on_fingerprint(spark):
+    """The self-join must be an equi-join on the 64-bit fingerprint —
+    never a cartesian — and fingerprinting itself is JVM-side."""
+    from smart_crawler_spark.operators.textops import substring_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(substring_dup_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "fp" in plan
+
+
+def test_joint_dedup_caption_hash_in_lsh_key(spark):
+    """The caption hash must be part of the candidate equi-join key
+    (hot-phash buckets split by caption), and the pair stage must never
+    go cartesian. decode=False isolates the join shape from the UDF."""
+    from smart_crawler_spark.operators.images import joint_dup_pairs
+
+    df = spark.createDataFrame(
+        [("a", "cap", 1), ("b", "cap", 2)], ["image_id", "caption", "phash"]
+    )
+    plan = _plan(joint_dup_pairs(df, max_hamming=6, decode=False))
+    assert "CartesianProduct" not in plan
+    assert "cap_hash" in plan

@@ -188,3 +188,113 @@ def test_bm25_topk_matches_reference_formula(spark):
     for r in got:
         assert abs(r["score"] - score(r["doc_id"])) < 1e-9
     assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_charlm_perplexity_matches_python_lm(spark):
+    import math
+    from collections import Counter
+
+    from smart_crawler_spark.operators.textops import charlm_perplexity
+
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the the the the the the"),
+        (2, "zq xv jk qz vx kj zq xv"),
+        (3, "a normal english sentence reads easily"),
+        (4, "ab"),  # shorter than n=3 after norm -> dropped
+        # english must DOMINATE the training mix for the ppl ordering
+        # to mean anything (as it does in a real corpus): with only one
+        # english doc, every english trigram is as rare as gibberish
+        (5, "more ordinary english text keeps the language model honest"),
+        (6, "sentences with common words train the character model well"),
+        (7, "reading and writing english is the bread and butter here"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in charlm_perplexity(docs).collect()}
+    assert 4 not in got
+
+    def norm(s):
+        out = "".join(c if c.islower() or c.isdigit() or c == " " else " "
+                      for c in s.lower())
+        return " ".join(out.split())
+
+    texts = {d: norm(t) for d, t in corpus}
+    cn = Counter(g for t in texts.values() if len(t) >= 3
+                 for g in (t[i:i+3] for i in range(len(t) - 2)))
+    cc = Counter()
+    for g, c in cn.items():
+        cc[g[:2]] += c
+    for d, t in texts.items():
+        if len(t) < 3:
+            continue
+        grams = [t[i:i+3] for i in range(len(t) - 2)]
+        lps = [math.log((cn[g] + 0.5) / (cc[g[:2]] + 0.5 * 37))
+               for g in grams]
+        want = round(math.exp(-sum(lps) / len(lps)), 4)
+        assert got[d]["n_ngrams"] == len(grams)
+        assert abs(got[d]["ppl"] - want) < 1e-9, (d, got[d]["ppl"], want)
+    # repetitive text is LOW perplexity, gibberish HIGH
+    assert got[1]["ppl"] < got[3]["ppl"] < got[2]["ppl"]
+
+
+def _py_winnow(text, width, window):
+    import hashlib
+
+    t = " ".join(
+        "".join(c if (c.islower() or c.isdigit() or c == " ") else " "
+                for c in text.lower()).split()
+    )
+    if len(t) < width:
+        return set()
+    hs = [
+        int(hashlib.md5(t[i:i + width].encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - width + 1)
+    ]
+    if len(hs) < window:
+        return {min(hs)}
+    return {min(hs[j:j + window]) for j in range(len(hs) - window + 1)}
+
+
+def test_winnow_fingerprints_match_python_replay(spark):
+    from smart_crawler_spark.operators.textops import winnow_fingerprints
+
+    texts = [
+        (0, "The quick brown fox jumps over the lazy dog near the bank."),
+        (1, "shrt"),
+        (2, "a" * 25),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = winnow_fingerprints(df, width=20, window=5).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d, t in texts:
+        want = _py_winnow(t, 20, 5)
+        assert by_doc.get(d, set()) == want, d
+
+
+def test_substring_dup_detects_offset_shifted_passage(spark):
+    """The winnowing guarantee: a shared passage >= width+window-1
+    chars is found even at different offsets in the two docs; unrelated
+    docs and passages over the frequency cap produce no pairs."""
+    from smart_crawler_spark.operators.textops import substring_dup_pairs
+
+    passage = "the verbatim quoted block of text appears in both documents"
+    boiler = "standard footer line repeated across every page of the site"
+    rows = [
+        (0, "intro words before it " + passage + " and a tail"),
+        (1, "x " + passage + " completely different ending words here"),
+        (2, "nothing in common with anybody else at all in this one"),
+        # 3-6 share only the boilerplate passage (over the cap of 3)
+        (3, "aa " + boiler), (4, "bbbb " + boiler),
+        (5, "cccccc " + boiler), (6, "dddddddd " + boiler),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_dup_pairs(
+            df, width=20, window=5, max_bucket=3
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(a == 0 and b == 1 for a, b in pairs), pairs
