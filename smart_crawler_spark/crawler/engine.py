@@ -50,7 +50,9 @@ from smart_crawler_spark.frontier.checkpoint import (
 from smart_crawler_spark.frontier.dedup import BloomConfig, SeenFilter
 from smart_crawler_spark.frontier.queue import (
     FRONTIER_ORDER,
+    RANGED_BUDGET_THRESHOLD,
     priority_rank,
+    ranged_priority_rank,
     salted_prelimit,
 )
 
@@ -556,12 +558,25 @@ class CrawlEngine:
             # that filters nothing; measured ~1.8 s/round at 17k-row
             # rounds in local mode)
             return df
-        df = salted_prelimit(df, budget, cfg.salt_buckets)
-        # rank <= budget FIRST, directly on the window output: Spark
-        # plans it as a map-side Partial WindowGroupLimit (the skew
-        # defense); any join inserted between row_number and this filter
-        # would defeat the pushdown and re-shuffle whole hot hosts
-        ranked = priority_rank(df, "host").filter(F.col("rank") <= budget)
+        if budget > RANGED_BUDGET_THRESHOLD and budget < (1 << 30):
+            # giant budget (drain-the-hot-host regime): the window
+            # path's map-side group limit cuts nothing and its final
+            # per-host sort funnels the hot host into ONE task — use
+            # the range-partitioned selection instead (identical rank,
+            # every stage parallel; frontier/queue.py)
+            ranked = ranged_priority_rank(df, "host").filter(
+                F.col("rank") <= budget
+            )
+        else:
+            df = salted_prelimit(df, budget, cfg.salt_buckets)
+            # rank <= budget FIRST, directly on the window output: Spark
+            # plans it as a map-side Partial WindowGroupLimit (the skew
+            # defense); any join inserted between row_number and this
+            # filter would defeat the pushdown and re-shuffle whole hot
+            # hosts
+            ranked = priority_rank(df, "host").filter(
+                F.col("rank") <= budget
+            )
         if self._host_delay_budgets:
             # robots Crawl-delay tightens AFTER the group-limit: the
             # budget join only sees <= budget rows per host

@@ -58,6 +58,85 @@ def priority_rank(df: DataFrame, per: str = "host") -> DataFrame:
     return df.withColumn("rank", F.row_number().over(w))
 
 
+def ranged_priority_rank(
+    df: DataFrame, per: str = "host", num_partitions: int | None = None
+) -> DataFrame:
+    """``priority_rank`` for GIANT budgets: distributed selection via
+    range partitioning instead of one window per host.
+
+    The WindowGroupLimit defense (skew note above) assumes the budget
+    cuts: each map task emits <= budget rows per host. When the budget
+    is a large fraction of a hot host's pending set (the recrawl /
+    drain-the-hot-host regime — budget ~ pending/8), nothing is cut
+    map-side and the final ``row_number`` window sorts the WHOLE hot
+    host in ONE task: the 2-core and 8-core runs pay the same
+    serialized sort, and scaling efficiency collapses (measured in
+    BENCH_SCALING.jsonl crawl_skew rows).
+
+    This path computes the identical rank with every stage parallel:
+
+    1. range-repartition on ``(per, FRONTIER_ORDER)`` — the sampler
+       draws boundaries so each partition holds a contiguous slice of
+       the per-host total order (a hot host spans MANY partitions);
+    2. count rows per ``(per, partition)`` — a map-side partial agg
+       whose output is <= #partitions rows per host — and prefix-sum
+       per host into partition-start offsets (window over <=
+       #partitions rows, never corpus-sized);
+    3. rank locally within ``(per, partition)`` and add the offset:
+       global per-host rank = offset + local rank, exactly, no matter
+       where the sampled boundaries fell (boundary placement shifts
+       rows between partitions but never reorders the composite key).
+
+    More exchanges than the plain window (range + rank-window + the
+    checkpoint write), so ONLY worth it when the single-task sort
+    dominates — ``pick_batch`` switches on ``budget_per_host`` (see
+    RANGED_BUDGET_THRESHOLD). Measured on a 24M-row 90%-hot frontier,
+    budget=pending/8: window 24.6 s @2 cores -> 21.8 s @8 (1.13x, the
+    serialized sort); ranged 49.3 -> 18.1 (2.72x, and faster outright
+    from ~6 cores up). A boundary-EXPRESSION variant (sampled string
+    boundaries, O(P) compares/row, no checkpoint) measured 4x slower
+    than the exchange at the bucketing step alone and was discarded."""
+    P = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    # eager checkpoint PINS the partition ids: the count branch and the
+    # rank branch below both consume `_pid`, and without materialization
+    # each would recompute the range exchange with freshly sampled
+    # boundaries (the sampler reseeds per RDD instantiation), assigning
+    # the same row DIFFERENT pids in the two branches — measured as
+    # overlapping rank blocks. One materialization also replaces three
+    # recomputations of the exchange.
+    ranged = (
+        df.repartitionByRange(P, F.col(per), *FRONTIER_ORDER())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt = ranged.groupBy(per, "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.partitionBy(per).orderBy("_pid")
+    off = cnt.select(
+        per,
+        "_pid",
+        (F.sum("_c").over(woff) - F.col("_c")).alias("_off"),
+    )
+    wloc = Window.partitionBy(per, "_pid").orderBy(*FRONTIER_ORDER())
+    return (
+        ranged.join(off, [per, "_pid"])
+        .withColumn(
+            "rank", (F.row_number().over(wloc) + F.col("_off")).cast("int")
+        )
+        .drop("_pid", "_off")
+    )
+
+
+# budgets above this use ranged_priority_rank: a WindowGroupLimit pick
+# at budget B can funnel min(pending_host, B x n_map_tasks) rows into
+# one sort task, so once B is large the window path stops cutting and
+# stops scaling; below it, the single-shuffle window path wins (2.7x
+# over two-phase at B=100 — see the skew note above)
+RANGED_BUDGET_THRESHOLD = 50_000
+
+
 def salted_prelimit(df: DataFrame, budget: int, salt_buckets: int) -> DataFrame:
     """Phase 1 of the skew-safe two-phase top-K: rank within
     (host, salt) and keep rank <= budget, bounding any hot host's input
@@ -90,12 +169,19 @@ def pick_batch(
     the same total order, host-insensitive, matching the reference's
     global ``pages`` cap.
     """
-    df = salted_prelimit(frontier, budget_per_host, salt_buckets)
-    batch = (
-        priority_rank(df, "host")
-        .filter(F.col("rank") <= budget_per_host)
-        .drop("rank")
-    )
+    if budget_per_host > RANGED_BUDGET_THRESHOLD and budget_per_host < (
+        1 << 30
+    ):
+        # giant budget: the window path's map-side group limit cuts
+        # nothing and its final per-host sort serializes — use the
+        # range-partitioned selection (identical output, every stage
+        # parallel); salting is pointless in this regime (it also cuts
+        # nothing when budget >= pending/salt_buckets)
+        ranked = ranged_priority_rank(frontier, "host")
+    else:
+        df = salted_prelimit(frontier, budget_per_host, salt_buckets)
+        ranked = priority_rank(df, "host")
+    batch = ranked.filter(F.col("rank") <= budget_per_host).drop("rank")
     if global_limit is not None:
         # orderBy().limit() plans as TakeOrderedAndProject: each task
         # keeps a bounded top-K heap and the driver merges K rows — an

@@ -224,3 +224,35 @@ def test_page_budget_counts_dispatches(spark, tmp_path):
     # ...and with failures in range, successes land strictly under it
     n_ok = sum(1 for g in got if g[3])
     assert 0 < n_ok < cap
+
+
+def test_batch_mode_ranged_pick_same_seen_and_records(spark, site, tmp_path, monkeypatch):
+    """The giant-budget ranged pick (frontier/queue.py
+    ranged_priority_rank) must leave the crawl oracle-exact: force the
+    engine onto that path by dropping the threshold below the budget."""
+    import smart_crawler_spark.crawler.engine as engmod
+
+    monkeypatch.setattr(engmod, "RANGED_BUDGET_THRESHOLD", 1)
+    model, pages, seeds, oracle = site
+    res = _engine_results(
+        spark, site, tmp_path / "ranged",
+        EngineConfig(budget_per_host=3, salt_buckets=0),
+    )
+    oracle_keys = sorted({k for o in oracle.values() for k in o.seen})
+    oracle_hashes = {
+        r["h"]
+        for r in spark.createDataFrame([(k,) for k in oracle_keys], "k string")
+        .select(F.xxhash64("k").alias("h"))
+        .collect()
+    }
+    assert {r["url_hash"] for r in res.seen.collect()} == oracle_hashes
+    want = {
+        (rec["url"], rec["page_class"], tuple(rec["fields"]))
+        for o in oracle.values()
+        for rec in o.records
+    }
+    got = {
+        (r["url"], r["page_class"], tuple(r["fields"]))
+        for r in res.records.collect()
+    }
+    assert got == want

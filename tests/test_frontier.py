@@ -238,3 +238,57 @@ def test_broadcast_probe_missing_bitmap_is_safe(spark):
     )
     got = {r["cand_id"] for r in sf.filter_new(cand).collect()}
     assert got == set(range(20_000, 30_000))
+
+
+def test_ranged_rank_matches_window_rank(spark):
+    """ranged_priority_rank (the giant-budget distributed selection)
+    must assign the IDENTICAL per-host rank as the window path on a
+    skewed multi-host frontier with form-param rows, including nulls-
+    first ordering and cross-partition offset arithmetic."""
+    import random
+
+    from smart_crawler_spark.frontier.queue import ranged_priority_rank
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        host = "hot.test" if rng.random() < 0.9 else f"cold{rng.randint(0, 5)}"
+        depth = rng.randint(0, 2)
+        fp = None if rng.random() < 0.5 else f"k={rng.randint(0, 3)}"
+        rows.append(
+            (f"http://{host}/p{rng.randint(0, 10**6):07d}-{i}", host,
+             "detail", depth, f"class{depth}", fp)
+        )
+    df = _frontier(spark, rows).repartition(13).localCheckpoint()
+    key = ["url", "host", "form_params"]
+    want = {tuple(r[k] for k in key): r["rank"]
+            for r in priority_rank(df).collect()}
+    got = {tuple(r[k] for k in key): r["rank"]
+           for r in ranged_priority_rank(df, num_partitions=8).collect()}
+    assert got == want
+
+
+def test_pick_batch_giant_budget_matches_window_path(spark):
+    """Above RANGED_BUDGET_THRESHOLD pick_batch switches to the ranged
+    path; the selected batch must be identical to the window path's."""
+    from smart_crawler_spark.frontier import queue as qmod
+
+    rows = [
+        (f"http://hot.test/p{i:05d}", "hot.test", "detail", 2, "detail", None)
+        for i in range(500)
+    ] + [
+        (f"http://cold{i % 3}/x{i:03d}", f"cold{i % 3}", "home", 0, "home",
+         None)
+        for i in range(90)
+    ]
+    df = _frontier(spark, rows).localCheckpoint()
+    plain = pick_batch(df, budget_per_host=40)
+    old = qmod.RANGED_BUDGET_THRESHOLD
+    qmod.RANGED_BUDGET_THRESHOLD = 10  # force the giant-budget path
+    try:
+        ranged = pick_batch(df, budget_per_host=40)
+    finally:
+        qmod.RANGED_BUDGET_THRESHOLD = old
+    assert sorted(r["url"] for r in plain.collect()) == sorted(
+        r["url"] for r in ranged.collect()
+    )
