@@ -309,6 +309,13 @@ class CrawlEngine:
         # candidate-volume proxy). Two ints — never per-host state.
         seen_est = seen_filter.seen.count() if auto_bloom else 0
         last_new: int | None = None
+        # driver-side frontier-size estimate (one int, updated from the
+        # per-round counts the metrics already collect): gates the
+        # giant-budget ranged pick — a big budget over a SMALL frontier
+        # (warm-up rounds) must not pay the ranged path's extra
+        # exchanges. One count job at start; exact thereafter
+        # (frontier' = frontier - batch + new [+ re-enqueued expired]).
+        self._frontier_est = frontier.count()
 
         capped = cfg.max_pages_total < (1 << 30)
         total_attempted = 0
@@ -505,6 +512,7 @@ class CrawlEngine:
                     seen_filter.materialize()
                 rc_pool = rc_pool.localCheckpoint(eager=True)
 
+            self._frontier_est += n_new - n_batch + n_expired
             if capped:
                 total_attempted += n_batch
             # phase split for scaling attribution: fetch = pick+fetch
@@ -558,7 +566,11 @@ class CrawlEngine:
             # that filters nothing; measured ~1.8 s/round at 17k-row
             # rounds in local mode)
             return df
-        if budget > RANGED_BUDGET_THRESHOLD and budget < (1 << 30):
+        if (
+            budget > RANGED_BUDGET_THRESHOLD
+            and budget < (1 << 30)
+            and getattr(self, "_frontier_est", 0) > RANGED_BUDGET_THRESHOLD
+        ):
             # giant budget (drain-the-hot-host regime): the window
             # path's map-side group limit cuts nothing and its final
             # per-host sort funnels the hot host into ONE task — use
