@@ -1374,7 +1374,13 @@ def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash/winnow/cap/join pipeline in DuckDB list functions."""
     from smart_crawler_spark.operators.textops import substring_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    # deterministic gate-scale cap (same pattern as minhash/simhash):
+    # the DuckDB replay is O(docs x windows) single-threaded list work
+    # (~20 min at 5000 sf0.1 docs), so the ORACLED subset is bounded at
+    # ~1000 docs at any sf; the operator itself is uncapped
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 100000) < 1000
+    )
     tok = F.concat(
         F.lit("k"),
         F.lpad(F.floor(F.col("doc_id") / 20).cast("string"), 6, "0"),
@@ -2917,7 +2923,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, text,
                              'k' || lpad((doc_id // 20)::VARCHAR, 6, '0')
                                  AS t
-                      FROM documents)
+                      FROM documents
+                      WHERE doc_id % 100000 < 1000)
             ),
             norm AS (
                 SELECT doc_id,
