@@ -1401,6 +1401,24 @@ def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(planted).orderBy("id_a", "id_b")
 
 
+def shard_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard layout (operators/images.py shard_pack — the
+    webdataset/tar-shard writing stage): assets stream in the
+    deterministic (md5-bucket, id) order and each lands in the shard
+    containing its START offset (atomic assets, bounded overflow; the
+    two-phase distributed prefix sum shared with sequence_pack). Sized
+    here by the documents' byte lengths so DuckDB replays the identical
+    layout with one flat window cumsum (strlen = bytes)."""
+    from smart_crawler_spark.operators.images import shard_pack
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "asset_bytes", F.octet_length("text").cast("long")
+    )
+    return shard_pack(
+        docs, shard_bytes=65536, id_col="doc_id", size_col="asset_bytes"
+    ).orderBy("doc_id")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1752,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_docs,
         "pca_project": pca_project_verify,
         "charlm_perplexity": charlm_ppl_docs,
+        "shard_pack": shard_pack_docs,
         "image_caption_joint_dedup": image_caption_joint_dedup,
         "substring_dup": substring_dup_docs,
     }
@@ -2504,6 +2523,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strt % 512 AS BIGINT) AS seq_offset,
                    floor((strt + greatest(n_tokens, 1) - 1) / 512.0)
                        > floor(strt / 512.0) AS straddles
+            FROM s
+            ORDER BY doc_id
+        """,
+        # identical layout replay: same md5 bucketing, same
+        # (bucket, id) stream order, one flat window cumsum; strlen =
+        # VARCHAR byte length in DuckDB (octet_length is BLOB-only)
+        "shard_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(strlen(text) AS BIGINT) AS n_bytes,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 64 AS bucket
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_bytes,
+                       CAST(COALESCE(SUM(n_bytes) OVER (
+                           ORDER BY bucket, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS strt
+                FROM t
+            )
+            SELECT doc_id, n_bytes,
+                   CAST(floor(strt / 65536.0) AS BIGINT) AS shard_id,
+                   CAST(strt % 65536 AS BIGINT) AS shard_offset,
+                   floor((strt + greatest(n_bytes, 1) - 1) / 65536.0)
+                       > floor(strt / 65536.0) AS overflows
             FROM s
             ORDER BY doc_id
         """,

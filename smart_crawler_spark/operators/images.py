@@ -552,3 +552,71 @@ def joint_dup_groups(
         dst="id_b",
         node_col="id",
     ).select(F.col("id").alias("image_id"), F.col("comp").alias("component"))
+
+
+def shard_pack(
+    assets: DataFrame,
+    shard_bytes: int,
+    n_buckets: int = 64,
+    id_col: str = "image_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Byte-budget shard layout for a multimodal corpus (the
+    webdataset/tar-shard writing stage): lay the assets out as ONE
+    deterministic byte stream — ordered by (md5-bucket, id), the same
+    engine-reproducible layout as ``sequence_pack`` — and assign each
+    asset to the shard containing its START offset. Atomic assets are
+    never split, so a shard can overflow by at most one asset (the
+    standard streaming-writer rule: exact first-fit with per-shard
+    reset is a sequential recurrence — each boundary depends on the
+    previous — and cannot be parallelized without changing the layout;
+    start-offset assignment is a pure prefix sum and bounds shard size
+    by ``shard_bytes + max_asset - 1``).
+
+    The prefix sum is the two-phase shape shared with
+    ``textops.sequence_pack``: per-md5-bucket window cumsum (parallel)
+    + an ``n_buckets``-row broadcast offset table (the only serial
+    step). ``size_col`` defaults to ``octet_length(bytes)``.
+
+    Output: (id, n_bytes, shard_id, shard_offset, overflows) —
+    ``overflows`` marks the at-most-one asset per shard whose tail
+    crosses the budget."""
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    size = (
+        F.col(size_col) if size_col else F.octet_length(F.col("bytes"))
+    ).cast("long")
+    bucket = md5_hash32(id_col) % n_buckets
+    base = assets.select(
+        F.col(id_col), bucket.alias("bucket"), size.alias("n_bytes")
+    )
+    from pyspark.sql import Window
+
+    in_bucket = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = base.withColumn(
+        "_pre", F.coalesce(F.sum("n_bytes").over(in_bucket), F.lit(0))
+    )
+    across = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_bytes").alias("_bb"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("_bb").over(across), F.lit(0)).alias("_boff"),
+        )
+    )
+    start = F.col("_boff") + F.col("_pre")
+    end = start + F.greatest(F.col("n_bytes"), F.lit(1)) - 1
+    return within.join(F.broadcast(offsets), "bucket").select(
+        F.col(id_col),
+        F.col("n_bytes"),
+        F.floor(start / shard_bytes).alias("shard_id"),
+        (start % shard_bytes).alias("shard_offset"),
+        (F.floor(end / shard_bytes) > F.floor(start / shard_bytes)).alias(
+            "overflows"
+        ),
+    )

@@ -371,3 +371,48 @@ def test_joint_dedup_real_decode_plant_rule(spark):
         else:
             want = f"img{i}"
         assert got[f"img{i}"] == want, (i, got[f"img{i}"])
+
+
+def test_shard_pack_layout_invariants_on_real_bytes(spark):
+    """Pack REAL mixed PNG/JPEG payloads: the layout must equal the
+    driver-side replay of the same (md5-bucket, id) stream, assets are
+    atomic (offset+size contiguous in stream order), and each shard
+    holds at most one overflowing asset with total size < budget +
+    max_asset."""
+    import hashlib
+
+    from smart_crawler_spark.operators.images import shard_pack
+
+    corpus = generate_images(spark, 60, jpeg_every=3)
+    budget = 4096
+    got = {r["image_id"]: r for r in shard_pack(corpus, budget).collect()}
+    sizes = {
+        r["image_id"]: len(r["bytes"])
+        for r in corpus.select("image_id", "bytes").collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 64
+
+    order = sorted(sizes, key=lambda i: (bucket(i), i))
+    cum = 0
+    per_shard_overflows = {}
+    for iid in order:
+        r = got[iid]
+        assert r["n_bytes"] == sizes[iid]
+        assert r["shard_id"] == cum // budget, iid
+        assert r["shard_offset"] == cum % budget, iid
+        want_ovf = (cum + sizes[iid] - 1) // budget > cum // budget
+        assert r["overflows"] == want_ovf, iid
+        if want_ovf:
+            per_shard_overflows[r["shard_id"]] = (
+                per_shard_overflows.get(r["shard_id"], 0) + 1
+            )
+        cum += sizes[iid]
+    assert all(v == 1 for v in per_shard_overflows.values())
+    # shard size bound: budget + max asset - 1
+    by_shard = {}
+    for iid in order:
+        by_shard.setdefault(got[iid]["shard_id"], 0)
+        by_shard[got[iid]["shard_id"]] += sizes[iid]
+    assert max(by_shard.values()) < budget + max(sizes.values())
