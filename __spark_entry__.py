@@ -1419,6 +1419,152 @@ def shard_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dsir_weight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (operators/textops.py
+    dsir_weights; Xie et al. 2023): hashed bag-of-words models for the
+    target slice (lang='en' — the trusted-distribution stand-in) and the
+    raw corpus, per-doc logw = sum of bucket log-ratios. Both model
+    tables are bucket-bounded (4096 rows) broadcast joins; the oracle
+    replays the md5 bucket hash, add-0.5 smoothing, and the sum in SQL."""
+    from smart_crawler_spark.operators.textops import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en").orderBy("doc_id")
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/simsearch.py
+    semantic_dedup; Abbas et al. 2023): k-means cells confine the
+    quadratic step, n_probe=2 multi-probe assignment keeps boundary
+    pairs, exact cosine verifies, keep-lowest-id decides. Corpus =
+    embeddings + planted near-dups (w_i = v_i + 0.18*v_{i+1}, cos~0.98)
+    so every planted row must be dropped with dup_of = its source; the
+    oracle is the brute-force pair rule in SQL (exact verification makes
+    the outputs equal wherever cell recall holds — gate-checked).
+    Deterministic gate-scale cap (vec_id%100000 < 1000) bounds the
+    DuckDB all-pairs replay at larger sf, same pattern as minhash."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .filter((F.col("vec_id") % 100000) < 1000)
+    )
+    planted = _planted_query_vecs(spark, sf_dir, n=None).filter(
+        (F.col("vec_id") % 100000) < 1000
+    )
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
+    centroids = simsearch.ivf_centroids_kmeans(emb, n_cells=16)
+    return simsearch.semantic_dedup(
+        corpus, threshold=0.95, n_probe=2, centroids=centroids
+    ).orderBy("vec_id")
+
+
+def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION a training pipeline consumes:
+    MinHash-LSH pairs -> connected components -> keep = (component ==
+    doc_id) survivor flag + group_size stats. Composes the oracle-green
+    stages (minhash_near_dup, near_dup_components) into the survivor
+    set; the oracle extends the recursive-CTE component walk with the
+    same keep/size rule."""
+    docs = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 1000
+    )
+    pairs = minhash.minhash_near_dup_pairs(
+        docs, threshold=0.8, num_perm=64, bands=16
+    )
+    groups = dedup_groups(pairs, docs)
+    sizes = groups.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        groups.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("component") == F.col("doc_id")).alias("keep"),
+            "group_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ccnet_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the
+    char-trigram LM (charlm_perplexity, oracle-green) and split the
+    corpus at the exact 1/3 and 2/3 perplexity percentiles into
+    head/middle/tail quality tiers (low perplexity = head). Thresholds
+    come from F.percentile over the ROUNDED ppl column (2-row broadcast
+    back), so the DuckDB oracle replays them with quantile_cont on the
+    identical values — both linear-interpolation percentiles."""
+    from smart_crawler_spark.operators.textops import charlm_perplexity
+
+    ppl = charlm_perplexity(_t(spark, sf_dir, "documents"))
+    cuts = ppl.agg(
+        F.round(F.percentile("ppl", F.lit(1 / 3)), 4).alias("t1"),
+        F.round(F.percentile("ppl", F.lit(2 / 3)), 4).alias("t2"),
+    )
+    return (
+        ppl.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "ppl",
+            F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def image_resize_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize end-to-end (operators/images.py resize_images):
+    decode every payload (PNG exact / JPEG lossy), nearest-neighbor
+    resize to 16x12, re-encode as PNG — then verify each resized
+    payload against the SAME nearest-neighbor sample of the generator's
+    reference pixels (exact equality for PNG sources; PSNR >= 40 dB for
+    JPEG sources, whose decode error rides through the resample).
+    Generation-rule oracle: every row must verify (true AS ok)."""
+    from smart_crawler_spark.datagen.images import (
+        generate_images,
+        image_pixels,
+    )
+    from smart_crawler_spark.functions.png import decode_png, psnr
+    from smart_crawler_spark.operators.images import resize_images
+
+    out_w, out_h = 16, 12
+    corpus = generate_images(spark, 300, jpeg_every=10)
+    resized = resize_images(corpus, out_w, out_h)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                idx = int(str(img_id).removeprefix("img"))
+                # original dims from the generation rule
+                # (datagen/images.py image_row)
+                w0, h0 = 32 + (idx % 4) * 16, 24 + (idx % 3) * 16
+                ref = image_pixels(idx, w0, h0)
+                yi = (np.arange(out_h) * h0 // out_h).astype(int)
+                xi = (np.arange(out_w) * w0 // out_w).astype(int)
+                expect = ref[yi][:, xi]
+                got = decode_png(bytes(data))
+                ok = bool(np.array_equal(expect, got)) or (
+                    psnr(expect, got) >= 40.0
+                )
+                rows.append({"image_id": img_id, "ok": ok})
+            yield pd.DataFrame(rows, columns=["image_id", "ok"])
+
+    return resized.mapInPandas(gen, "image_id string, ok boolean").orderBy(
+        "image_id"
+    )
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1773,6 +1919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": shard_pack_docs,
         "image_caption_joint_dedup": image_caption_joint_dedup,
         "substring_dup": substring_dup_docs,
+        "dsir_weight": dsir_weight_docs,
+        "semantic_dedup": semantic_dedup_q,
+        "dedup_keep": dedup_keep_docs,
+        "ccnet_bucket": ccnet_bucket_docs,
+        "image_resize_verify": image_resize_verify,
     }
 
 
@@ -3006,7 +3157,165 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY id_a, id_b
         """,
+        # identical md5 feature-bucket hash, add-0.5 smoothing over 4096
+        # buckets, per-doc sum of bucket log-ratios (sum-order double
+        # noise absorbed by round(4), same as charlm)
+        "dsir_weight": """
+            WITH toks AS (
+                SELECT doc_id, lang = 'en' AS tgt,
+                       unnest(list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, tgt,
+                       ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS bkt
+                FROM toks
+            ),
+            raw_c AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
+            tgt_c AS (SELECT bkt, count(*) AS ct FROM b WHERE tgt GROUP BY 1),
+            tot AS (
+                SELECT count(*) AS tr,
+                       sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt
+                FROM b
+            ),
+            lr AS (
+                SELECT r.bkt,
+                       ln((coalesce(t.ct, 0) + 0.5) / (tot.tt + 0.5 * 4096))
+                       - ln((r.cr + 0.5) / (tot.tr + 0.5 * 4096)) AS lr
+                FROM raw_c r LEFT JOIN tgt_c t USING (bkt) CROSS JOIN tot
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(sum(lr), 4) AS logw
+            FROM b JOIN lr USING (bkt)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # brute-force pair rule over the identical (capped) corpus:
+        # keep = no lower-id neighbor with cos >= 0.95; dup_of = the
+        # smallest such neighbor. Exact cosine verification in the
+        # operator makes its output equal this rule wherever cell
+        # recall holds — which the gate checks.
+        "semantic_dedup": f"""
+            WITH flat AS ({cos_flat}),
+            fl AS (SELECT * FROM flat WHERE vec_id % 100000 < 1000),
+            pl AS (
+                SELECT a.vec_id + 100000 AS vec_id, a.i, a.v + 0.18 * b.v AS v
+                FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+                WHERE (a.vec_id + 100000) % 100000 < 1000
+            ),
+            allf AS (SELECT * FROM fl UNION ALL SELECT * FROM pl),
+            dots AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       sum(a.v * b.v)
+                         / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS sim
+                FROM allf a JOIN allf b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            ),
+            dup AS (
+                SELECT id_b AS vec_id, min(id_a) AS dup_of
+                FROM dots WHERE sim >= 0.95 GROUP BY 1
+            ),
+            ids AS (SELECT DISTINCT vec_id FROM allf)
+            SELECT ids.vec_id, dup.dup_of IS NULL AS keep, dup.dup_of
+            FROM ids LEFT JOIN dup USING (vec_id)
+            ORDER BY ids.vec_id
+        """,
+        # ccnet buckets: the charlm oracle's ppl CTEs + quantile_cont
+        # thresholds (rounded to 4 dp on both sides) + the same
+        # right-closed head/middle/tail CASE
+        "ccnet_bucket": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, substr(t, i, 3) AS g
+                FROM norm, unnest(generate_series(1, len(t) - 2)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            cn AS (
+                SELECT g, count(*)::DOUBLE AS cn FROM grams GROUP BY 1
+            ),
+            cc AS (
+                SELECT substr(g, 1, 2) AS ctx, sum(cn) AS cc
+                FROM cn GROUP BY 1
+            ),
+            lp AS (
+                SELECT g, ln((cn + 0.5) / (cc + 0.5 * 37)) AS lp
+                FROM cn JOIN cc ON substr(cn.g, 1, 2) = cc.ctx
+            ),
+            ppl AS (
+                SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
+                FROM grams JOIN lp USING (g) GROUP BY doc_id
+            ),
+            cuts AS (
+                SELECT round(quantile_cont(ppl, 0.3333333333333333), 4) AS t1,
+                       round(quantile_cont(ppl, 0.6666666666666666), 4) AS t2
+                FROM ppl
+            )
+            SELECT doc_id, ppl,
+                   CASE WHEN ppl <= t1 THEN 'head'
+                        WHEN ppl <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppl CROSS JOIN cuts
+            ORDER BY doc_id
+        """,
+        "image_resize_verify": """
+            SELECT 'img' || i::VARCHAR AS image_id, true AS ok
+            FROM range(300) t(i)
+            ORDER BY image_id
+        """,
     }
+    # the survivor-set query extends the component walk with keep +
+    # group_size: same recursive-CTE edge set, plus the size aggregate
+    out["dedup_keep"] = f"""
+        WITH RECURSIVE ws AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM ({doubled})
+            WHERE doc_id % 100000 < 1000
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                        ELSE list_distinct(list_transform(
+                             generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                   END AS s
+            FROM ws
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             AND len(a.s) * 5 >= len(b.s) * 4
+             AND len(b.s) * 5 >= len(a.s) * 4
+            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM ws
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        ),
+        comp AS (
+            SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+        ),
+        sz AS (
+            SELECT component, count(*)::BIGINT AS group_size
+            FROM comp GROUP BY 1
+        )
+        SELECT comp.doc_id, comp.component,
+               comp.component = comp.doc_id AS keep, sz.group_size
+        FROM comp JOIN sz USING (component)
+        ORDER BY comp.doc_id
+    """
     # the star-variant components query answers the identical question
     # (same pair graph, same min-label contract) via a different
     # algorithm — one oracle text, two engine implementations under it

@@ -373,6 +373,69 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-family semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the deterministic
+    k-means coarse quantizer, generate candidate pairs ONLY within
+    clusters, verify each candidate with exact cosine, and drop every
+    vector that has a >= ``threshold`` neighbor with a smaller id (the
+    deterministic keep-lowest rule; greedy by id, so a kept vector may
+    itself have kept near-dups only below threshold).
+
+    Scale shape: the quadratic step is confined to cells (the SemDeDup
+    trick — within-cluster pairs, never corpus all-pairs), the cell
+    self-join ships IDS ONLY (vectors re-join once per side for the
+    exact verify), and each vector enters its ``n_probe`` nearest cells
+    so a pair straddling a Voronoi boundary still shares a candidate
+    cell (multi-probe; at near-dup cosines the two members' top-probe
+    cell sets coincide with overwhelming probability — the oracle gate
+    verifies the output equals the brute-force pair rule exactly at
+    test scale). At 100 TB the corpus is written bucketed by cell so
+    the self-join co-locates without an extra shuffle.
+
+    Output: (id, keep, dup_of) — ``dup_of`` = smallest lower-id
+    >= threshold neighbor (null for kept rows)."""
+    if centroids is None:
+        centroids = ivf_centroids_kmeans(corpus, n_cells, id_col, vec_col)
+    assign = _ivf_cell_udf(centroids, n_probe)
+    banded = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.explode(assign(F.col(vec_col))).alias("cell"),
+    )
+    pairs = (
+        banded.select(F.col("vid").alias("id_a"), "cell")
+        .join(banded.select(F.col("vid").alias("id_b"), "cell"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dup_of = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return corpus.select(F.col(id_col)).join(
+        dup_of, F.col(id_col) == F.col("id_b"), "left"
+    ).select(
+        id_col,
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

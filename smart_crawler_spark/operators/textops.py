@@ -585,6 +585,75 @@ def charlm_perplexity(
         )
     )
 
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by ``log p_target(doc) - log p_raw(doc)`` under two
+    hashed bag-of-words models — the target model fit on the rows where
+    ``is_target`` holds (e.g. a trusted high-quality slice), the raw
+    model on the whole corpus. Sampling raw documents proportionally to
+    ``exp(logw)`` shifts the corpus toward the target distribution; the
+    weight column composes with ``stratified_sample``'s md5-threshold
+    draw for the actual resample.
+
+    Scale shape: tokens hash to ``n_buckets`` md5-derived feature
+    buckets, so BOTH model tables are bucket-bounded (<= n_buckets rows,
+    corpus-size-independent) map-side-partial aggregations; the
+    log-ratio table and the 1-row totals join back as broadcasts, and
+    the only corpus-keyed shuffle is the final per-document sum. The
+    md5 bucket hash (``md5_hash32``) keeps the features
+    SQL-reproducible for the DuckDB oracle; swap xxhash64 in production
+    when reproducibility isn't needed.
+
+    Output: (id, n_tokens, logw) — add-``alpha`` smoothed, logw rounded
+    to 4 dp; documents with zero tokens are dropped (no features)."""
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(_word_list(text_col)).alias("w"),
+    ).select(
+        id_col, "_tgt", (md5_hash32(F.col("w")) % n_buckets).alias("bkt")
+    )
+    raw_c = toks.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = (
+        toks.filter("_tgt").groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum(F.col("_tgt").cast("long")).alias("tt"),
+    )
+    denom = alpha * n_buckets
+    lr = (
+        raw_c.join(tgt_c, "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + alpha)
+                    / (F.col("tt") + denom)
+                )
+                - F.log((F.col("cr") + alpha) / (F.col("tr") + denom))
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("logw"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     width: int = 50,

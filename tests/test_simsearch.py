@@ -99,3 +99,54 @@ def test_pca_fit_project_matches_numpy(spark):
     )
     want = (data - data.mean(axis=0)) @ comps.T
     assert np.allclose(got, want, atol=1e-8)
+
+
+def test_semantic_dedup_greedy_keep_rule(spark):
+    """SemDeDup keep semantics: drop exactly the vectors with a lower-id
+    >= threshold neighbor (greedy by id): in a chain a~b~c with
+    cos(a,c) < t, BOTH b and c are dropped (b dups a, c dups b), and a
+    boundary-straddling pair is still caught via n_probe=2 multi-probe."""
+    import math
+
+    import numpy as np
+
+    def rot(theta):  # unit vector at angle theta in the (x,y) plane
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    t15 = math.radians(15)  # cos 15deg ~ 0.966 >= 0.95; cos 30 ~ 0.866 < t
+    rows = [
+        (0, rot(0.0)),
+        (1, rot(t15)),
+        (2, rot(2 * t15)),
+        (3, [0.0, 0.0, 0.0, 1.0]),          # isolated
+        (4, [0.0, 0.70, 0.714, 0.0]),       # near the y/z cell boundary
+        (5, [0.0, 0.714, 0.70, 0.0]),       # its cross-boundary near-dup
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array(
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    )
+    got = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in simsearch.semantic_dedup(
+            df, threshold=0.95, n_probe=2, centroids=cents
+        ).collect()
+    }
+    # brute-force expectation
+    vecs = {i: np.asarray(v) for i, v in rows}
+    for i in vecs:
+        lower = [
+            j for j in vecs
+            if j < i
+            and float(
+                vecs[i] @ vecs[j]
+                / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+            ) >= 0.95
+        ]
+        want = (True, None) if not lower else (False, min(lower))
+        assert got[i] == want, (i, got[i], want)
+    assert got[1] == (False, 0) and got[2] == (False, 1)  # the chain
+    assert got[4][0] is True and got[5] == (False, 4)  # boundary pair

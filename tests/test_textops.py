@@ -298,3 +298,59 @@ def test_substring_dup_detects_offset_shifted_passage(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1
     assert all(a == 0 and b == 1 for a, b in pairs), pairs
+
+
+def test_dsir_weights_match_python_model(spark):
+    """Exact replay of the hashed two-LM importance weight: md5 feature
+    buckets, add-alpha smoothing, per-doc log-ratio sum — and the
+    directional property (target-like docs score higher than raw-only
+    docs)."""
+    import hashlib
+    import math
+    import re
+
+    from smart_crawler_spark.operators.textops import dsir_weights
+
+    rows = [
+        (0, "alpha beta alpha gamma", True),
+        (1, "alpha beta beta", True),
+        (2, "gamma delta epsilon zeta", False),
+        (3, "alpha beta alpha beta", False),  # target-like raw doc
+        (4, "delta zeta zeta epsilon", False),
+        (5, "!!!", False),  # zero tokens -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    n_buckets, alpha = 64, 0.5
+
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+
+    toks = [
+        (d, t, bkt(w))
+        for d, text, t in rows
+        for w in re.split(r"[^a-z0-9]+", text.lower())
+        if w
+    ]
+    tr, tt = len(toks), sum(1 for _, t, _ in toks if t)
+    cr, ct = {}, {}
+    for _, t, b in toks:
+        cr[b] = cr.get(b, 0) + 1
+        if t:
+            ct[b] = ct.get(b, 0) + 1
+    want = {}
+    for d, _, b in toks:
+        lr = math.log((ct.get(b, 0) + alpha) / (tt + alpha * n_buckets)) - \
+            math.log((cr[b] + alpha) / (tr + alpha * n_buckets))
+        want[d] = want.get(d, 0.0) + lr
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, F.col("tgt"), n_buckets=n_buckets, alpha=alpha
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d, w in want.items():
+        assert got[d]["logw"] == round(w, 4), d
+    # target-vocabulary doc outranks raw-only doc even though neither
+    # is in the target slice
+    assert got[3]["logw"] > got[4]["logw"]
