@@ -1565,6 +1565,38 @@ def image_resize_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters (operators/textops.py heavy_hitters_topk):
+    per-partition Misra-Gries summaries bound memory at ``capacity``
+    counters per task (the vocabulary never has to fit anywhere), then
+    ONLY the candidates are re-counted exactly and top-k'd — so the
+    output is the exact top-20, which the oracle states as a plain
+    GROUP BY. This corpus' vocabulary (31 words) sits far under the
+    4096-counter capacity, so pass 1 is lossless here; the
+    eviction/merge path is pinned by the Zipf unit test
+    (tests/test_textops.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.heavy_hitters_topk(docs, k=20, capacity=4096).orderBy(
+        "rank"
+    )
+
+
+def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Gopher-style quality filter chain (operators/textops.py
+    quality_gate): language-ID + heuristic quality + duplicate-trigram
+    fraction + word-count bounds fused into ONE map-only projection and
+    a keep decision — the composition a production corpus scrub runs,
+    with thresholds (quality >= 0.75, >= 20 words) that split this
+    corpus non-trivially. The oracle fuses the language_id /
+    quality_score / repetition_stats SQL and the same CASE."""
+    from smart_crawler_spark.operators.textops import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_gate(
+        docs, min_quality=0.75, max_dup_trigram=0.2, min_words=20
+    ).orderBy("doc_id")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1924,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": dedup_keep_docs,
         "ccnet_bucket": ccnet_bucket_docs,
         "image_resize_verify": image_resize_verify,
+        "heavy_hitters": heavy_hitters_q,
+        "quality_gate": quality_gate_docs,
     }
 
 
@@ -3266,6 +3300,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img' || i::VARCHAR AS image_id, true AS ok
             FROM range(300) t(i)
             ORDER BY image_id
+        """,
+        # exact top-k with the same (count desc, term asc) tie-break:
+        # the engine's pass-2 recount makes its output exact wherever
+        # the MG candidate guarantee holds
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS term
+                FROM documents
+            ),
+            c AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1)
+            SELECT term, n,
+                   row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+            FROM c ORDER BY n DESC, term ASC LIMIT 20
+        """,
+        # the language_id + quality_score + repetition_stats fragments
+        # fused, plus the identical keep CASE and thresholds
+        "quality_gate": f"""
+            WITH base AS (
+                SELECT doc_id, text, {wordset} AS w,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS wl
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                    len(list_intersect(w, ['the','and','of','to','in','is','that','with'])) AS se,
+                    len(list_intersect(w, ['der','die','und','das','nicht','ist','ein','mit'])) AS sd,
+                    len(list_intersect(w, ['le','la','et','les','des','est','une','dans'])) AS sf,
+                    CAST(length(text) AS DOUBLE) AS n_chars,
+                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+                    len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS n_words,
+                    list_transform(generate_series(1, len(wl) - 2),
+                        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS tg
+                FROM base
+            ),
+            s AS (
+                SELECT doc_id,
+                    CASE WHEN greatest(se, sd, sf) <= 0 THEN 'und'
+                         WHEN se = greatest(se, sd, sf) THEN 'en'
+                         WHEN sd = greatest(se, sd, sf) THEN 'de'
+                         ELSE 'fr' END AS pred_lang,
+                    round(least(n_words / 100.0, 1.0) * 0.4
+                        + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.3
+                        + (1 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 5, 1.0)) * 0.2
+                        + (1 - CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0 END) * 0.1, 6) AS quality,
+                    round(CASE WHEN len(tg) > 0 THEN
+                        1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                        ELSE 0.0 END, 6) AS dup_trigram_frac,
+                    n_words
+                FROM m
+            )
+            SELECT doc_id, pred_lang, quality, dup_trigram_frac, n_words,
+                   (pred_lang IN ('en') AND quality >= 0.75
+                    AND dup_trigram_frac <= 0.2
+                    AND n_words >= 20 AND n_words <= 100000) AS keep
+            FROM s ORDER BY doc_id
         """,
     }
     # the survivor-set query extends the component walk with keep +

@@ -654,6 +654,144 @@ def dsir_weights(
     )
 
 
+def heavy_hitters_topk(
+    docs: DataFrame,
+    k: int = 20,
+    capacity: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-pass distributed heavy hitters: (1) per-partition
+    Misra-Gries summaries — bounded memory, at most ``capacity``
+    counters per task REGARDLESS of vocabulary size (the reason this
+    exists: a 100 TB n-gram vocabulary doesn't fit a hash aggregate,
+    but its heavy hitters fit ``capacity`` counters) — produce the
+    candidate term set; (2) only the candidates are re-counted EXACTLY
+    via a broadcast semi-join over the token stream, then top-k with a
+    deterministic tie-break. The output is the exact top-k whenever the
+    MG guarantee holds: a term is lost only if its count is <=
+    n_p/(capacity+1) in EVERY partition (Misra & Gries 1982; mergeable-
+    summaries batch form), so any genuinely heavy term survives pass 1
+    by pigeonhole. Pass 1 runs in Arrow-batched mapInPandas with
+    vectorized per-batch counting; pass 2 is JVM-side.
+
+    Output: (term, n, rank) — the k most frequent tokens."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    tokens = docs.select(F.explode(_word_list(text_col)).alias("term"))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > capacity:
+                # batch MG decrement: subtract the (capacity+1)-th
+                # largest count from everyone, drop the non-positive —
+                # at most `capacity` survivors, same error bound
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                t = int(np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1
+                ])
+                counters = {
+                    w: c - t for w, c in counters.items() if c - t > 0
+                }
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cands = tokens.mapInPandas(mg, "term string").distinct()
+    exact = (
+        tokens.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        exact.orderBy(F.desc("n"), F.col("term").asc())
+        .limit(k)
+        .select(
+            "term",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.col("term").asc()))
+            .alias("rank"),
+        )
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_dup_trigram: float = 0.2,
+    min_words: int = 20,
+    max_words: int = 100000,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The FineWeb/Gopher-style quality FILTER CHAIN as one fused
+    map-only pass: language-ID, heuristic quality score, duplicate-
+    trigram fraction and word count computed in a single projection
+    (no joins between the individual signal operators — at 100 TB
+    three separate scans + a doc_id join would triple the IO), then
+    the keep decision: predicted language in ``langs`` AND quality >=
+    ``min_quality`` AND dup-trigram fraction <= ``max_dup_trigram``
+    AND ``min_words`` <= words <= ``max_words``. Pure Catalyst
+    expressions — zero Python, zero shuffle, whole-stage codegen.
+
+    Output: (id, pred_lang, quality, dup_trigram_frac, n_words, keep)."""
+    t = F.col(text_col)
+    ws = word_set(text_col)
+    scores = {
+        lang: F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in STOPWORDS:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_alpha > 0, n_upper / n_alpha).otherwise(0.0)
+    quality = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + (1 - upper_ratio) * 0.1,
+        6,
+    )
+    tri = _ngrams(_word_list(text_col), 3)
+    dup_tri = F.round(
+        F.when(
+            F.size(tri) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(tri)) / F.size(tri),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    out = docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
+        dup_tri.alias("dup_trigram_frac"),
+        n_words.alias("n_words"),
+    )
+    keep = (
+        F.col("pred_lang").isin(list(langs))
+        & (F.col("quality") >= min_quality)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram)
+        & (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+    )
+    return out.select("*", keep.alias("keep"))
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     width: int = 50,

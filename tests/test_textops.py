@@ -354,3 +354,75 @@ def test_dsir_weights_match_python_model(spark):
     # target-vocabulary doc outranks raw-only doc even though neither
     # is in the target slice
     assert got[3]["logw"] > got[4]["logw"]
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Misra-Gries pass-1 with capacity << vocabulary must still
+    surface every genuinely heavy term (pigeonhole guarantee), and the
+    exact pass-2 recount makes the final top-k equal direct counting —
+    on a Zipf-ish corpus with 400+ singleton tail terms and capacity
+    32, spread over 4 partitions."""
+    from collections import Counter
+
+    from smart_crawler_spark.operators.textops import heavy_hitters_topk
+
+    toks = []
+    for i in range(10):  # heavy heads: 120, 110, ... 30 occurrences
+        toks += [f"head{i}"] * (120 - 10 * i)
+    toks += [f"tail{j}" for j in range(400)]  # singleton tail
+    toks += [f"mid{j}" for j in range(50) for _ in range(2)]  # count-2 mid
+    rng_docs = [
+        (d, " ".join(toks[d::16])) for d in range(16)  # stripe into docs
+    ]
+    docs = spark.createDataFrame(
+        rng_docs, "doc_id long, text string"
+    ).repartition(4)
+    got = [
+        (r["term"], r["n"], r["rank"])
+        for r in heavy_hitters_topk(docs, k=10, capacity=32)
+        .orderBy("rank")
+        .collect()
+    ]
+    counts = Counter(toks)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(t, n, i + 1) for i, (t, n) in enumerate(want)]
+
+
+def test_quality_gate_drop_reasons(spark):
+    """Each gate dimension drops independently: wrong language, low
+    quality (shouting), repeated trigrams, too short — and a clean doc
+    passes."""
+    from smart_crawler_spark.operators.textops import quality_gate
+
+    def filler(i):  # unique alphabetic word per index
+        return f"x{chr(97 + i // 26)}{chr(97 + i % 26)}"
+
+    # 130 words, en stopwords every 5th slot, all trigrams distinct
+    good = " ".join(
+        ("the" if i % 10 == 0 else "and" if i % 10 == 5 else filler(i))
+        for i in range(130)
+    )
+    fr = " ".join(  # only FRENCH stopwords between unique fillers
+        (["le", "la", "et", "les", "des"][i % 10] if i % 10 < 5
+         else filler(200 + i))
+        for i in range(40)
+    )
+    rows = [
+        (0, good),  # keeps: en, long enough, clean
+        (1, fr),  # wrong language
+        (2, ("spam ham " * 30).strip()),  # dup trigrams
+        (3, "the end"),  # too short
+        (4, good.upper() + " !!!!!" * 40),  # shouting + punct spam
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            docs, min_quality=0.75, max_dup_trigram=0.2, min_words=20
+        ).collect()
+    }
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["pred_lang"] == "fr"
+    assert got[2]["keep"] is False and got[2]["dup_trigram_frac"] > 0.2
+    assert got[3]["keep"] is False and got[3]["n_words"] < 20
+    assert got[4]["keep"] is False and got[4]["quality"] < 0.75
