@@ -362,3 +362,61 @@ def test_joint_dedup_caption_hash_in_lsh_key(spark):
     plan = _plan(joint_dup_pairs(df, max_hamming=6, decode=False))
     assert "CartesianProduct" not in plan
     assert "cap_hash" in plan
+
+
+def test_semantic_dedup_cell_shuffle_ships_ids_only(spark):
+    """SemDeDup's cell self-join must carry ids only (vectors would
+    replicate n_probe x through the shuffle) and plan no cartesian
+    product — the quadratic step stays confined to cell equi-joins."""
+    import numpy as np
+
+    from smart_crawler_spark.operators.simsearch import semantic_dedup
+
+    vecs = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.rand(42) + i.cast("double"),
+        ).cast("array<double>").alias("embedding"),
+    )
+    cents = np.eye(4, 8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = _formatted(
+            semantic_dedup(vecs, threshold=0.9, n_probe=2, centroids=cents)
+        )
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning(cell" in plan  # the cell shuffle is real
+        bad = ("embedding#", "_va#", "_vb#")
+        for block in plan.split("\n\n"):
+            attrs = [
+                ln
+                for ln in block.splitlines()
+                if ln.startswith(("Input", "Output"))
+            ]
+            if any("cell#" in ln for ln in attrs):
+                assert not any(
+                    b in ln for ln in attrs for b in bad
+                ), block
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_dsir_model_tables_broadcast_back(spark):
+    """DSIR's log-ratio and totals tables are bucket-bounded — they must
+    join back onto the corpus-sized token stream as BROADCASTS (a
+    shuffle join would reshuffle the whole corpus by feature bucket),
+    and the whole plan must stay free of Python row UDFs."""
+    from smart_crawler_spark.operators.textops import dsir_weights
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        (F.col("id") % 3 == 0).alias("tgt"),
+    )
+    plan = _plan(dsir_weights(docs, F.col("tgt"), n_buckets=64))
+    assert plan.count("BroadcastHashJoin") >= 2  # lr onto tokens + totals
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
