@@ -20,7 +20,15 @@ line of per-stage row counts and wall seconds. Stages:
   minhash  the raw near-dup pair table (banded LSH + exact verify)
   quality  language-ID + quality score + token stats + repetition stats,
            one joined table (all map-only column expressions)
+  filter   the fused FineWeb-style keep decision (quality_gate: lang +
+           quality + dup-trigram + length bounds in one map-only pass)
   scrub    cross-doc line dedup (boilerplate strip) + PII redaction
+  dsir     DSIR importance weights vs the lang='en' target slice
+           (hashed two-LM log-ratio; bucket-bounded broadcast models)
+  semdedup SemDeDup semantic dedup over the embedding table (k-means
+           cells + multi-probe, exact cosine verify, keep-lowest-id)
+  pack     token-budget sequence packing (concat-and-chunk layout via
+           the two-phase distributed prefix sum)
   ann      LSH-bucketed cosine top-k of each planted query vector
 """
 
@@ -102,6 +110,30 @@ def main() -> None:
             )
 
         run("quality", _quality)
+
+    if "filter" in stages:
+        run("filter", lambda: textops.quality_gate(docs))
+
+    if "dsir" in stages:
+        run("dsir", lambda: textops.dsir_weights(
+            docs, F.col("lang") == "en"))
+
+    if "semdedup" in stages:
+
+        def _semdedup():
+            from smart_crawler_spark.operators.simsearch import (
+                semantic_dedup,
+            )
+
+            emb = spark.read.parquet(
+                os.path.join(args.input, "embeddings.parquet")
+            )
+            return semantic_dedup(emb, threshold=0.95)
+
+        run("semdedup", _semdedup)
+
+    if "pack" in stages:
+        run("pack", lambda: textops.sequence_pack(docs, budget=2048))
 
     if "scrub" in stages:
         # training-corpus scrub: PII placeholders (map-only) over docs
