@@ -1597,6 +1597,21 @@ def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def jpeg_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG encode-quality forensics from the header alone
+    (operators/images.py jpeg_quality_estimates): the DQT luma table is
+    parsed without any pixel decode and matched against the libjpeg/IJG
+    quality scaling law — the corpus's jpeg rows are encoded at q98
+    (datagen JPEG_QUALITY), so the estimator must recover exactly 98
+    with a byte-exact table match, and PNG rows pass through null.
+    Oracle = the generation rule."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import jpeg_quality_estimates
+
+    corpus = generate_images(spark, 400, jpeg_every=10)
+    return jpeg_quality_estimates(corpus).orderBy("image_id")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -1958,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_verify": image_resize_verify,
         "heavy_hitters": heavy_hitters_q,
         "quality_gate": quality_gate_docs,
+        "jpeg_quality_est": jpeg_quality_q,
     }
 
 
@@ -3360,6 +3376,17 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_trigram_frac <= 0.2
                     AND n_words >= 20 AND n_words <= 100000) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # generation rule: jpeg rows (i%10==9) are encoded at exactly
+        # q98 by this repo's codec, so the DQT-matching estimator must
+        # return (98, exact); png rows carry no DQT
+        "jpeg_quality_est": """
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   CASE WHEN i % 10 = 9 THEN 'jpeg' END AS fmt,
+                   (CASE WHEN i % 10 = 9 THEN 98 END)::INT AS q_est,
+                   CASE WHEN i % 10 = 9 THEN true END AS exact
+            FROM range(400) t(i)
+            ORDER BY image_id
         """,
     }
     # the survivor-set query extends the component walk with keep +

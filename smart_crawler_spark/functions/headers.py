@@ -23,6 +23,39 @@ _SOF_MARKERS = {
 }
 
 
+def sniff_jpeg_dqt(data: bytes) -> dict[int, list[int]] | None:
+    """8-bit quantization tables from a JPEG's DQT segments, keyed by
+    table id, entries in file (zigzag) order — header bytes only, no
+    entropy decode. None if the payload isn't a JPEG or carries 16-bit
+    tables. The DQT is the encoder's fingerprint: matching it against a
+    known scaling law recovers the encode quality setting (the standard
+    corpus-forensics trick for 'was this image re-compressed low?')."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    tables: dict[int, list[int]] = {}
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if marker == 0xDB:
+            j, end = i + 4, i + 2 + seg_len
+            while j < end:
+                prec, tid = data[j] >> 4, data[j] & 0x0F
+                if prec != 0:
+                    return None  # 16-bit tables: not this codec family
+                tables[tid] = list(data[j + 1 : j + 65])
+                j += 65
+        if marker == 0xDA:  # entropy-coded data follows; DQTs precede
+            break
+        i += 2 + seg_len
+    return tables or None
+
+
 def sniff_dims(data: bytes) -> tuple[str, int, int] | None:
     """(fmt, width, height) from the container header alone, or None if
     the payload is neither a PNG nor a JPEG."""

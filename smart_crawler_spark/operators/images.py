@@ -383,6 +383,58 @@ def aspect_buckets(
     )
 
 
+def jpeg_quality_estimates(images: DataFrame) -> DataFrame:
+    """Encode-quality forensics from the JPEG header alone: parse the
+    luma quantization table out of the DQT segment (functions/headers.py
+    sniff_jpeg_dqt — O(header) bytes, never decodes pixels) and match it
+    against the libjpeg/IJG scaling law (Annex-K base table scaled by
+    quality) — ``q_est`` is the quality whose scaled table is nearest in
+    L1 (lowest q on ties), ``exact`` marks a byte-exact table match.
+    Corpora re-compressed at low quality are damaged goods for training;
+    this flags them at parquet-scan cost. Non-JPEG rows pass through
+    with null estimates. Map-only Arrow-batched mapInPandas; the 100
+    candidate tables are precomputed once per task."""
+    from smart_crawler_spark.functions.headers import sniff_jpeg_dqt
+    from smart_crawler_spark.functions.jpeg import _QY, _ZZ, _scaled_q
+
+    candidates = np.stack(
+        [_scaled_q(_QY, q).ravel()[_ZZ] for q in range(1, 101)]
+    )  # (100, 64) in zigzag order, the DQT file order
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                tabs = sniff_jpeg_dqt(bytes(data))
+                if not tabs or 0 not in tabs:
+                    rows.append(
+                        {"image_id": img_id, "fmt": None if tabs is None
+                         else "jpeg", "q_est": None, "exact": None}
+                    )
+                    continue
+                t = np.asarray(tabs[0], dtype=np.int64)
+                dist = np.abs(candidates - t).sum(axis=1)
+                qi = int(np.argmin(dist))  # argmin takes the FIRST (lowest q)
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "fmt": "jpeg",
+                        "q_est": qi + 1,
+                        "exact": bool(dist[qi] == 0),
+                    }
+                )
+            out = pd.DataFrame(
+                rows, columns=["image_id", "fmt", "q_est", "exact"]
+            )
+            out["q_est"] = pd.array(out["q_est"], dtype="Int32")
+            out["exact"] = pd.array(out["exact"], dtype="boolean")
+            yield out
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, "image_id string, fmt string, q_est int, exact boolean"
+    )
+
+
 def image_quality_stats(
     images: DataFrame,
     min_contrast: float = 8.0,

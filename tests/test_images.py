@@ -416,3 +416,29 @@ def test_shard_pack_layout_invariants_on_real_bytes(spark):
         by_shard.setdefault(got[iid]["shard_id"], 0)
         by_shard[got[iid]["shard_id"]] += sizes[iid]
     assert max(by_shard.values()) < budget + max(sizes.values())
+
+
+def test_jpeg_quality_estimator_recovers_encode_quality(spark):
+    """The DQT-matching estimator must recover the exact encode quality
+    across the scale's two regimes (q<50 and q>=50), flag the match as
+    exact, and pass PNGs through with nulls."""
+    import numpy as np
+
+    from smart_crawler_spark.datagen.images import image_pixels
+    from smart_crawler_spark.functions.jpeg import encode_jpeg
+    from smart_crawler_spark.functions.png import encode_png
+    from smart_crawler_spark.operators.images import jpeg_quality_estimates
+
+    px = image_pixels(3, 48, 40)
+    rows = [
+        (f"q{q}", bytearray(encode_jpeg(px, quality=q)))
+        for q in (30, 50, 75, 92, 98)
+    ] + [("png", bytearray(encode_png(px)))]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {
+        r["image_id"]: r for r in jpeg_quality_estimates(df).collect()
+    }
+    for q in (30, 50, 75, 92, 98):
+        r = got[f"q{q}"]
+        assert (r["fmt"], r["q_est"], r["exact"]) == ("jpeg", q, True), r
+    assert got["png"]["fmt"] is None and got["png"]["q_est"] is None
