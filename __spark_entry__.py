@@ -1885,6 +1885,71 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-distribution resampling (operators/relational.py
+    domain_mix): rebalance the lang-skewed documents corpus (en is
+    ~3x over-represented) to a 40/15/15/15/15 mix by downsampling on
+    the shared md5 draw. The acceptance probabilities derive from one
+    tiny lang-count agg + a broadcast join — the corpus sees a single
+    map-side filter, so the plan is identical at 100 TB. Hash-exact
+    oracle: DuckDB replays the same counts, cap and draw."""
+    from smart_crawler_spark.operators.relational import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_mix(
+        docs, "lang", "doc_id",
+        {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    )
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
+def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment
+    (operators/relational.py deterministic_shuffle): the reproducible
+    global training order. The oracle states the spec directly — one
+    row_number() over (md5 draw, doc_id) — while the engine computes
+    the identical total order as a two-phase prefix sum (64 parallel
+    bucket windows + a 64-row offset broadcast), never a corpus-sized
+    single-partition sort. Hash-exact match proves the distributed
+    order == the specification order."""
+    from smart_crawler_spark.operators.relational import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, "doc_id", n_shards=8)
+    return out.select("doc_id", "pos", "shard").orderBy("doc_id")
+
+
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (operators/components.py
+    keep_best): the same MinHash-LSH pair graph and connected
+    components as dedup_keep, but each cluster keeps its
+    HIGHEST-quality member (quality_score, ties -> lowest doc_id)
+    instead of the min-id canonical — the decision rule a production
+    dedup ships. Survivors come from one max_by agg on component
+    (map-side partials, broadcast back); oracle replays components via
+    recursive CTE + arg-max window on the identical rounded score."""
+    from smart_crawler_spark.operators.components import (
+        dedup_groups,
+        keep_best,
+    )
+    from smart_crawler_spark.operators.textops import quality_score
+    from smart_crawler_spark.operators import minhash
+
+    docs = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 1000
+    )
+    pairs = minhash.minhash_near_dup_pairs(
+        docs, threshold=0.8, num_perm=64, bands=16
+    )
+    groups = dedup_groups(pairs, docs)
+    scores = quality_score(docs).select("doc_id", "quality")
+    return keep_best(groups, scores).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -1974,6 +2039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": heavy_hitters_q,
         "quality_gate": quality_gate_docs,
         "jpeg_quality_est": jpeg_quality_q,
+        "domain_mix": domain_mix_docs,
+        "shuffle_shard": shuffle_shard_docs,
+        "dedup_keep_best": dedup_keep_best_docs,
     }
 
 
@@ -3444,4 +3512,123 @@ def oracle_sql() -> dict[str, str]:
     # the mjpeg leg samples the same (video, frame) grid and must hit
     # the same PSNR invariant — one oracle text, two container codecs
     out["video_frame_sample_mjpeg"] = out["video_frame_sample"]
+    # target-mix resampling: same counts -> cap -> acceptance -> draw
+    # arithmetic, same operation order, so the kept set is hash-exact
+    out["domain_mix"] = """
+        WITH t(lang, w) AS (VALUES
+            (CAST('en' AS VARCHAR), CAST(0.40 AS DOUBLE)),
+            ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+        c AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang
+        ),
+        cap AS (SELECT min(n / w) AS cap FROM c JOIN t USING (lang)),
+        p AS (
+            SELECT c.lang, t.w * cap.cap / c.n AS p
+            FROM c JOIN t USING (lang) CROSS JOIN cap
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN p USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT / 4294967296.0 < p.p
+        ORDER BY d.doc_id
+    """
+    # the shuffle oracle IS the spec: one global row_number over the
+    # md5 draw — the engine must reproduce it via its distributed
+    # two-phase prefix sum
+    out["shuffle_shard"] = """
+        WITH u AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                    AS BIGINT) AS pos,
+               CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 8
+                    AS INTEGER) AS shard
+        FROM u ORDER BY doc_id
+    """
+    # quality-aware survivors: dedup_keep's component walk + the
+    # quality_score expression + an arg-max window per component
+    out["dedup_keep_best"] = f"""
+        WITH RECURSIVE ws AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM ({doubled})
+            WHERE doc_id % 100000 < 1000
+        ),
+        q AS (
+            SELECT doc_id,
+                   round(least(CAST(len(list_filter(
+                             regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (CASE WHEN length(text) > 0 THEN
+                            CAST(length(regexp_replace(text, '[^A-Za-z]',
+                                 '', 'g')) AS DOUBLE) / length(text)
+                        ELSE 0 END) * 0.3
+                     + (1 - least((CASE WHEN length(text) > 0 THEN
+                            CAST(length(regexp_replace(text, '[^.,;:!?]',
+                                 '', 'g')) AS DOUBLE) / length(text)
+                        ELSE 0 END) * 5, 1.0)) * 0.2
+                     + (1 - CASE WHEN length(regexp_replace(text,
+                            '[^A-Za-z]', '', 'g')) > 0 THEN
+                            CAST(length(regexp_replace(text, '[^A-Z]',
+                                 '', 'g')) AS DOUBLE)
+                            / length(regexp_replace(text, '[^A-Za-z]',
+                                 '', 'g'))
+                        ELSE 0 END) * 0.1, 6) AS quality
+            FROM ws
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                        ELSE list_distinct(list_transform(
+                             generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                   END AS s
+            FROM ws
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             AND len(a.s) * 5 >= len(b.s) * 4
+             AND len(b.s) * 5 >= len(a.s) * 4
+            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM ws
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        ),
+        comp AS (
+            SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+        ),
+        ranked AS (
+            SELECT comp.component, comp.doc_id,
+                   row_number() OVER (PARTITION BY comp.component
+                       ORDER BY q.quality DESC, comp.doc_id ASC) AS rn
+            FROM comp JOIN q USING (doc_id)
+        ),
+        k AS (SELECT component, doc_id AS kept_id FROM ranked WHERE rn = 1),
+        sz AS (
+            SELECT component, count(*)::BIGINT AS group_size
+            FROM comp GROUP BY 1
+        )
+        SELECT comp.doc_id, comp.component, q.quality, k.kept_id,
+               comp.doc_id = k.kept_id AS keep, sz.group_size
+        FROM comp
+        JOIN q USING (doc_id)
+        JOIN k USING (component)
+        JOIN sz USING (component)
+        ORDER BY comp.doc_id
+    """
     return out

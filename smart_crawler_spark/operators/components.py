@@ -241,3 +241,40 @@ def dedup_groups(
     return comp.select(F.col("id").alias(id_col), "comp").withColumnRenamed(
         "comp", "component"
     )
+
+
+def keep_best(
+    groups: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware survivor selection: given the component labelling
+    from ``dedup_groups`` and a per-doc score, each component keeps its
+    HIGHEST-scoring member (ties -> lowest id) instead of the arbitrary
+    min-id canonical — what a production dedup actually ships, since
+    near-dup clusters mix good and boilerplate-damaged copies.
+
+    One agg shuffle on component: ``max_by(id, struct(score, -id))``
+    aggregates with map-side partials (structs are orderable), so the
+    kept-id table is component-cardinality small and broadcasts back.
+    No window over the corpus, no driver loop."""
+    scored = groups.join(scores.select(id_col, score_col), id_col)
+    kept = scored.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("_nid")),
+        ).alias("kept_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return (
+        scored.join(F.broadcast(kept), "component")
+        .select(
+            id_col,
+            "component",
+            score_col,
+            "kept_id",
+            (F.col(id_col) == F.col("kept_id")).alias("keep"),
+            "group_size",
+        )
+    )

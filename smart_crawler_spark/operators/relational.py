@@ -12,6 +12,10 @@ primitives (SURVEY §2.6 + pyspark guide 'Common OLAP patterns').
   time bins — an equi-join, never a cartesian theta-join.
 - ``stratified_sample``: deterministic hash-threshold sampling per
   stratum — map-side only, reproducible across engines.
+- ``domain_mix``: downsampling-only target-distribution resampling
+  (training-data mixing) on the same deterministic draw.
+- ``deterministic_shuffle``: reproducible global training order +
+  shard assignment via a two-phase distributed prefix sum.
 """
 
 from __future__ import annotations
@@ -251,4 +255,105 @@ def pivot_counts(
         .pivot(pivot_col, values)
         .agg(F.count(F.lit(1)))
         .na.fill(0, values)
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Target-distribution resampling (training-data "mixing"): keep a
+    deterministic subset whose per-domain shares match ``targets`` as
+    closely as downsampling-only allows. The feasible output size is
+    capped by the scarcest domain — cap = min over domains of
+    n_d / t_d — and each domain keeps rows with acceptance probability
+    p_d = t_d * cap / n_d (the binding domain keeps everything, over-
+    represented domains are thinned). The draw is the shared md5
+    uniform (``md5_hash32``), so the SAME rows survive on every run,
+    engine, and partitioning.
+
+    Scale shape: one tiny groupBy(domain) count (domains are few), a
+    driver-free min-aggregate over that count table, and a broadcast
+    join of the per-domain acceptance back onto the corpus — the corpus
+    itself is touched by exactly one map-side filter, no corpus
+    shuffle. Domains absent from ``targets`` are dropped; target
+    domains absent from the data are ignored (the mix is then
+    renormalized over present domains by construction of the cap)."""
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    tgt = F.create_map(
+        *[x for kv in targets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_t", tgt[F.col(domain_col)])
+        .filter(F.col("_t").isNotNull())
+    )
+    cap = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_cap"))
+    accept = counts.crossJoin(F.broadcast(cap)).select(
+        domain_col,
+        (F.col("_t") * F.col("_cap") / F.col("_n")).alias("_p"),
+    )
+    u = md5_hash32(key_col).cast("double") / float(1 << 32)
+    return (
+        df.join(F.broadcast(accept), domain_col)
+        .filter(u < F.col("_p"))
+        .drop("_p")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training order: every row gets a position
+    in a pseudo-random total order (sort key = the md5 uniform, ties
+    broken by the key itself) and a round-robin shard assignment
+    ``pos % n_shards`` — the reproducible corpus shuffle a training
+    run needs so that re-runs, resumes, and engines agree byte-for-byte
+    on example order.
+
+    Scale shape: the naive row_number() over a global ORDER BY is a
+    single-partition sort of the whole corpus. Instead the order is
+    computed as a two-phase distributed prefix sum (the sequence_pack
+    pattern): the top bits of the draw split rows into ``n_buckets``
+    ordered buckets, each bucket ranks locally (a window partitioned BY
+    BUCKET — n_buckets-way parallel, no corpus-sized partition), and a
+    tiny n_buckets-row prefix-sum of bucket counts broadcasts the
+    global offsets. Because the bucket is a PREFIX of the sort key,
+    bucket-major order == global order. Buckets come from the data, not
+    from partition ids, so the result is layout-independent."""
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    h = md5_hash32(key_col)
+    bucket = (h / F.lit(float(1 << 32) / n_buckets)).cast("long")
+    rows = df.withColumn("_u", h).withColumn("_b", bucket)
+    w = Window.partitionBy("_b").orderBy("_u", key_col)
+    ranked = rows.withColumn("_r", F.row_number().over(w))
+    offs = (
+        rows.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_b")
+        .withColumn("pos", (F.col("_off") + F.col("_r") - 1).cast("long"))
+        .withColumn("shard", (F.col("pos") % n_shards).cast("int"))
+        .drop("_u", "_b", "_r", "_off")
     )

@@ -166,3 +166,24 @@ def test_differential_100_random_graphs_incl_long_paths(spark):
     # diameter <= 1000: pointer-jumping needs ~log2(1000) + slack rounds
     assert s_prop["rounds"] <= 15, s_prop
     assert s_star["rounds"] <= 15, s_star
+
+
+def test_keep_best_argmax_and_ties(spark):
+    """Each component keeps its highest-quality member; quality ties
+    break to the lowest id; singletons keep themselves."""
+    from smart_crawler_spark.operators.components import keep_best
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in keep_best(groups, scores).collect()}
+    assert out[2]["keep"] and out[2]["kept_id"] == 2  # argmax
+    assert not out[3]["keep"]  # tie -> lower id wins
+    assert out[7]["keep"] and not out[8]["keep"]  # tie -> lower id
+    assert out[9]["keep"] and out[9]["group_size"] == 1
+    assert out[1]["group_size"] == 3

@@ -260,3 +260,71 @@ def test_asof_join_returns_whole_latest_row_with_nulls(spark):
     # lts=3 sees the ts=2 row AS IS (price null), never price=100/qty=5
     assert got[3] == (None, 5)
     assert got[1] == (100, None)
+
+
+def test_domain_mix_shares_and_determinism(spark):
+    """Downsampling-only mixing: the binding domain keeps everything,
+    over-represented domains thin toward the target shares, the kept
+    set is layout-independent, and unlisted domains drop."""
+    from smart_crawler_spark.operators.relational import domain_mix
+
+    rows = (
+        [(i, "en") for i in range(6000)]
+        + [(10000 + i, "de") for i in range(1000)]
+        + [(20000 + i, "junk") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id long, dom string")
+    targets = {"en": 0.5, "de": 0.5}
+    out = domain_mix(df, "dom", "id", targets).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], set()).add(r["id"])
+    # de is binding (1000/0.5 = 2000 < 6000/0.5): kept fully
+    assert len(by_dom["de"]) == 1000
+    # en thinned to ~1000 (p = 1/6): hash draw, so ±5% slack
+    assert 900 <= len(by_dom["en"]) <= 1100
+    assert "junk" not in by_dom
+    # layout independence: same kept set after a repartition
+    out2 = domain_mix(df.repartition(7, "id"), "dom", "id", targets)
+    ids2 = {r["id"] for r in out2.collect()}
+    assert ids2 == by_dom["en"] | by_dom["de"]
+
+
+def test_deterministic_shuffle_matches_global_sort(spark):
+    """The two-phase prefix-sum order must equal the specification
+    order (global sort by the md5 draw), with round-robin shards, on
+    any input layout."""
+    from smart_crawler_spark.operators.relational import (
+        deterministic_shuffle,
+    )
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(777)], "id long"
+    ).repartition(13)
+    out = deterministic_shuffle(df, "id", n_shards=5, n_buckets=16)
+    got = {r["id"]: (r["pos"], r["shard"]) for r in out.collect()}
+    draws = {
+        r["id"]: r["h"]
+        for r in df.select("id", md5_hash32("id").alias("h")).collect()
+    }
+    want_order = sorted(draws, key=lambda i: (draws[i], i))
+    assert len(got) == 777
+    for pos, i in enumerate(want_order):
+        assert got[i] == (pos, pos % 5)
+
+
+def test_deterministic_shuffle_window_partitioned_by_bucket(spark):
+    """The corpus-ranking window must partition by the draw bucket —
+    the only unpartitioned window allowed in the plan is the tiny
+    bucket-offset prefix sum (n_buckets rows)."""
+    from smart_crawler_spark.operators.relational import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    plan = deterministic_shuffle(df, "k", n_shards=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the ranked window carries the bucket in its partition spec
+    windows = [l for l in plan.splitlines() if "Window" in l]
+    assert any("_b" in w for w in windows)
