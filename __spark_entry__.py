@@ -1950,6 +1950,40 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best(groups, scores).orderBy("doc_id")
 
 
+def caption_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/DataComp-style image+caption curation gate
+    (operators/images.py caption_gate): minimum resolution from
+    container HEADERS only (functions/headers.py — no pixel decode)
+    plus a usable-caption predicate, one mapInPandas + Catalyst
+    projection, no shuffle. The corpus plants a one-word 'thumb'
+    caption every 5th row (short_caption_every=5); the oracle predicts
+    dims from the generation rule and the caption decision from the
+    plant rule."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import caption_gate
+
+    corpus = generate_images(
+        spark, 500, jpeg_every=10, short_caption_every=5
+    )
+    return caption_gate(corpus).orderBy("image_id")
+
+
+def group_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (operators/relational.py
+    group_sample_k): exactly 2 orders per customer, chosen by the
+    engine-reproducible md5 draw. The rank<=k filter plans as
+    WindowGroupLimit (map-side partial limits — the shuffle carries
+    ~k rows per group per task, not the group); the oracle is the
+    same rank over the same draw in DuckDB."""
+    from smart_crawler_spark.operators.relational import group_sample_k
+
+    orders = _t(spark, sf_dir, "orders")
+    out = group_sample_k(orders, "o_custkey", "o_orderkey", k=2)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "rk"
+    ).orderBy("o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2042,6 +2076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": domain_mix_docs,
         "shuffle_shard": shuffle_shard_docs,
         "dedup_keep_best": dedup_keep_best_docs,
+        "caption_filter": caption_filter_images,
+        "group_sample": group_sample_orders,
     }
 
 
@@ -3630,5 +3666,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN k USING (component)
         JOIN sz USING (component)
         ORDER BY comp.doc_id
+    """
+    # curation gate: dims from the generation rule (header sniff must
+    # recover them exactly), caption decision from the
+    # short_caption_every=5 plant (planted caption = 1 word, every
+    # organic caption = 'Image {i}:' + 6 words = 8 tokens)
+    out["caption_filter"] = """
+        SELECT 'img' || i::VARCHAR AS image_id,
+               CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
+               (32 + (i % 4) * 16)::INT AS w,
+               (24 + (i % 3) * 16)::INT AS h,
+               (CASE WHEN i % 5 = 4 THEN 1 ELSE 8 END)::INT AS n_words,
+               (i % 4 <> 0 AND i % 3 <> 0 AND i % 5 <> 4) AS keep
+        FROM range(500) t(i)
+        ORDER BY image_id
+    """
+    # k-per-group sample: the oracle ranks over the identical md5 draw
+    out["group_sample"] = """
+        WITH u AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       ::BIGINT AS h
+            FROM orders
+        ),
+        r AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY h, o_orderkey) AS INTEGER) AS rk
+            FROM u
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice, rk
+        FROM r WHERE rk <= 2
+        ORDER BY o_orderkey
     """
     return out

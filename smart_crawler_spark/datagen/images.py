@@ -55,16 +55,23 @@ def image_caption(idx: int) -> str:
 
 
 def image_row(
-    idx: int, jpeg_every: int = 0, flat_every: int = 0, dup_every: int = 0
+    idx: int,
+    jpeg_every: int = 0,
+    flat_every: int = 0,
+    dup_every: int = 0,
+    short_caption_every: int = 0,
 ) -> dict:
     """One deterministic corpus row. Optional planted rows for the
-    filter/dedup oracles (both OFF by default, so every existing corpus
+    filter/dedup oracles (all OFF by default, so every existing corpus
     is byte-identical to before):
     - ``flat_every``: every k-th image is a solid color (zero contrast,
       zero entropy) — the quality filter must drop exactly these.
     - ``dup_every``: every k-th image carries the FULL content (pixels,
       dims, caption, phash, bytes) of its predecessor index — a planted
-      byte-identical duplicate pair; only image_id differs."""
+      byte-identical duplicate pair; only image_id differs.
+    - ``short_caption_every``: every k-th caption degenerates to the
+      one-word 'thumb' (the alt-text-less thumbnail case) — the
+      caption gate must drop exactly these."""
     content_idx = idx
     if dup_every and idx % dup_every == dup_every - 1:
         content_idx = idx - 1
@@ -83,13 +90,19 @@ def image_row(
         data = encode_png(px)
     else:
         data = encode_jpeg(px, quality=JPEG_QUALITY)
+    caption = image_caption(content_idx)
+    if (
+        short_caption_every
+        and content_idx % short_caption_every == short_caption_every - 1
+    ):
+        caption = "thumb"
     return {
         "image_id": f"img{idx}",
         "bytes": data,
         "w": w,
         "h": h,
         "fmt": fmt,
-        "caption": image_caption(content_idx),
+        "caption": caption,
         "phash": perceptual_hash(px),
     }
 
@@ -101,6 +114,7 @@ def generate_images(
     partitions: int | None = None,
     flat_every: int = 0,
     dup_every: int = 0,
+    short_caption_every: int = 0,
 ) -> DataFrame:
     # ceil-divide into ~16-image tasks: the pure-Python JPEG encode is
     # the slowest per-row work in the suite, and floor division
@@ -111,7 +125,10 @@ def generate_images(
         for pdf in batches:
             yield pd.DataFrame(
                 [
-                    image_row(int(i), jpeg_every, flat_every, dup_every)
+                    image_row(
+                        int(i), jpeg_every, flat_every, dup_every,
+                        short_caption_every,
+                    )
                     for i in pdf["id"]
                 ]
             )

@@ -313,35 +313,77 @@ DEFAULT_ASPECT_BUCKETS = (
 )
 
 
-def sniff_dims_df(images: DataFrame) -> DataFrame:
+def sniff_dims_df(
+    images: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(image_id, fmt, w, h) read from container HEADERS only
     (functions/headers.py) — never decodes pixels, so a dims scan of a
     100 TB corpus is bounded by parquet column IO. Rows whose payload is
-    neither PNG nor JPEG come back with null dims."""
+    neither PNG nor JPEG come back with null dims. ``passthrough``
+    columns ride through the Arrow batch unchanged (columnar copy, no
+    re-join shuffle — joining dims back on image_id would be a full
+    corpus shuffle at scale)."""
     from smart_crawler_spark.functions.headers import sniff_dims
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
-                meta = sniff_dims(bytes(data))
-                rows.append(
-                    {
-                        "image_id": img_id,
-                        "fmt": meta[0] if meta else None,
-                        "w": meta[1] if meta else None,
-                        "h": meta[2] if meta else None,
-                    }
-                )
+            metas = [sniff_dims(bytes(d)) for d in pdf["bytes"]]
             out = pd.DataFrame(
-                rows, columns=["image_id", "fmt", "w", "h"]
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": [m[0] if m else None for m in metas],
+                    "w": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "h": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int64"
+                    ),
+                }
             )
-            for c in ("w", "h"):
-                out[c] = pd.array(out[c], dtype="Int64")
+            for c in passthrough:
+                out[c] = pdf[c].values
             yield out
 
-    return images.select("image_id", "bytes").mapInPandas(
-        gen, "image_id string, fmt string, w int, h int"
+    extra = "".join(
+        f", {c} {images.schema[c].dataType.simpleString()}"
+        for c in passthrough
+    )
+    return images.select("image_id", "bytes", *passthrough).mapInPandas(
+        gen, f"image_id string, fmt string, w int, h int{extra}"
+    )
+
+
+def caption_gate(
+    images: DataFrame,
+    min_w: int = 48,
+    min_h: int = 40,
+    min_words: int = 4,
+    max_chars: int = 200,
+) -> DataFrame:
+    """LAION/DataComp-style image+text curation gate — the standard
+    first pass over a crawled image-caption corpus: minimum resolution
+    (from container HEADERS only, never decoding pixels) and a usable
+    caption (enough words to describe anything, not an overflowing
+    alt-text dump). One mapInPandas header sniff with the caption
+    riding through the Arrow batch + a pure Catalyst predicate: no
+    join, no shuffle, parquet-IO bound at 100 TB."""
+    dims = sniff_dims_df(images, passthrough=("caption",))
+    n_words = F.size(
+        F.filter(F.split(F.col("caption"), r"\s+"), lambda x: x != "")
+    ).cast("int")
+    keep = (
+        (F.col("w") >= min_w)
+        & (F.col("h") >= min_h)
+        & (n_words >= min_words)
+        & (F.length("caption") <= max_chars)
+    )
+    return dims.select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        n_words.alias("n_words"),
+        keep.alias("keep"),
     )
 
 

@@ -442,3 +442,22 @@ def test_jpeg_quality_estimator_recovers_encode_quality(spark):
         r = got[f"q{q}"]
         assert (r["fmt"], r["q_est"], r["exact"]) == ("jpeg", q, True), r
     assert got["png"]["fmt"] is None and got["png"]["q_est"] is None
+
+
+def test_caption_gate_dims_and_caption_rules(spark):
+    """The gate reads dims from headers (must equal the generator's)
+    and drops exactly: too-narrow, too-short, planted one-word
+    captions. No decode, no shuffle in the plan."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import caption_gate
+
+    corpus = generate_images(spark, 60, jpeg_every=10, short_caption_every=5)
+    out = {r["image_id"]: r for r in caption_gate(corpus).collect()}
+    for i in range(60):
+        r = out[f"img{i}"]
+        assert (r["w"], r["h"]) == (32 + (i % 4) * 16, 24 + (i % 3) * 16)
+        want_keep = i % 4 != 0 and i % 3 != 0 and i % 5 != 4
+        assert r["keep"] == want_keep, (i, r)
+        assert r["n_words"] == (1 if i % 5 == 4 else 8)
+    plan = caption_gate(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

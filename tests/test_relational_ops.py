@@ -328,3 +328,28 @@ def test_deterministic_shuffle_window_partitioned_by_bucket(spark):
     # the ranked window carries the bucket in its partition spec
     windows = [l for l in plan.splitlines() if "Window" in l]
     assert any("_b" in w for w in windows)
+
+
+def test_group_sample_k_exact_deterministic_and_group_limited(spark):
+    """Exactly min(k, group size) rows per group, identical on any
+    layout, and the plan runs the rank filter as WindowGroupLimit
+    (map-side partial limits, not a full-group sort+filter)."""
+    from smart_crawler_spark.operators.relational import group_sample_k
+
+    rows = [(g, g * 100 + i) for g in range(20) for i in range(g % 5 + 1)]
+    df = spark.createDataFrame(rows, "grp long, id long")
+    out = group_sample_k(df, "grp", "id", k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], []).append((r["rk"], r["id"]))
+    for g in range(20):
+        assert len(got[g]) == min(3, g % 5 + 1)
+        assert sorted(rk for rk, _ in got[g]) == list(
+            range(1, len(got[g]) + 1)
+        )
+    out2 = group_sample_k(df.repartition(9, "id"), "grp", "id", k=3)
+    assert {(r["grp"], r["id"]) for r in out2.collect()} == {
+        (g, i) for g, pairs in got.items() for _, i in pairs
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
