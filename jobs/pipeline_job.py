@@ -29,6 +29,10 @@ line of per-stage row counts and wall seconds. Stages:
            cells + multi-probe, exact cosine verify, keep-lowest-id)
   pack     token-budget sequence packing (concat-and-chunk layout via
            the two-phase distributed prefix sum)
+  mix      target-distribution lang rebalance (domain_mix) + the
+           reproducible global training order (deterministic_shuffle)
+  keepbest quality-aware dedup survivors (components keep their
+           highest-quality member, not the min id)
   ann      LSH-bucketed cosine top-k of each planted query vector
 """
 
@@ -134,6 +138,44 @@ def main() -> None:
 
     if "pack" in stages:
         run("pack", lambda: textops.sequence_pack(docs, budget=2048))
+
+    if "mix" in stages:
+        # rebalance the lang-skewed corpus to a fixed target mix, then
+        # lay the survivors out in the reproducible training order
+        def _mix():
+            from smart_crawler_spark.operators.relational import (
+                deterministic_shuffle,
+                domain_mix,
+            )
+
+            mixed = domain_mix(
+                docs, "lang", "doc_id",
+                {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15,
+                 "zh": 0.15},
+            )
+            return deterministic_shuffle(mixed, "doc_id", n_shards=8)
+
+        run("mix", _mix)
+
+    if "keepbest" in stages:
+        # quality-aware survivor decision over the near-dup components
+        def _keepbest():
+            from smart_crawler_spark.operators.components import (
+                dedup_groups,
+                keep_best,
+            )
+            from smart_crawler_spark.operators.minhash import (
+                minhash_near_dup_pairs,
+            )
+
+            pairs = minhash_near_dup_pairs(docs, threshold=args.jaccard)
+            groups = dedup_groups(pairs, docs)
+            scores = textops.quality_score(docs).select(
+                "doc_id", "quality"
+            )
+            return keep_best(groups, scores)
+
+        run("keepbest", _keepbest)
 
     if "scrub" in stages:
         # training-corpus scrub: PII placeholders (map-only) over docs
