@@ -1984,6 +1984,59 @@ def group_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def url_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain deny-list with subdomain semantics
+    (frontier/canonical.py blocklist_filter): blocked domain d blocks
+    host == d and *.d, but never the PARENT of a blocked subdomain.
+    The synthesized hosts exercise all three cases (exact hit,
+    subdomain hit, unlisted parent). Config-sized list -> the
+    arrays_overlap literal path: zero joins, zero shuffles, pure
+    codegen. Oracle states the rule as a correlated EXISTS over the
+    same list."""
+    from smart_crawler_spark.frontier.canonical import blocklist_filter
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("ads.example"))
+        .when(F.col("event_id") % 4 == 1, F.lit("a.b.ads.example"))
+        .when(F.col("event_id") % 4 == 2, F.lit("example"))
+        .otherwise(F.lit("ok.site")),
+        F.lit(".test/p/"),
+        F.col("event_id").cast("string"),
+    )
+    df = ev.select("event_id", url.alias("url"))
+    out = blocklist_filter(
+        df, ["ads.example.test", "bad.test", "spam.example.test"]
+    )
+    return out.select("event_id", "url", "blocked").orderBy("event_id")
+
+
+def html_text_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk HTML -> text conversion (operators/textops.py
+    extract_main_text): script/style/head/comment blocks dropped, tags
+    stripped, entities decoded, whitespace collapsed — all Catalyst
+    regexp chains, map-only. Documents are wrapped in a deterministic
+    HTML shell (incl. entities and a comment) so the expected clean
+    text is exactly recoverable; the oracle replays the identical
+    regex chain in DuckDB."""
+    from smart_crawler_spark.operators.textops import extract_main_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{color:red}</style></head><body>"
+            "<script>var a = 1 &amp;&amp; 2;</script><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><!-- cmt --><div>footer &amp; nav</div></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    return extract_main_text(wrapped).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2078,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best_docs,
         "caption_filter": caption_filter_images,
         "group_sample": group_sample_orders,
+        "url_blocklist": url_blocklist_q,
+        "html_text_extract": html_text_extract_docs,
     }
 
 
@@ -3698,5 +3753,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_custkey, o_totalprice, rk
         FROM r WHERE rk <= 2
         ORDER BY o_orderkey
+    """
+    # deny-list rule as a correlated EXISTS: host == d or host ends
+    # with '.d'; a blocked subdomain must NOT block its parent
+    out["url_blocklist"] = """
+        WITH u AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0 THEN 'ads.example'
+                        WHEN event_id % 4 = 1 THEN 'a.b.ads.example'
+                        WHEN event_id % 4 = 2 THEN 'example'
+                        ELSE 'ok.site' END || '.test' AS host
+            FROM events WHERE event_id < 3000
+        ),
+        b(dom) AS (VALUES ('ads.example.test'), ('bad.test'),
+                          ('spam.example.test'))
+        SELECT event_id,
+               'http://' || host || '/p/' || event_id::VARCHAR AS url,
+               EXISTS (SELECT 1 FROM b WHERE u.host = b.dom
+                       OR u.host LIKE '%.' || b.dom) AS blocked
+        FROM u ORDER BY event_id
+    """
+    # identical strip/decode/collapse chain replayed on the identical
+    # deterministic HTML shell; '&amp;' decodes LAST on both sides
+    out["html_text_extract"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || doc_id::VARCHAR ||
+                   '</title><style>p{color:red}</style></head><body>' ||
+                   '<script>var a = 1 &amp;&amp; 2;</script><p>' || text ||
+                   '</p><!-- cmt --><div>footer &amp; nav</div>' ||
+                   '</body></html>' AS html
+            FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(html,
+                       '(?is)<script\b.*?</script>', ' ', 'g'),
+                       '(?is)<style\b.*?</style>', ' ', 'g'),
+                       '(?is)<head\b.*?</head>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                       '(?s)<[^>]+>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS clean_text
+        FROM w ORDER BY doc_id
     """
     return out

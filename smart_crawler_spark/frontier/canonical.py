@@ -74,3 +74,72 @@ def url_seen_key(
     return F.xxhash64(
         F.concat_ws("|", url_host(url), canonical_relative_url(url, form_params))
     )
+
+
+def host_suffixes(host: Column | str, max_labels: int = 6) -> Column:
+    """All registrable-suffix candidates of a host, longest first:
+    ``a.b.example.test`` -> [a.b.example.test, b.example.test,
+    example.test, test]. Bounded at ``max_labels`` trailing labels, so
+    the expression is O(1) per row regardless of hostname depth. Pure
+    Catalyst (split/slice/transform) — map-side, codegen-friendly."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda i: F.concat_ws(".", F.slice(labels, n - i + 1, i)),
+    )
+
+
+def blocklist_filter(
+    df,
+    blocked: list[str],
+    url_col: str = "url",
+    keep_blocked_flag: bool = True,
+    literal_max: int = 1000,
+):
+    """Domain blocklist with subdomain semantics: a blocked domain
+    ``d`` blocks host == d and every ``*.d`` — the standard crawl
+    deny-list rule (SafeSearch/adult/spam domain lists).
+
+    Scale shape: the host explodes (expression-side, not row-side)
+    into its <= 6 trailing-label suffixes. For a config-sized list the
+    match is ``arrays_overlap`` against a literal array — zero joins,
+    zero shuffle, whole-stage codegen over the corpus. For a list too
+    big to inline (millions of domains), the suffixes explode into
+    rows and semi-join the broadcast blocklist to yield the blocked-URL
+    set; dropping is then a plain anti-join and flagging a left join —
+    the corpus itself never shuffles on the broadcast leg, and the
+    hit-set join side is left to AQE (broadcast while the blocked
+    fraction is small, shuffle join if a list ever matches half the
+    crawl). Both paths return the same rows; the flag column marks
+    blocked rows instead of dropping them when ``keep_blocked_flag``
+    (the audit-friendly shape)."""
+    sufs = host_suffixes(url_host(F.col(url_col)))
+    if len(blocked) <= literal_max:
+        hit = F.arrays_overlap(
+            sufs, F.array(*[F.lit(d) for d in sorted(set(blocked))])
+        )
+        flagged = df.withColumn("blocked", F.coalesce(hit, F.lit(False)))
+        return (
+            flagged
+            if keep_blocked_flag
+            else flagged.filter(~F.col("blocked")).drop("blocked")
+        )
+    spark = df.sparkSession
+    blist = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocked))], "dom string"
+    )
+    hits = (
+        df.select(url_col, F.explode(sufs).alias("dom"))
+        .join(F.broadcast(blist), "dom")
+        .select(F.col(url_col).alias("_burl"))
+        .distinct()
+    )
+    if not keep_blocked_flag:
+        return df.join(hits, df[url_col] == hits["_burl"], "left_anti")
+    return (
+        df.join(hits, df[url_col] == hits["_burl"], "left")
+        .withColumn("blocked", F.col("_burl").isNotNull())
+        .drop("_burl")
+    )

@@ -903,3 +903,35 @@ def substring_dup_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def extract_main_text(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML -> training text at corpus scale (the crawl-to-corpus
+    boilerplate strip): drop script/style/head blocks and comments,
+    strip the remaining tags, decode the common entities, collapse
+    whitespace. One chain of Catalyst regexp_replace expressions —
+    map-only, whole-stage codegen, zero Python — so a 100 TB HTML
+    column converts at scan throughput. (The structural modeler keeps
+    its real HTML parser for model inference on SAMPLED pages
+    (modeler/schema.py); this is the bulk path where per-row parser
+    state would be the bottleneck.) Entity decode runs '&amp;' LAST so
+    double-encoded entities don't double-decode."""
+    t = F.col(html_col)
+    t = F.regexp_replace(t, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?is)<head\b.*?</head>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t = F.regexp_replace(t, ent, ch)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.select(F.col(id_col), t.alias("clean_text"))

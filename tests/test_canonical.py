@@ -115,3 +115,50 @@ def test_hash_key_consistency(spark):
     # python-side key string matches spark-side key string
     for r in keys:
         assert r["k"] == seen_key(r["url"])
+
+
+def test_blocklist_filter_subdomain_semantics_both_paths(spark):
+    """Blocked d blocks d and *.d, never d's parent; the literal and
+    exploded-join paths agree; the literal path plans shuffle-free."""
+    from smart_crawler_spark.frontier.canonical import blocklist_filter
+
+    urls = [
+        ("http://ads.example.test/x", True),       # exact
+        ("http://a.b.ads.example.test/x", True),   # deep subdomain
+        ("http://example.test/x", False),          # parent of blocked
+        ("http://ok.site.test/x", False),
+        ("http://badsite.test/x", False),          # no partial-label hit
+        ("http://bad.test/", True),
+        ("http://sub.bad.test/", True),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    blocked = ["ads.example.test", "bad.test"]
+
+    lit_out = {
+        r["url"]: r["blocked"]
+        for r in blocklist_filter(df, blocked).collect()
+    }
+    assert lit_out == dict(urls)
+
+    # force the exploded-join path with literal_max=0
+    join_out = {
+        r["url"]: r["blocked"]
+        for r in blocklist_filter(df, blocked, literal_max=0).collect()
+    }
+    assert join_out == dict(urls)
+
+    # drop mode keeps exactly the unblocked rows (both paths)
+    for lm in (1000, 0):
+        kept = {
+            r["url"]
+            for r in blocklist_filter(
+                df, blocked, keep_blocked_flag=False, literal_max=lm
+            ).collect()
+        }
+        assert kept == {u for u, b in urls if not b}
+
+    plan = (
+        blocklist_filter(df, blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan

@@ -426,3 +426,29 @@ def test_quality_gate_drop_reasons(spark):
     assert got[2]["keep"] is False and got[2]["dup_trigram_frac"] > 0.2
     assert got[3]["keep"] is False and got[3]["n_words"] < 20
     assert got[4]["keep"] is False and got[4]["quality"] < 0.75
+
+
+def test_extract_main_text_strips_blocks_tags_entities(spark):
+    from smart_crawler_spark.operators.textops import extract_main_text
+
+    rows = [
+        (1, "<html><head><title>T</title><style>a{b}</style></head>"
+            "<body><p>Hello   world</p></body></html>", "Hello world"),
+        (2, "<body><script>\nif (a < b) { x(); }\n</script>Keep "
+            "<b>bold</b> text</body>", "Keep bold text"),
+        (3, "<p>5 &lt; 6 &amp;&amp; 7 &gt; 2</p>", "5 < 6 && 7 > 2"),
+        # double-encoded entity must decode ONE level only
+        (4, "<p>&amp;lt;tag&amp;gt;</p>", "&lt;tag&gt;"),
+        (5, "a<!-- hidden\nmultiline -->b", "a b"),
+        (6, "<div class='x'  data-k=\"v\">inner</div>", "inner"),
+        (7, "no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in rows], "doc_id long, html string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in extract_main_text(df).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i])
