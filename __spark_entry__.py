@@ -2037,6 +2037,56 @@ def html_text_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(wrapped).orderBy("doc_id")
 
 
+def streaming_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image+caption ingestion (streaming/ingest.py
+    start_image_ingest): availableNow micro-batches over a parquet
+    image drop-box -> caption gate (header-only dims) -> per-content
+    (md5-of-bytes) partial aggregates, one idempotent ledger partition
+    per batch. The merged ledger (min image id + total copies per
+    content) is provably arrival-order-independent, so the oracle can
+    state the final dedup decision from the generator plant rules
+    (dup_every=6 full-content copies, short_caption_every=5 one-word
+    captions) without knowing the batch split."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.streaming.ingest import (
+        read_image_ledger,
+        start_image_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_img_")
+    drop = f"{base}/dropbox"
+    try:
+        corpus = generate_images(
+            spark, 240, jpeg_every=10, dup_every=6, short_caption_every=5
+        )
+        corpus.repartition(24).write.mode("overwrite").parquet(drop)
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(drop)
+        )
+        q = start_image_ingest(
+            stream, ledger_dir=f"{base}/ledger",
+            checkpoint_dir=f"{base}/ckpt",
+        )
+        q.awaitTermination()
+        led = read_image_ledger(spark, f"{base}/ledger")
+        out = led.orderBy("iid").select(
+            F.concat(F.lit("img"), F.col("iid").cast("string")).alias(
+                "image_id"
+            ),
+            "n_copies",
+        )
+        # materialize before the ledger files are removed
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2133,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": group_sample_orders,
         "url_blocklist": url_blocklist_q,
         "html_text_extract": html_text_extract_docs,
+        "streaming_image_ingest": streaming_image_ingest,
     }
 
 
@@ -3802,5 +3853,21 @@ def oracle_sql() -> dict[str, str]:
                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                  '\s+', ' ', 'g')) AS clean_text
         FROM w ORDER BY doc_id
+    """
+    # the ledger merge is arrival-order-independent (monotone min +
+    # partition-idempotent sums), so the final streaming state follows
+    # from the generator plant rules alone: content ci = i-1 on dup
+    # rows (i%6=5), gate pass = dims + caption rules on ci
+    out["streaming_image_ingest"] = """
+        WITH c AS (
+            SELECT DISTINCT CASE WHEN i % 6 = 5 THEN i - 1 ELSE i END AS ci
+            FROM range(240) t(i)
+        )
+        SELECT 'img' || ci::VARCHAR AS image_id,
+               (CASE WHEN ci % 6 = 4 AND ci + 1 < 240
+                     THEN 2 ELSE 1 END)::BIGINT AS n_copies
+        FROM c
+        WHERE ci % 4 <> 0 AND ci % 3 <> 0 AND ci % 5 <> 4
+        ORDER BY ci
     """
     return out

@@ -359,6 +359,7 @@ def caption_gate(
     min_h: int = 40,
     min_words: int = 4,
     max_chars: int = 200,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """LAION/DataComp-style image+text curation gate — the standard
     first pass over a crawled image-caption corpus: minimum resolution
@@ -366,8 +367,12 @@ def caption_gate(
     caption (enough words to describe anything, not an overflowing
     alt-text dump). One mapInPandas header sniff with the caption
     riding through the Arrow batch + a pure Catalyst predicate: no
-    join, no shuffle, parquet-IO bound at 100 TB."""
-    dims = sniff_dims_df(images, passthrough=("caption",))
+    join, no shuffle, parquet-IO bound at 100 TB. ``passthrough``
+    columns survive into the output (Arrow columnar copy, same as
+    sniff_dims_df)."""
+    dims = sniff_dims_df(
+        images, passthrough=("caption",) + tuple(passthrough)
+    )
     n_words = F.size(
         F.filter(F.split(F.col("caption"), r"\s+"), lambda x: x != "")
     ).cast("int")
@@ -384,6 +389,7 @@ def caption_gate(
         "h",
         n_words.alias("n_words"),
         keep.alias("keep"),
+        *passthrough,
     )
 
 

@@ -162,3 +162,66 @@ def url_arrival_stats(candidates: DataFrame, window: str = "1 minute") -> DataFr
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .select("w.start", "w.end", "host", "n_urls")
     )
+
+
+def start_image_ingest(
+    images: DataFrame,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    min_w: int = 48,
+    min_h: int = 40,
+    min_words: int = 4,
+) -> StreamingQuery:
+    """Streaming image+caption ingestion: per micro-batch the caption
+    gate (operators/images.py caption_gate, header-only dims) drops
+    unusable rows, the survivors collapse to per-content partial
+    aggregates — content = md5 of the payload bytes, carrying the min
+    numeric image id and the copy count — and each batch overwrites its
+    OWN ledger partition (idempotent replay, same foreachBatch pattern
+    as start_frontier_ingest). The ledger merge is MONOTONE: min is
+    arrival-order-free and the per-batch partition overwrite makes the
+    sums replay-safe, so the final dedup decision (read_image_ledger)
+    is identical under any micro-batch split, arrival order, or
+    restart point — the property a resumable ingest needs. A live
+    deployment periodically compacts old batch partitions into one
+    snapshot; the merge is the same single groupBy either way."""
+    from smart_crawler_spark.operators.images import caption_gate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        gated = caption_gate(
+            batch_df.withColumn("content", F.md5(F.col("bytes"))),
+            min_w=min_w,
+            min_h=min_h,
+            min_words=min_words,
+            passthrough=("content",),
+        ).filter("keep")
+        iid = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+        part = (
+            gated.select("content", iid.alias("iid"))
+            .groupBy("content")
+            .agg(
+                F.min("iid").alias("iid"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        )
+        part.write.mode("overwrite").parquet(
+            f"{ledger_dir}/batch={batch_id}"
+        )
+
+    return (
+        images.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_image_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    """The merged content ledger: one row per distinct payload that
+    passed the gate, labelled with its canonical (minimum) image id and
+    total copies observed across every micro-batch."""
+    led = spark.read.parquet(ledger_dir)
+    return led.groupBy("content").agg(
+        F.min("iid").alias("iid"),
+        F.sum("n_copies").cast("long").alias("n_copies"),
+    )

@@ -120,3 +120,51 @@ def test_host_rate_state_carries_across_batches(spark, tmp_path):
     # gaps: 10s (batch 1), then (10 + 30) / 2 spanning the boundary
     assert h0[0]["mean_gap_s"] == 10.0
     assert h0[1]["mean_gap_s"] == 20.0
+
+
+def test_image_ingest_ledger_batch_split_independent(spark, tmp_path):
+    """The merged content ledger must be identical whether the corpus
+    arrives as ONE micro-batch or many — the monotone-merge property
+    the operator claims."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.streaming.ingest import (
+        read_image_ledger,
+        start_image_ingest,
+    )
+
+    corpus = generate_images(
+        spark, 60, jpeg_every=10, dup_every=6, short_caption_every=5
+    )
+    results = {}
+    for tag, files_per_trigger, parts in (
+        ("one", 100, 6),
+        ("many", 1, 6),
+    ):
+        base = tmp_path / tag
+        corpus.repartition(parts).write.mode("overwrite").parquet(
+            str(base / "drop")
+        )
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(str(base / "drop"))
+        )
+        q = start_image_ingest(
+            stream,
+            ledger_dir=str(base / "ledger"),
+            checkpoint_dir=str(base / "ckpt"),
+        )
+        q.awaitTermination()
+        led = read_image_ledger(spark, str(base / "ledger"))
+        results[tag] = {
+            (r["content"], r["iid"], r["n_copies"]) for r in led.collect()
+        }
+    assert results["one"] == results["many"]
+    # plant rule: kept contents are ci with dims+caption pass
+    kept_ids = {iid for _, iid, _ in results["one"]}
+    want = {
+        ci
+        for ci in {i - 1 if i % 6 == 5 else i for i in range(60)}
+        if ci % 4 != 0 and ci % 3 != 0 and ci % 5 != 4
+    }
+    assert kept_ids == want
