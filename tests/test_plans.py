@@ -420,3 +420,25 @@ def test_dsir_model_tables_broadcast_back(spark):
     plan = _plan(dsir_weights(docs, F.col("tgt"), n_buckets=64))
     assert plan.count("BroadcastHashJoin") >= 2  # lr onto tokens + totals
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_domain_mix_broadcasts_acceptance_no_corpus_shuffle(spark):
+    """domain_mix's corpus side must be ONE full-column scan feeding a
+    BroadcastHashJoin + map-side filter; the per-domain acceptance
+    table (tiny counts aggs over the pruned domain column) is the only
+    shuffled data. No corpus-keyed Exchange anywhere."""
+    from smart_crawler_spark.operators.relational import domain_mix
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        domain_mix(df, "lang", "doc_id", {"en": 0.4, "de": 0.6})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin [lang" in plan
+    # the corpus (text column present) is scanned exactly once
+    assert sum(
+        "text:string" in l for l in plan.splitlines() if "FileScan" in l
+    ) == 1
+    # no shuffle keyed by the row identity (only tiny lang-keyed aggs)
+    assert "hashpartitioning(doc_id" not in plan
+    assert "rangepartitioning" not in plan
