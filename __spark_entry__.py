@@ -2087,6 +2087,29 @@ def streaming_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def warc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive ingestion (sources/warc.py warc_records over
+    functions/warc.py): real ISO-28500 shards with per-record gzip
+    members (the CommonCrawl layout) explode into per-fetch metadata
+    rows — URL, type, status, payload length + md5 — one mapInPandas,
+    no shuffle, shards parsed independently. The corpus is generated
+    from a pure index rule (datagen/warc.py warc_record_rule), so the
+    oracle states the parsed table over range() and a hash match
+    proves the codec + reader roundtrip byte-exactly."""
+    from smart_crawler_spark.datagen.warc import generate_warc_shards
+    from smart_crawler_spark.sources.warc import warc_records
+
+    shards = generate_warc_shards(spark, 40, 25)
+    return (
+        warc_records(shards)
+        .select(
+            "shard_id", "rec_idx", "url", "warc_type", "status",
+            "n_bytes", "payload_md5",
+        )
+        .orderBy("shard_id", "rec_idx")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2184,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": url_blocklist_q,
         "html_text_extract": html_text_extract_docs,
         "streaming_image_ingest": streaming_image_ingest,
+        "warc_source": warc_source_q,
     }
 
 
@@ -3869,5 +3893,23 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         WHERE ci % 4 <> 0 AND ci % 3 <> 0 AND ci % 5 <> 4
         ORDER BY ci
+    """
+    # the WARC corpus is a pure index rule: shard s*25+j carries url /
+    # status / payload derived from the global index, and ASCII
+    # payloads make n_bytes == length(); md5(text) == md5(utf8 bytes)
+    out["warc_source"] = """
+        SELECT 's' || (i // 25)::VARCHAR AS shard_id,
+               (i % 25)::INT AS rec_idx,
+               'http://h' || (i % 7)::VARCHAR || '.test/p/'
+                   || i::VARCHAR AS url,
+               'response' AS warc_type,
+               (CASE WHEN i % 11 = 3 THEN 404 ELSE 200 END)::INT
+                   AS status,
+               length(repeat('page ' || i::VARCHAR || ' body ',
+                             i % 4 + 1))::BIGINT AS n_bytes,
+               md5(repeat('page ' || i::VARCHAR || ' body ',
+                          i % 4 + 1)) AS payload_md5
+        FROM range(1000) t(i)
+        ORDER BY shard_id, rec_idx
     """
     return out
