@@ -2110,6 +2110,47 @@ def warc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def surt_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonicalization (frontier/canonical.py surt_key): the
+    CDX-index sort key — reversed host labels, port reattached, path +
+    query, fragment dropped, case folded. Synthesized URLs cover
+    subdomains, ports, root paths, queries and fragments; the oracle
+    derives every SURT from the construction rule (never re-parsing),
+    so a hash match proves the expression implements the transform."""
+    from smart_crawler_spark.frontier.canonical import surt_key
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    host = F.concat(
+        F.lit("H"),
+        (F.col("user_id") % 5).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(".sub")).otherwise(
+            F.lit("")
+        ),
+        F.lit(".test"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(":8081")).otherwise(
+            F.lit("")
+        ),
+    )
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.when(F.col("event_id") % 11 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/p/"), F.col("event_id").cast("string"))
+        ),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("?k="), (F.col("event_id") % 3).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit("#f")).otherwise(
+            F.lit("")
+        ),
+    )
+    df = ev.select("event_id", url.alias("url"))
+    return df.select(
+        "event_id", "url", surt_key(F.col("url")).alias("surt")
+    ).orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2208,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": html_text_extract_docs,
         "streaming_image_ingest": streaming_image_ingest,
         "warc_source": warc_source_q,
+        "surt_index": surt_index_q,
     }
 
 
@@ -3911,5 +3953,33 @@ def oracle_sql() -> dict[str, str]:
                           i % 4 + 1)) AS payload_md5
         FROM range(1000) t(i)
         ORDER BY shard_id, rec_idx
+    """
+    # SURT from the construction rule, never by re-parsing: reversed
+    # labels + ':port' + ')' + path + '?query', fragment gone, host
+    # case folded
+    out["surt_index"] = """
+        WITH u AS (
+            SELECT event_id,
+                   'H' || (user_id % 5)::VARCHAR AS hraw,
+                   'h' || (user_id % 5)::VARCHAR AS hlab,
+                   (event_id % 3 = 0) AS has_sub,
+                   (event_id % 2 = 0) AS has_port,
+                   CASE WHEN event_id % 11 = 0 THEN '/'
+                        ELSE '/p/' || event_id::VARCHAR END AS path,
+                   CASE WHEN event_id % 7 = 0
+                        THEN '?k=' || (event_id % 3)::VARCHAR
+                        ELSE '' END AS q,
+                   CASE WHEN event_id % 5 = 0 THEN '#f' ELSE '' END AS frag
+            FROM events WHERE event_id < 2500
+        )
+        SELECT event_id,
+               'http://' || hraw
+                   || CASE WHEN has_sub THEN '.sub' ELSE '' END || '.test'
+                   || CASE WHEN has_port THEN ':8081' ELSE '' END
+                   || path || q || frag AS url,
+               'test,' || CASE WHEN has_sub THEN 'sub,' ELSE '' END || hlab
+                   || CASE WHEN has_port THEN ':8081' ELSE '' END
+                   || ')' || path || q AS surt
+        FROM u ORDER BY event_id
     """
     return out

@@ -33,6 +33,7 @@ line of per-stage row counts and wall seconds. Stages:
            reproducible global training order (deterministic_shuffle)
   keepbest quality-aware dedup survivors (components keep their
            highest-quality member, not the min id)
+  export   corpus -> deterministic WARC shard blobs (archive sink)
   ann      LSH-bucketed cosine top-k of each planted query vector
 """
 
@@ -187,6 +188,24 @@ def main() -> None:
             return textops.redact_pii(cleaned)
 
         run("scrub", _scrub)
+
+    if "export" in stages:
+        # corpus -> WARC shard blobs (the archive-interchange sink):
+        # deterministic shard bytes, readable back via warc_records
+        def _export():
+            from smart_crawler_spark.sources.warc import write_warc_shards
+
+            payload = docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("http://corpus.test/doc/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                F.encode(F.col("text"), "UTF-8").alias("payload"),
+            )
+            return write_warc_shards(payload, n_shards=16)
+
+        run("export", _export)
 
     if "ann" in stages:
 

@@ -143,3 +143,34 @@ def blocklist_filter(
         .withColumn("blocked", F.col("_burl").isNotNull())
         .drop("_burl")
     )
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) of an absolute
+    URL — the key a CDX-style crawl index sorts by: scheme dropped,
+    host labels reversed comma-wise, port reattached with ':', then
+    ')' + path + ('?' + query), fragment discarded. All URLs of a
+    registrable domain share a prefix ('test,example,'), so a
+    10^10-row index range-scans any domain (and every subdomain) with
+    one ordered-storage prefix scan instead of a full filter pass —
+    the reason crawl indexes sort by SURT and the natural Iceberg/
+    parquet sort key for the seen/order tables. Pure Catalyst
+    expression, map-side."""
+    u = F.col(url) if isinstance(url, str) else url
+    auth = url_host(u)
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host_only = F.regexp_replace(auth, r":\d+$", "")
+    rev = F.array_join(F.reverse(F.split(host_only, r"\.")), ",")
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(u, F.lit("QUERY"))
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+        F.lit(")"),
+        path,
+        F.when(query.isNull(), F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )

@@ -83,3 +83,44 @@ def warc_records(
     return shards.select(
         shards[shard_col].alias(shard_col), shards[bytes_col]
     ).mapInPandas(gen, RECORDS_SCHEMA)
+
+
+def write_warc_shards(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """The WARC SINK: rows hash into ``n_shards`` buckets on the shared
+    md5 draw of their id and each bucket encodes its rows in id order
+    into one per-record-gzip WARC blob — so shard BYTES are
+    deterministic and layout-independent (same rows -> same shards ->
+    same bytes on any run, engine, or partitioning; pinned by the
+    roundtrip test). One groupBy shuffle; each shard encodes
+    independently in applyInPandas. Write the result as a parquet blob
+    table or dump each row to ``<shard_id>.warc.gz`` — the reader
+    (warc_records) accepts both."""
+    import pandas as pd
+
+    from smart_crawler_spark.functions.warc import encode_warc_records
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    bucket = md5_hash32(id_col) % n_shards
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        recs = [
+            {"url": u, "status": 200, "payload": bytes(p)}
+            for u, p in zip(pdf[url_col], pdf[payload_col])
+        ]
+        sid = f"s{int(pdf['_shard'].iloc[0])}"
+        return pd.DataFrame(
+            [{"shard_id": sid, "bytes": encode_warc_records(recs)}]
+        )
+
+    return (
+        df.withColumn("_shard", bucket)
+        .groupBy("_shard")
+        .applyInPandas(enc, "shard_id string, bytes binary")
+    )

@@ -162,3 +162,22 @@ def test_blocklist_filter_subdomain_semantics_both_paths(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_surt_key_edges(spark):
+    from smart_crawler_spark.frontier.canonical import surt_key
+
+    cases = [
+        ("http://EXAMPLE.Test/", "test,example)/"),
+        ("http://a.b.example.test:8080/p/1?x=2#frag",
+         "test,example,b,a:8080)/p/1?x=2"),
+        ("http://h.test?k=1", "test,h)?k=1"),
+        ("http://h.test/deep/path", "test,h)/deep/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select("url", surt_key("url").alias("s")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])

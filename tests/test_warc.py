@@ -101,3 +101,44 @@ def test_warc_deterministic_bytes():
     b = encode_warc_records(_recs())
     assert a == b
     assert gzip.decompress(a) == gzip.decompress(b)
+
+
+def test_write_warc_shards_roundtrip_and_layout_independence(spark):
+    """Sink -> source roundtrip: every (url, payload md5) survives, and
+    shard BYTES are identical regardless of input partitioning."""
+    import hashlib
+
+    from smart_crawler_spark.sources.warc import (
+        warc_records,
+        write_warc_shards,
+    )
+
+    rows = [
+        (i, f"http://h{i % 3}.test/p/{i}", (f"doc {i} " * (i % 3 + 1)).encode())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, bytearray(p)) for i, u, p in rows],
+        "doc_id long, url string, payload binary",
+    )
+    shards_a = {
+        r["shard_id"]: bytes(r["bytes"])
+        for r in write_warc_shards(df, n_shards=8).collect()
+    }
+    shards_b = {
+        r["shard_id"]: bytes(r["bytes"])
+        for r in write_warc_shards(
+            df.repartition(13, "url"), n_shards=8
+        ).collect()
+    }
+    assert shards_a == shards_b and len(shards_a) == 8
+
+    blobs = spark.createDataFrame(
+        [(s, bytearray(b)) for s, b in shards_a.items()],
+        "shard_id string, bytes binary",
+    )
+    got = {
+        (r["url"], r["payload_md5"]) for r in warc_records(blobs).collect()
+    }
+    want = {(u, hashlib.md5(p).hexdigest()) for _, u, p in rows}
+    assert got == want
