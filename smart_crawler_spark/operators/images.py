@@ -376,11 +376,14 @@ def caption_gate(
     n_words = F.size(
         F.filter(F.split(F.col("caption"), r"\s+"), lambda x: x != "")
     ).cast("int")
-    keep = (
+    # coalesce: unparseable payloads (null dims) and null captions are
+    # DROPS (keep=false), never null flags
+    keep = F.coalesce(
         (F.col("w") >= min_w)
         & (F.col("h") >= min_h)
         & (n_words >= min_words)
-        & (F.length("caption") <= max_chars)
+        & (F.length("caption") <= max_chars),
+        F.lit(False),
     )
     return dims.select(
         "image_id",

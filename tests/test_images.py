@@ -461,3 +461,14 @@ def test_caption_gate_dims_and_caption_rules(spark):
         assert r["n_words"] == (1 if i % 5 == 4 else 8)
     plan = caption_gate(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_caption_gate_unparseable_payload_is_drop_not_null(spark):
+    from smart_crawler_spark.operators.images import caption_gate
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"not an image"), "a fine long caption here")],
+        "image_id string, bytes binary, caption string",
+    )
+    (r,) = caption_gate(df).collect()
+    assert r["keep"] is False and r["w"] is None
