@@ -353,3 +353,69 @@ def test_group_sample_k_exact_deterministic_and_group_limited(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_new_sampling_ops_match_bruteforce_property(spark):
+    """Randomized differential sweep: domain_mix, deterministic_shuffle
+    and group_sample_k must equal the brute-force Python statement of
+    their specs on arbitrary shapes (domain skew, bucket counts, group
+    sizes)."""
+    import hashlib
+    import random
+
+    from smart_crawler_spark.operators.relational import (
+        deterministic_shuffle,
+        domain_mix,
+        group_sample_k,
+    )
+
+    def u32(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+
+    rng = random.Random(42)
+    for trial in range(4):
+        doms = [f"d{j}" for j in range(rng.randint(2, 6))]
+        rows = [
+            (i, rng.choice(doms))
+            for i in range(rng.randint(50, 400))
+        ]
+        df = spark.createDataFrame(rows, "id long, dom string")
+
+        # --- domain_mix vs brute force
+        targets = {d: rng.choice([0.1, 0.2, 0.4]) for d in doms[:-1]}
+        got = {r["id"] for r in domain_mix(df, "dom", "id", targets).collect()}
+        counts = {d: sum(1 for _, x in rows if x == d) for d in doms}
+        cap = min(
+            counts[d] / t for d, t in targets.items() if counts[d] > 0
+        )
+        want = {
+            i
+            for i, d in rows
+            if d in targets
+            and u32(i) / 2**32 < targets[d] * cap / counts[d]
+        }
+        assert got == want, f"domain_mix trial {trial}"
+
+        # --- deterministic_shuffle vs global sort spec
+        nb = rng.choice([1, 5, 16])
+        ns = rng.choice([1, 4, 7])
+        out = deterministic_shuffle(df, "id", n_shards=ns, n_buckets=nb)
+        got_pos = {r["id"]: (r["pos"], r["shard"]) for r in out.collect()}
+        order = sorted((i for i, _ in rows), key=lambda i: (u32(i), i))
+        assert got_pos == {
+            i: (p, p % ns) for p, i in enumerate(order)
+        }, f"shuffle trial {trial} nb={nb}"
+
+        # --- group_sample_k vs brute force
+        k = rng.randint(1, 4)
+        got_s = {
+            (r["dom"], r["id"])
+            for r in group_sample_k(df, "dom", "id", k).collect()
+        }
+        want_s = set()
+        for d in doms:
+            members = sorted(
+                (i for i, x in rows if x == d), key=lambda i: (u32(i), i)
+            )
+            want_s |= {(d, i) for i in members[:k]}
+        assert got_s == want_s, f"group_sample trial {trial} k={k}"
