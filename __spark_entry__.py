@@ -2151,6 +2151,19 @@ def surt_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + token encoding (operators/textops.py
+    vocab_encode): top-V words by frequency (ties lexicographic) get
+    dense rank ids, documents encode positionally, OOV = -1. One
+    word-count shuffle + a broadcast id map — the corpus never
+    shuffles. The oracle replays counts, rank and the left join in
+    SQL. V=25 < the corpus vocabulary, so OOV rows are exercised."""
+    from smart_crawler_spark.operators.textops import vocab_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_encode(docs, vocab_size=25).orderBy("doc_id", "pos")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2250,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_image_ingest": streaming_image_ingest,
         "warc_source": warc_source_q,
         "surt_index": surt_index_q,
+        "vocab_encode": vocab_encode_docs,
     }
 
 
@@ -3981,5 +3995,32 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN has_port THEN ':8081' ELSE '' END
                    || ')' || path || q AS surt
         FROM u ORDER BY event_id
+    """
+    # same tokenization, counts, deterministic rank and left join; the
+    # exploded output keeps token order without a corpus sort
+    out["vocab_encode"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS word
+            FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents
+            )
+        ),
+        vocab AS (
+            SELECT word,
+                   (row_number() OVER (ORDER BY count(*) DESC, word ASC)
+                       - 1)::INT AS token_id
+            FROM w GROUP BY word
+            ORDER BY count(*) DESC, word ASC
+            LIMIT 25
+        )
+        SELECT w.doc_id, w.pos::INT AS pos, w.word,
+               coalesce(v.token_id, -1)::INT AS token_id
+        FROM w LEFT JOIN vocab v USING (word)
+        ORDER BY w.doc_id, w.pos
     """
     return out

@@ -935,3 +935,52 @@ def extract_main_text(
         t = F.regexp_replace(t, ent, ch)
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return docs.select(F.col(id_col), t.alias("clean_text"))
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-vocabulary induction + token encoding — the tokenizer-
+    lite stage of a training pipeline: the top ``vocab_size`` words by
+    corpus frequency (ties -> lexicographic, fully deterministic) get
+    dense ids in rank order, and every document token maps to its id
+    (-1 for out-of-vocabulary). Output is the exploded (doc, position,
+    word, token_id) table, so downstream packing keeps token order
+    without a corpus re-sort.
+
+    Scale shape: ONE word-count shuffle (map-side partial counts), a
+    vocab_size-row TakeOrdered + window for the id assignment (tiny),
+    and a broadcast LEFT join back onto the exploded corpus — the
+    corpus itself never shuffles. This is the standard two-pass
+    (count, then encode) vocabulary build; the corpus scans twice but
+    the first pass reads only the text column."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
+    )
+    counts = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    top = counts.orderBy(F.col("_c").desc(), F.col("word").asc()).limit(
+        vocab_size
+    )
+    vocab = top.withColumn(
+        "token_id",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("_c").desc(), F.col("word").asc())
+            )
+            - 1
+        ).cast("int"),
+    ).select("word", "token_id")
+    return exploded.join(F.broadcast(vocab), "word", "left").select(
+        id_col,
+        "pos",
+        "word",
+        F.coalesce("token_id", F.lit(-1)).cast("int").alias("token_id"),
+    )
