@@ -2164,6 +2164,70 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_encode(docs, vocab_size=25).orderBy("doc_id", "pos")
 
 
+def _cust_supp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→supplier trade pairs (via orders ⨝ lineitem);
+    supplier ids offset by 1e6 into a disjoint node space."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank link-importance (operators/graphops.py): 8 power
+    iterations over the bidirectional customer⇄supplier trade graph
+    (every node has out-edges, so the dangling term is exactly 0 and
+    the oracle can state the recurrence without it). Iterative
+    co-partitioned joins, eager checkpoint every 2 rounds, dangling
+    mass via a broadcast 1-row cross join (no per-iteration driver
+    collect). Oracle = the same 8 iterations unrolled as chained CTEs
+    in DuckDB. Output is rank × N (mean 1.0) rounded to 6dp."""
+    from smart_crawler_spark.operators.graphops import pagerank
+
+    pairs = _cust_supp_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank(edges, iters=8, damping=0.85, checkpoint_interval=2)
+    cnt = pr.agg(F.count("*").alias("_n"))
+    return (
+        pr.crossJoin(F.broadcast(cnt))
+        .select(
+            "node", F.round(F.col("pr") * F.col("_n"), 6).alias("pr_n")
+        )
+        .orderBy("node")
+    )
+
+
+def hits_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graphops.py): 6 L1-normalized
+    iterations over the DIRECTED bipartite customer→supplier graph —
+    customers are pure hubs, suppliers pure authorities, so both zero
+    legs of the score vectors are exercised. Oracle = unrolled
+    normalize-join CTE chain. Output scores × N rounded to 6dp."""
+    from smart_crawler_spark.operators.graphops import hits
+
+    pairs = _cust_supp_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    h = hits(edges, iters=6, checkpoint_interval=2)
+    cnt = h.agg(F.count("*").alias("_n"))
+    return (
+        h.crossJoin(F.broadcast(cnt))
+        .select(
+            "node",
+            F.round(F.col("hub") * F.col("_n"), 6).alias("hub_n"),
+            F.round(F.col("auth") * F.col("_n"), 6).alias("auth_n"),
+        )
+        .orderBy("node")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2264,7 +2328,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": warc_source_q,
         "surt_index": surt_index_q,
         "vocab_encode": vocab_encode_docs,
+        "pagerank": pagerank_graph,
+        "hits": hits_graph,
     }
+
+
+_TRADE_GRAPH_SQL = """
+        pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )"""
+
+
+def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """The pagerank recurrence unrolled as chained CTEs (one per power
+    iteration). Constants are repr'd Python doubles so both engines
+    parse the identical IEEE value; the graph is bidirectional so the
+    dangling term is identically zero and omitted."""
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    parts = [
+        f"""
+        WITH {_TRADE_GRAPH_SQL},
+        e AS MATERIALIZED (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL SELECT s AS src, c AS dst FROM pairs
+        ),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+        r0 AS (
+            SELECT node, 1.0::DOUBLE / (SELECT cnt FROM nn) AS pr
+            FROM nodes
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{k} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   {t}::DOUBLE / (SELECT cnt FROM nn)
+                   + {d}::DOUBLE * sum(p.pr / dg.deg) AS pr
+            FROM e
+            JOIN r{k - 1} p ON p.node = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(pr * (SELECT cnt FROM nn), 6) AS pr_n
+        FROM r{iters} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def _hits_oracle_sql(iters: int = 6) -> str:
+    """HITS unrolled: per iteration an auth aggregate + L1 normalize,
+    then a hub aggregate + L1 normalize, exactly the operator's update
+    order. Final select left-joins from the node universe so pure hubs
+    carry auth 0 and vice versa."""
+    parts = [
+        f"""
+        WITH {_TRADE_GRAPH_SQL},
+        e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst AS node FROM e)
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+        h0 AS (
+            SELECT node, 1.0::DOUBLE / (SELECT cnt FROM nn) AS hub
+            FROM nodes
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        a{k}raw AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.hub) AS a
+            FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst
+        ),
+        a{k} AS MATERIALIZED (
+            SELECT node, a / (SELECT sum(a) FROM a{k}raw) AS auth
+            FROM a{k}raw
+        ),
+        h{k}raw AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.auth) AS h
+            FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+        ),
+        h{k} AS MATERIALIZED (
+            SELECT node, h / (SELECT sum(h) FROM h{k}raw) AS hub
+            FROM h{k}raw
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n.node,
+               round(coalesce(h.hub, 0.0::DOUBLE)
+                     * (SELECT cnt FROM nn), 6) AS hub_n,
+               round(coalesce(a.auth, 0.0::DOUBLE)
+                     * (SELECT cnt FROM nn), 6) AS auth_n
+        FROM nodes n
+        LEFT JOIN h{iters} h ON h.node = n.node
+        LEFT JOIN a{iters} a ON a.node = n.node
+        ORDER BY n.node"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4023,4 +4194,6 @@ def oracle_sql() -> dict[str, str]:
         FROM w LEFT JOIN vocab v USING (word)
         ORDER BY w.doc_id, w.pos
     """
+    out["pagerank"] = _pagerank_oracle_sql(iters=8, damping=0.85)
+    out["hits"] = _hits_oracle_sql(iters=6)
     return out

@@ -1,0 +1,204 @@
+"""Link-graph importance operators: PageRank and HITS.
+
+A crawl frontier at 10^10-URL scale needs a link-importance signal to
+prioritize fetches beyond the reference's page-class utility (the
+reference orders purely by inferred model utility,
+``crawler/CrawlFrontier.java`` comparator); PageRank/OPIC-style scores
+are the standard complement for web-scale frontiers. Both operators are
+expressed as the Spark iterative-fixpoint pattern (SURVEY §2.6): a
+driver loop of co-partitioned joins with eager ``localCheckpoint`` every
+``checkpoint_interval`` rounds to truncate lineage (lazy checkpoints
+re-plan per round — measured 2x slower on this box).
+
+Scale design (100 TB / 10^10 edges):
+- The edge table is joined once with out-degrees, repartitioned by
+  ``src``, and checkpointed; every iteration's contribution join then
+  hashes only the rank table (id + one double) into that layout. On a
+  real cluster the edge table would be bucketed by ``src`` so the
+  per-round join is exchange-free on the big side.
+- Dangling mass and normalization constants are computed as 1-row
+  DataFrames and broadcast-crossed into the update — no per-iteration
+  driver ``collect()``, so each round is one job regardless of K.
+- Ranks stay (node, double) — the shuffle per round is O(|V|) + the
+  co-partitioned edge probe, never O(|E|) re-materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Semantics (the textbook formulation, Page et al. 1999, with uniform
+    dangling-mass redistribution):
+
+        pr_0(v)   = 1/N
+        pr_k+1(v) = (1-d)/N + d * ( sum_{u->v} pr_k(u)/outdeg(u)
+                                    + dangling_k / N )
+
+    where ``dangling_k`` is the total rank held by nodes with no
+    out-edges. Node set = every id appearing as src or dst. Returns
+    ``(node, pr)`` with sum(pr) == 1 at every iteration.
+    """
+    spark = edges.sparkSession
+    e = _edges(edges, src, dst)
+    nparts = partitions or e.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    nparts = int(nparts)
+
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionAll(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition(nparts, "node")
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # edge table annotated with out-degree, laid out by src once; every
+    # iteration probes this layout with the (small) rank table
+    ed = (
+        e.join(deg, "_src")
+        .repartition(nparts, "_src")
+        .localCheckpoint()
+    )
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
+    for k in range(iters):
+        contribs = (
+            ed.join(ranks, ed._src == ranks.node)
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_c"))
+        )
+        # rank mass sitting on dangling nodes (no out-edges), as a
+        # 1-row frame broadcast into the update: no driver collect
+        dangling = (
+            ranks.join(deg, ranks.node == deg._src, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_interval > 0 and (
+            (k + 1) % checkpoint_interval == 0 or k == iters - 1
+        ):
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) with L1 normalization.
+
+        auth_k+1(v) = sum_{u->v} hub_k(u)      then auth /= sum(auth)
+        hub_k+1(u)  = sum_{u->v} auth_k+1(v)   then hub  /= sum(hub)
+
+    L1 (sum) normalization instead of the classical L2 keeps the oracle
+    SQL-exact (no sqrt of a float sum); the fixpoint direction is
+    identical. Returns ``(node, hub, auth)``; either score is 0 for
+    nodes with no edges in that direction. Same scale layout as
+    ``pagerank``: the edge table is checkpointed by key once per
+    direction, scores are (node, double) frames.
+    """
+    e = _edges(edges, src, dst)
+    nparts = int(
+        partitions
+        or e.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionAll(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition(nparts, "node")
+        .localCheckpoint()
+    )
+    e_by_src = e.repartition(nparts, "_src").localCheckpoint()
+    e_by_dst = e.repartition(nparts, "_dst").localCheckpoint()
+    n = nodes.count()
+
+    hub = nodes.select("node", (F.lit(1.0) / n).alias("hub"))
+    auth = None
+    for k in range(iters):
+        raw_auth = (
+            e_by_src.join(hub, e_by_src._src == hub.node)
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        asum = raw_auth.agg(F.sum("_a").alias("_s"))
+        auth = (
+            nodes.join(raw_auth, "node", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_s")).alias(
+                    "auth"
+                ),
+            )
+        )
+        raw_hub = (
+            e_by_dst.join(auth, e_by_dst._dst == auth.node)
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        hsum = raw_hub.agg(F.sum("_h").alias("_s"))
+        hub = (
+            nodes.join(raw_hub, "node", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_s")).alias(
+                    "hub"
+                ),
+            )
+        )
+        if checkpoint_interval > 0 and (
+            (k + 1) % checkpoint_interval == 0 or k == iters - 1
+        ):
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    return hub.join(auth, "node")
+
+
+def toppages_by_rank(ranks: DataFrame, k: int, col: str = "pr") -> DataFrame:
+    """Top-k nodes by rank with deterministic (rank desc, node asc)
+    ordering — a map-side WindowGroupLimit plan, same pattern as the
+    frontier's per-host top-k (F2)."""
+    w = Window.orderBy(F.col(col).desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
