@@ -2228,6 +2228,29 @@ def hits_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revisit_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-staleness recrawl scheduling (frontier/revisit.py,
+    Cho & Garcia-Molina 2003): per-URL change rate from a visit log
+    (change = content fingerprint differs from the previous visit),
+    priority = 1 - exp(-lambda * age). Events replay as the visit log:
+    one URL per user, fingerprint = floor(value/10), microsecond
+    timestamps on both engines (unix_micros == epoch_us). One window +
+    one aggregate, 'now' via broadcast 1-row cross join."""
+    from smart_crawler_spark.frontier.revisit import revisit_priority
+
+    v = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("http://site.test/u/"), F.col("user_id").cast("string")
+        ).alias("url"),
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # wall-clock identity and unix_micros == DuckDB epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("fp"),
+        "event_id",
+    )
+    return revisit_priority(v, tiebreak="event_id").orderBy("url")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2330,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
         "hits": hits_graph,
+        "revisit_priority": revisit_priority_q,
     }
 
 
@@ -4196,4 +4220,40 @@ def oracle_sql() -> dict[str, str]:
     """
     out["pagerank"] = _pagerank_oracle_sql(iters=8, damping=0.85)
     out["hits"] = _hits_oracle_sql(iters=6)
+    # identical window + aggregate + Poisson staleness arithmetic; the
+    # floats divide and exp() over the same IEEE doubles on both sides
+    out["revisit_priority"] = """
+        WITH v AS (
+            SELECT 'http://site.test/u/' || user_id AS url,
+                   epoch_us(ts) AS ts_us,
+                   CAST(floor(value / 10.0) AS BIGINT) AS fp,
+                   event_id
+            FROM events
+        ),
+        ch AS (
+            SELECT url, ts_us, fp,
+                   lag(fp) OVER (PARTITION BY url
+                                 ORDER BY ts_us, event_id) AS prev
+            FROM v
+        ),
+        agg AS (
+            SELECT url, count(*) AS visits,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND fp <> prev
+                            THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+                   min(ts_us) AS f, max(ts_us) AS l
+            FROM ch GROUP BY url
+        ),
+        nw AS (SELECT max(l) AS now_us FROM agg)
+        SELECT url, visits, changes,
+               round(CASE WHEN l > f
+                     THEN changes / ((l - f) / 3600000000.0::DOUBLE)
+                     ELSE 0.0::DOUBLE END, 6) AS lambda_h,
+               round(1.0::DOUBLE - exp(
+                   -(CASE WHEN l > f
+                     THEN changes / ((l - f) / 3600000000.0::DOUBLE)
+                     ELSE 0.0::DOUBLE END)
+                   * (((SELECT now_us FROM nw) - l)
+                      / 3600000000.0::DOUBLE)), 6) AS priority
+        FROM agg ORDER BY url
+    """
     return out
