@@ -2251,6 +2251,118 @@ def revisit_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_priority(v, tiebreak="event_id").orderBy("url")
 
 
+def sitemap_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemap.py): build one sitemap XML
+    document per site from the part table — entries carry optional
+    lastmod/priority, k%5 locs have an escaped '&', k%7 locs are CDATA
+    (k%35: CDATA containing a RAW '&'), plus one sitemapindex doc —
+    then parse them back with the pure-Catalyst fragment parser. The
+    oracle states the generation rule directly, so entity decoding,
+    CDATA handling and per-fragment field alignment are all under the
+    hash check."""
+    from smart_crawler_spark.sources.sitemap import parse_sitemaps
+
+    k = F.col("k")
+    base = F.concat(
+        F.lit("http://s"),
+        F.col("site").cast("string"),
+        F.lit(".example/part/"),
+        k.cast("string"),
+    )
+    loc_xml = (
+        F.when(
+            k % 35 == 0,
+            F.concat(F.lit("<![CDATA["), base, F.lit("?a=1&b=2]]>")),
+        )
+        .when(k % 7 == 0, F.concat(F.lit("<![CDATA["), base, F.lit("]]>")))
+        .when(k % 5 == 0, F.concat(base, F.lit("?a=1&amp;b=2")))
+        .otherwise(base)
+    )
+    lastmod = F.when(
+        k % 3 != 2,
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((k % 28) + 1).cast("string"), 2, "0"),
+        ),
+    )
+    changefreq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (k % 3 + 1).cast("int"),
+    )
+    priority = F.when(
+        k % 4 == 0, F.concat(F.lit("0."), (k % 10).cast("string"))
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        loc_xml,
+        F.lit("</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")),
+            F.lit(""),
+        ),
+        F.lit("<changefreq>"),
+        changefreq,
+        F.lit("</changefreq>"),
+        F.coalesce(
+            F.concat(F.lit("<priority>"), priority, F.lit("</priority>")),
+            F.lit(""),
+        ),
+        F.lit("</url>"),
+    )
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), (F.col("p_partkey") % 37).alias("site")
+    )
+    site_docs = (
+        parts.withColumn("_entry", entry)
+        .groupBy("site")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("k", "_entry"))
+                        ),
+                        lambda x: x["_entry"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    index_doc = (
+        parts.select("site")
+        .distinct()
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("site")),
+                        lambda s: F.concat(
+                            F.lit("<sitemap><loc>http://idx.example/sm/"),
+                            s.cast("string"),
+                            F.lit(
+                                ".xml</loc><lastmod>2024-02-01</lastmod>"
+                                "</sitemap>"
+                            ),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("xml")
+        )
+        .select(F.lit(-1).cast("long").alias("site"), "xml")
+    )
+    docs = site_docs.unionByName(index_doc)
+    return parse_sitemaps(docs, passthrough=["site"]).orderBy("kind", "loc")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2354,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": pagerank_graph,
         "hits": hits_graph,
         "revisit_priority": revisit_priority_q,
+        "sitemap_parse": sitemap_parse_q,
     }
 
 
@@ -4255,5 +4368,38 @@ def oracle_sql() -> dict[str, str]:
                    * (((SELECT now_us FROM nw) - l)
                       / 3600000000.0::DOUBLE)), 6) AS priority
         FROM agg ORDER BY url
+    """
+    # the sitemap documents are rule-generated from part, so the oracle
+    # states the rule; the Spark side must round-trip it through XML
+    # assembly + the fragment parser (entities, CDATA, optional fields)
+    out["sitemap_parse"] = """
+        WITH p AS (
+            SELECT p_partkey AS k, p_partkey % 37 AS site FROM part
+        ),
+        urls AS (
+            SELECT site, 'url' AS kind,
+                   'http://s' || site || '.example/part/' || k ||
+                       CASE WHEN k % 5 = 0 THEN '?a=1&b=2' ELSE '' END
+                       AS loc,
+                   CASE WHEN k % 3 <> 2 THEN '2024-01-' ||
+                        lpad(CAST((k % 28) + 1 AS VARCHAR), 2, '0')
+                   END AS lastmod,
+                   CASE k % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                        ELSE 'monthly' END AS changefreq,
+                   CASE WHEN k % 4 = 0
+                        THEN ('0.' || (k % 10))::DOUBLE END AS priority
+            FROM p
+        ),
+        idx AS (
+            SELECT CAST(-1 AS BIGINT) AS site, 'sitemap' AS kind,
+                   'http://idx.example/sm/' || s || '.xml' AS loc,
+                   '2024-02-01' AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM (SELECT DISTINCT site AS s FROM p)
+        )
+        SELECT * FROM (
+            SELECT * FROM urls UNION ALL SELECT * FROM idx
+        ) ORDER BY kind, loc
     """
     return out
