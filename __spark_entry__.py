@@ -2363,6 +2363,21 @@ def sitemap_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemaps(docs, passthrough=["site"]).orderBy("kind", "loc")
 
 
+def bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training kernel (operators/textops.py bpe_pair_stats):
+    corpus-weighted adjacent-char-pair counts — word frequencies in one
+    shuffle, pair explode over the DISTINCT word table only. The full
+    sequential trainer (bpe_train/bpe_encode) is differential-tested
+    against a pure-Python BPE in tests/test_bpe.py; this query puts the
+    argmax table itself under the oracle hash."""
+    from smart_crawler_spark.operators.textops import bpe_pair_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_stats(docs, top_k=50).orderBy(
+        F.col("weight").desc(), F.col("pair").asc()
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -2467,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": hits_graph,
         "revisit_priority": revisit_priority_q,
         "sitemap_parse": sitemap_parse_q,
+        "bpe_pair_stats": bpe_pair_stats_docs,
     }
 
 
@@ -4401,5 +4417,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM (
             SELECT * FROM urls UNION ALL SELECT * FROM idx
         ) ORDER BY kind, loc
+    """
+    # same two-stage shape: word counts, then a lateral pair explode
+    # over the distinct-word table (words shorter than 2 chars produce
+    # an empty series on both engines)
+    out["bpe_pair_stats"] = """
+        WITH w AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS word
+            FROM documents
+        ),
+        wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+        pairs AS (
+            SELECT f.freq,
+                   substr(f.word, i, 1) || ' ' || substr(f.word, i + 1, 1)
+                       AS pair
+            FROM wf f,
+                 unnest(generate_series(1, length(f.word) - 1)) AS t(i)
+        )
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+        FROM pairs GROUP BY pair
+        ORDER BY weight DESC, pair ASC LIMIT 50
     """
     return out

@@ -984,3 +984,188 @@ def vocab_encode(
         "word",
         F.coalesce("token_id", F.lit(-1)).cast("int").alias("token_id"),
     )
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-weighted adjacent-character-pair statistics — the inner
+    kernel of BPE tokenizer training (Sennrich et al. 2016, "Neural
+    machine translation of rare words with subword units"): each merge
+    step of the trainer is argmax over exactly this table.
+
+    Scale shape: word frequencies first (ONE shuffle with map-side
+    partial counts over the corpus), then pairs explode only over the
+    DISTINCT word table weighted by frequency — at 100 TB the corpus is
+    read once while the pair explode touches a vocabulary that is
+    orders of magnitude smaller. Returns ``(pair, weight)`` top-k by
+    (weight desc, pair asc) — fully deterministic."""
+    wf = (
+        docs.select(F.explode(_word_list(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.concat(
+                        F.col("word").substr(i, F.lit(1)),
+                        F.lit(" "),
+                        F.col("word").substr(i + 1, F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def _merge_symbols(syms: Column, left: str, right: str, merged: str) -> Column:
+    """One left-to-right non-overlapping merge pass over a symbol
+    array, as a single Catalyst fold (no Python): carry the last
+    unmerged symbol as ``pending``; when (pending, x) == (left, right)
+    replace both with ``merged`` (which can itself merge with a LATER
+    occurrence but never re-merges in place — standard BPE pass
+    semantics)."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pending"),
+    )
+    step = lambda acc, x: F.when(  # noqa: E731
+        (acc["pending"] == left) & (x == F.lit(right)),
+        F.struct(acc["out"].alias("out"), F.lit(merged).alias("pending")),
+    ).otherwise(
+        F.struct(
+            F.when(
+                acc["pending"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["pending"])),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+            x.alias("pending"),
+        )
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["pending"].isNotNull(),
+        F.concat(acc["out"], F.array(acc["pending"])),
+    ).otherwise(acc["out"])
+    return F.aggregate(syms, acc0, step, fin)
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    end_token: str = "</w>",
+    min_weight: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer training: learn ``num_merges`` merge
+    rules from corpus word frequencies.
+
+    The merge loop is inherently sequential (each argmax depends on the
+    previous merge), so each round collects exactly ONE row (the best
+    pair) to the driver — the classic Spark BPE shape. All heavy work
+    stays distributed AND vocabulary-sized: after the initial word
+    count (the only corpus-wide shuffle) every round re-counts pairs
+    over the distinct-word symbol table, weighted by frequency, and
+    rewrites it with one Catalyst fold (``_merge_symbols``) + eager
+    checkpoint. Words end with ``end_token`` so prefix/suffix merges
+    stay distinct, as in the original algorithm.
+
+    Returns the ordered merge list [(left, right, weight), ...];
+    stops early when the best pair's weight < ``min_weight``."""
+    wf = (
+        docs.select(F.explode(_word_list(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = wf.select(
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(end_token))
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pair_w = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i + 1).alias("l"),
+                            F.element_at(F.col("syms"), i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pair_w or pair_w[0]["w"] < min_weight:
+            break
+        left, right = pair_w[0]["p"]["l"], pair_w[0]["p"]["r"]
+        merges.append((left, right, int(pair_w[0]["w"])))
+        vocab = vocab.withColumn(
+            "syms", _merge_symbols(F.col("syms"), left, right, left + right)
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_token: str = "</w>",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply learned BPE merges to a corpus: per document, tokenize to
+    words, split to characters + ``end_token``, then replay the merge
+    list in order. Each merge is one map-only Catalyst fold over the
+    token arrays (zero shuffles, zero Python); the expression chain is
+    checkpointed every ``checkpoint_every`` merges so codegen depth
+    stays bounded. Returns ``(id_col, pos, token)`` exploded in
+    subword order."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(_word_list(F.col(text_col))).alias("widx", "word"),
+    )
+    enc = words.select(
+        id_col,
+        "widx",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(end_token))
+        ).alias("syms"),
+    )
+    for j, m in enumerate(merges):
+        left, right = m[0], m[1]
+        enc = enc.withColumn(
+            "syms", _merge_symbols(F.col("syms"), left, right, left + right)
+        )
+        if (j + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    flat = enc.select(
+        id_col, "widx", F.posexplode("syms").alias("sidx", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("widx", "sidx")
+    return flat.select(
+        id_col, (F.row_number().over(w) - 1).alias("pos"), "token"
+    )
