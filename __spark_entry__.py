@@ -2228,6 +2228,47 @@ def hits_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graphops.py:triangle_counts, Suri & Vassilvitskii 2011
+    degree-ordered orientation) over the co-purchase graph: parts are
+    nodes, an edge links two parts that appear in the same URGENT
+    order. Orientation bounds every wedge source's out-degree at
+    O(sqrt(m)), so the plan is three equi-joins + one aggregation with
+    no quadratic hot-node blowup; the oracle enumerates the same
+    triangles with the naive u<v<w triple join (affordable in DuckDB
+    at gate scale)."""
+    from smart_crawler_spark.operators.graphops import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    )
+    return (
+        triangle_counts(edges)
+        .select(
+            "node",
+            "deg",
+            F.col("tri").cast("long").alias("tri"),
+            "lcc",
+        )
+        .orderBy("node")
+    )
+
+
 def revisit_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-staleness recrawl scheduling (frontier/revisit.py,
     Cho & Garcia-Molina 2003): per-URL change rate from a visit log
@@ -2479,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": surt_index_q,
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
+        "triangle_count": triangle_count_q,
         "hits": hits_graph,
         "revisit_priority": revisit_priority_q,
         "sitemap_parse": sitemap_parse_q,
@@ -4348,6 +4390,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY w.doc_id, w.pos
     """
     out["pagerank"] = _pagerank_oracle_sql(iters=8, damping=0.85)
+    # naive u<v<w triple enumeration of the same co-purchase graph —
+    # affordable in DuckDB at gate scale; Spark runs the degree-ordered
+    # orientation instead (same triangles, each found exactly once)
+    out["triangle_count"] = """
+        WITH lp AS (
+            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+        ), e AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        ), deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY node
+        ), tri AS (
+            SELECT x.u AS a, x.v AS b, y.v AS c
+            FROM e x
+            JOIN e y ON x.u = y.u AND x.v < y.v
+            JOIN e z ON z.u = x.v AND z.v = y.v
+        ), pn AS (
+            SELECT node, count(*) AS tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node AS node, d.deg AS deg,
+               coalesce(p.tri, 0) AS tri,
+               CASE WHEN d.deg > 1 THEN
+                   round(2.0 * coalesce(p.tri, 0)
+                         / (d.deg * (d.deg - 1.0)), 6)
+               ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN pn p ON p.node = d.node
+        ORDER BY d.node
+    """
     out["hits"] = _hits_oracle_sql(iters=6)
     # identical window + aggregate + Poisson staleness arithmetic; the
     # floats divide and exp() over the same IEEE doubles on both sides

@@ -192,6 +192,105 @@ def hits(
     return hub.join(auth, "node")
 
 
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as an edge list (direction and duplicates
+    ignored; self-loops dropped).
+
+    Algorithm (the MapReduce-era standard, Suri & Vassilvitskii 2011
+    "Counting Triangles and the Curse of the Last Reducer"):
+
+    1. Canonicalize to undirected ``u < v`` distinct edges.
+    2. ORIENT each edge from its lower-(degree, id) endpoint to the
+       higher one. This is the load-balancing step: every node's
+       oriented out-degree is O(sqrt(m)), so the wedge join below never
+       builds the quadratic neighbor-pair list of a hot node (a
+       celebrity node with 10^7 followers contributes 0 wedges as a
+       source unless its neighbors are equally hot).
+    3. Wedge join: oriented (a→b) ⨝ oriented (a→c) with b before c in
+       the same (degree, id) total order — an equi-join on the source.
+    4. Close: semi-join wedges (b, c) against the oriented edge set —
+       another equi-join. Each triangle is found exactly once, at its
+       lowest-(degree, id) corner.
+    5. Explode the 3 corners of each triangle and count per node.
+
+    Every stage is an equi-join or aggregation (no cartesian, no
+    windows); at 10^10 edges the oriented edge table is the only big
+    shuffle and it is reused (checkpointed) across the two probes.
+
+    Returns ``(node, deg, tri, lcc)`` for every node with deg >= 1,
+    where ``lcc = 2*tri / (deg*(deg-1))`` (0.0 when deg < 2), rounded
+    to 6dp so float formatting is oracle-stable.
+    """
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    # orient low-(deg, id) -> high-(deg, id); struct comparison gives the
+    # lexicographic (deg, node) total order natively in codegen
+    keyed = e.join(du, "u").join(dv, "v")
+    uk = F.struct(F.col("_du").alias("deg"), F.col("u").alias("node"))
+    vk = F.struct(F.col("_dv").alias("deg"), F.col("v").alias("node"))
+    lo_first = uk < vk
+    oriented = keyed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, vk).otherwise(uk).alias("tkey"),
+    ).localCheckpoint()
+    o1 = oriented.select(F.col("s"), F.col("tkey").alias("k1"))
+    o2 = oriented.select(F.col("s"), F.col("tkey").alias("k2"))
+    wedges = o1.join(o2, "s").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("s").alias("_cs"), F.col("tkey").alias("_ck")
+    )
+    tri_rows = wedges.join(
+        closing,
+        (F.col("k1.node") == F.col("_cs")) & (F.col("k2") == F.col("_ck")),
+        "left_semi",
+    ).select(
+        F.col("s").alias("x"),
+        F.col("k1.node").alias("y"),
+        F.col("k2.node").alias("z"),
+    )
+    per_node = (
+        tri_rows.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).alias("tri"),
+            F.when(
+                F.col("deg") > 1,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("tri"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
 def toppages_by_rank(ranks: DataFrame, k: int, col: str = "pr") -> DataFrame:
     """Top-k nodes by rank with deterministic (rank desc, node asc)
     ordering — a map-side WindowGroupLimit plan, same pattern as the

@@ -10,7 +10,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from smart_crawler_spark.operators.graphops import hits, pagerank, toppages_by_rank
+from smart_crawler_spark.operators.graphops import (
+    hits,
+    pagerank,
+    toppages_by_rank,
+    triangle_counts,
+)
 
 
 def _np_pagerank(edges, iters, d=0.85):
@@ -128,4 +133,65 @@ def test_pagerank_plan_no_cartesian_blowup(spark):
     r = pagerank(df, iters=2, checkpoint_interval=0)
     plan = r._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def _brute_triangles(edges):
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            if w > v:  # each triangle once (u < v < w)
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    out = {}
+    for n in adj:
+        d = len(adj[n])
+        lcc = round(2.0 * tri[n] / (d * (d - 1)), 6) if d > 1 else 0.0
+        out[n] = (d, tri[n], lcc)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_triangle_counts_matches_brute(spark, seed):
+    rng = random.Random(seed)
+    edges = _rand_edges(rng, 30, 140)
+    # add duplicates, reversed duplicates, and self-loops: all ignored
+    edges = edges + [(v, u) for u, v in edges[:20]] + [(5, 5), (7, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["deg"], r["tri"], r["lcc"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_known_shapes(spark):
+    # K4 (every node: deg 3, 3 triangles, lcc 1.0) + a path 10-11-12
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + path, "src long, dst long")
+    got = {
+        r["node"]: (r["deg"], r["tri"], r["lcc"])
+        for r in triangle_counts(df).collect()
+    }
+    for n in range(4):
+        assert got[n] == (3, 3, 1.0)
+    assert got[10] == (1, 0, 0.0)
+    assert got[11] == (2, 0, 0.0)
+    assert got[12] == (1, 0, 0.0)
+
+
+def test_triangle_counts_plan_equi_joins_only(spark):
+    edges = [(i, (i * 3 + 1) % 15) for i in range(15)] + [(1, 2), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_counts(df)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
