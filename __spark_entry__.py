@@ -2269,6 +2269,53 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anchor_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (graphops.py:anchor_text_agg):
+    lineitem replays as a link log — src page on one of 50 hosts keyed
+    by supplier, dst = the part's page, anchor drawn deterministically
+    from quantity — and each target aggregates inlinks, anchor
+    diversity, source-host diversity (link-farm discount), and the
+    dominant anchor (count desc, anchor asc tie-break). The window
+    runs over pre-aggregated (dst, anchor) rows only."""
+    from smart_crawler_spark.operators.graphops import anchor_text_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    anchors = F.array(
+        F.lit("buy now"),
+        F.lit("details"),
+        F.lit("best price"),
+        F.lit("spec sheet"),
+        F.lit("similar parts"),
+    )
+    links = li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_suppkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("http://site.example/part/"),
+            F.col("l_partkey").cast("string"),
+        ).alias("dst"),
+        F.element_at(
+            anchors, (F.col("l_quantity").cast("long") % 5 + 1).cast("int")
+        ).alias("anchor"),
+    )
+    return (
+        anchor_text_agg(links)
+        .select(
+            "dst",
+            "inlinks",
+            "distinct_anchors",
+            "src_hosts",
+            "top_anchor",
+            "top_anchor_cnt",
+        )
+        .orderBy("dst")
+    )
+
+
 def revisit_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-staleness recrawl scheduling (frontier/revisit.py,
     Cho & Garcia-Molina 2003): per-URL change rate from a visit log
@@ -2521,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
         "triangle_count": triangle_count_q,
+        "anchor_text": anchor_text_q,
         "hits": hits_graph,
         "revisit_priority": revisit_priority_q,
         "sitemap_parse": sitemap_parse_q,
@@ -4390,6 +4438,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY w.doc_id, w.pos
     """
     out["pagerank"] = _pagerank_oracle_sql(iters=8, damping=0.85)
+    out["anchor_text"] = """
+        WITH links AS (
+            SELECT 'http://h' || (l_suppkey % 50)
+                   || '.example/o/' || l_orderkey AS src,
+                   'http://site.example/part/' || l_partkey AS dst,
+                   (['buy now', 'details', 'best price', 'spec sheet',
+                     'similar parts'])[
+                       (CAST(l_quantity AS BIGINT) % 5 + 1)::INT
+                   ] AS anchor
+            FROM lineitem
+        ), pa AS (
+            SELECT dst, anchor, count(*) AS cnt
+            FROM links GROUP BY dst, anchor
+        ), top AS (
+            SELECT dst, anchor AS top_anchor, cnt AS top_anchor_cnt
+            FROM (
+                SELECT dst, anchor, cnt,
+                       row_number() OVER (
+                           PARTITION BY dst
+                           ORDER BY cnt DESC, anchor ASC
+                       ) AS rn
+                FROM pa
+            ) WHERE rn = 1
+        ), tot AS (
+            SELECT dst, count(*) AS inlinks,
+                   count(DISTINCT anchor) AS distinct_anchors,
+                   count(DISTINCT regexp_extract(
+                       src, '^[a-z][a-z0-9+.-]*://([^/]+)', 1
+                   )) AS src_hosts
+            FROM links GROUP BY dst
+        )
+        SELECT t.dst AS dst, t.inlinks, t.distinct_anchors, t.src_hosts,
+               p.top_anchor, p.top_anchor_cnt
+        FROM tot t JOIN top p ON p.dst = t.dst
+        ORDER BY t.dst
+    """
     # naive u<v<w triple enumeration of the same co-purchase graph —
     # affordable in DuckDB at gate scale; Spark runs the degree-ordered
     # orientation instead (same triangles, each found exactly once)

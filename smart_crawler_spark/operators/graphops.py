@@ -291,6 +291,60 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def anchor_text_agg(
+    links: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Inbound anchor-text aggregation per target URL — the classic
+    web-corpus signal (anchor text describes the TARGET better than the
+    target's own text; used by every search stack since Brin & Page
+    1998 §2.2) and a quality feature for crawl prioritization.
+
+    Per target: total inlinks, distinct anchor strings, distinct
+    source hosts (link-farm discount: 10^6 inlinks from one host is
+    one vote), and the dominant anchor with its count (ties broken by
+    lexicographically smallest anchor, so the result is deterministic
+    and oracle-hashable).
+
+    Scale shape: one partial-aggregated groupBy on (dst, anchor) — the
+    map-side combine collapses repeated anchors before the shuffle —
+    then a groupBy on dst; the dominant-anchor pick is a window
+    PARTITIONED BY dst over the already-aggregated (dst, anchor, cnt)
+    rows, never over raw links. A hot page with 10^7 inlinks but ~10^2
+    distinct anchors costs 10^2 window rows. No global window, no
+    driver collect.
+    """
+    host = F.regexp_extract(F.col(src), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    base = links.select(
+        F.col(dst).alias("dst"),
+        F.col(anchor).alias("anchor"),
+        host.alias("_shost"),
+    )
+    per_anchor = base.groupBy("dst", "anchor").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "dst",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_cnt"),
+        )
+    )
+    totals = base.groupBy("dst").agg(
+        F.count("*").alias("inlinks"),
+        F.countDistinct("anchor").alias("distinct_anchors"),
+        F.countDistinct("_shost").alias("src_hosts"),
+    )
+    return totals.join(top, "dst")
+
+
 def toppages_by_rank(ranks: DataFrame, k: int, col: str = "pr") -> DataFrame:
     """Top-k nodes by rank with deterministic (rank desc, node asc)
     ordering — a map-side WindowGroupLimit plan, same pattern as the

@@ -195,3 +195,49 @@ def test_triangle_counts_plan_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_anchor_text_agg_semantics(spark):
+    from smart_crawler_spark.operators.graphops import anchor_text_agg
+
+    rows = [
+        # t1: 'b' and 'a' tie at 2 — tie-break picks 'a'; 3 hosts
+        ("http://h1.x/p1", "t1", "a"),
+        ("http://h1.x/p2", "t1", "a"),
+        ("http://h2.x/p1", "t1", "b"),
+        ("http://h3.x/p1", "t1", "b"),
+        # t2: link farm — 3 inlinks, 1 host, dominant 'z'
+        ("http://farm.x/1", "t2", "z"),
+        ("http://farm.x/2", "t2", "z"),
+        ("http://farm.x/3", "t2", "y"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {r["dst"]: r.asDict() for r in anchor_text_agg(df).collect()}
+    assert got["t1"]["inlinks"] == 4
+    assert got["t1"]["distinct_anchors"] == 2
+    assert got["t1"]["src_hosts"] == 3
+    assert (got["t1"]["top_anchor"], got["t1"]["top_anchor_cnt"]) == ("a", 2)
+    assert got["t2"]["src_hosts"] == 1
+    assert (got["t2"]["top_anchor"], got["t2"]["top_anchor_cnt"]) == ("z", 2)
+
+
+def test_anchor_text_agg_window_is_post_agg(spark):
+    """The dominant-anchor window must consume the aggregated
+    (dst, anchor, cnt) rows, not raw links: the Window node sits above
+    a HashAggregate in the optimized plan."""
+    from smart_crawler_spark.operators.graphops import anchor_text_agg
+
+    df = spark.createDataFrame(
+        [("http://a.x/1", "t", "w")], "src string, dst string, anchor string"
+    )
+    plan = (
+        anchor_text_agg(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    w = plan.find("Window")
+    agg_after_window = plan.find("HashAggregate", w)
+    assert w != -1 and agg_after_window != -1
