@@ -485,6 +485,44 @@ def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (operators/minhash.py
+    incremental_near_dup): the corpus LSH index is probed by a synthetic
+    incoming batch built deterministically from the corpus itself —
+    exact copies (every 5th doc), truncated near-copies (every 7th doc
+    with >=30 words, last ~1/12 of the words dropped, true Jaccard
+    ~0.89 so both the 0.8 threshold and the 16x4 banding recall hold
+    with margin), and word-reversed novel docs (every 11th; reversal
+    destroys the trigram shingles, Jaccard ~0). Every batch row comes
+    back flagged with its best corpus match; the DuckDB oracle
+    recomputes exact batch x corpus shingle Jaccard brute-force."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = textops._word_list("text")
+    n = F.size(w)
+    keep = (n - F.floor(n / 12) - 1).cast("int")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    trunc = docs.filter((F.col("doc_id") % 7 == 0) & (n >= 30)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, keep)).alias("text"),
+    )
+    rev = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(w)).alias("text"),
+    )
+    batch = exact.unionAll(trunc).unionAll(rev)
+    out = minhash.incremental_near_dup(
+        docs, batch, threshold=0.8, num_perm=64, bands=16
+    )
+    return out.select(
+        "doc_id",
+        "is_dup",
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    ).orderBy("doc_id")
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, oracle-checked end-to-end: the md5-derived
     token hash (operators/minhash.py:_md5_token_hash) is reproducible in
@@ -2500,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": distinct_counts,
         "event_pivot": event_pivot,
         "minhash_near_dup": minhash_near_dup,
+        "incremental_near_dup": incremental_near_dup_q,
         "near_dup_components": near_dup_components,
         "near_dup_components_star": near_dup_components_star,
         "simhash_near_dup": simhash_near_dup,
@@ -3496,6 +3535,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "incremental_near_dup": """
+            WITH w0 AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            batch AS (
+                SELECT doc_id + 200000 AS doc_id, w FROM w0
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 300000, w[1 : CAST(len(w) - len(w)//12 - 1 AS INT)]
+                FROM w0 WHERE doc_id % 7 = 0 AND len(w) >= 30
+                UNION ALL
+                SELECT doc_id + 400000, list_reverse(w) FROM w0
+                WHERE doc_id % 11 = 0
+            ),
+            shc AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                 generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM w0
+            ),
+            shb AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                 generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM batch
+            ),
+            hits AS (
+                SELECT b.doc_id AS doc_id, c.doc_id AS dup_of,
+                       round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                             / len(list_distinct(list_concat(b.s, c.s))), 6)
+                           AS jaccard
+                FROM shb b JOIN shc c
+                  ON len(b.s) * 5 >= len(c.s) * 4
+                 AND len(c.s) * 5 >= len(b.s) * 4
+                WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(b.s, c.s))), 6) >= 0.8
+            ),
+            best AS (
+                SELECT doc_id, dup_of, jaccard,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY jaccard DESC, dup_of ASC) AS rn
+                FROM hits
+            )
+            SELECT b.doc_id,
+                   best.dup_of IS NOT NULL AS is_dup,
+                   coalesce(best.dup_of, -1) AS dup_of,
+                   coalesce(best.jaccard, 0.0) AS jaccard
+            FROM batch b
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) best USING (doc_id)
+            ORDER BY doc_id
         """,
         "near_dup_components": f"""
             WITH RECURSIVE ws AS (

@@ -126,21 +126,20 @@ def shingle_set(text_col, n: int = 3):
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame,
     bands: int,
     id_col: str = "doc_id",
     num_perm: int | None = None,
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing >=1 band
-    bucket. The join key is (band, hash(band slice)) — a shuffle
-    equi-join; the pair explosion is bounded by bucket sizes, and the
-    groupBy dedups multi-band collisions. Pass ``num_perm`` when known —
-    inferring it costs an extra job (and a full signature computation)."""
+    """(id, band, bucket) — one row per band, bucket = hash of the
+    band's signature slice. This IS the stored LSH index layout: at
+    production scale it is written once per corpus snapshot (bucketed
+    by (band, bucket)) and probed by every incremental batch."""
     if num_perm is None:
         num_perm = len(signatures.select("sig").first()[0])
     rows_per_band = num_perm // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -156,6 +155,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int,
+    id_col: str = "doc_id",
+    num_perm: int | None = None,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >=1 band
+    bucket. The join key is (band, hash(band slice)) — a shuffle
+    equi-join; the pair explosion is bounded by bucket sizes, and the
+    groupBy dedups multi-band collisions. Pass ``num_perm`` when known —
+    inferring it costs an extra job (and a full signature computation)."""
+    banded = band_buckets(signatures, bands, id_col, num_perm)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
@@ -211,6 +224,97 @@ def minhash_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus — the shape a
+    continuously-ingesting training-data pipeline actually runs: the
+    corpus LSH index is built once per snapshot (``band_buckets``
+    layout, stored bucketed by (band, bucket)) and each new batch
+    probes it, so per-batch cost scales with the batch, never with a
+    corpus × corpus pair join. Pass ``corpus_index`` to probe a stored
+    index instead of recomputing signatures (the production path — see
+    test_incremental_dedup.py for the no-Exchange bucketed probe pin).
+
+    Candidates come from the (band, bucket) equi-join of batch buckets
+    against corpus buckets — ids only through the shuffle; each side's
+    exact shingle sets are joined back once for verification, the same
+    id-only discipline as minhash_near_dup_pairs. Every batch row is
+    returned: (id, is_dup, dup_of, jaccard) where dup_of is the
+    best-matching corpus doc (highest exact Jaccard >= threshold,
+    ties to the smallest corpus id) and null when the batch doc is
+    novel. Best-match selection is a groupBy max(struct) — map-side
+    combinable, no window over the candidate set.
+    """
+    if corpus_index is None:
+        corpus_index = band_buckets(
+            minhash_signatures(corpus, num_perm, shingle_n, text_col, id_col),
+            bands,
+            id_col,
+            num_perm,
+        )
+    batch_index = band_buckets(
+        minhash_signatures(batch, num_perm, shingle_n, text_col, id_col),
+        bands,
+        id_col,
+        num_perm,
+    )
+    cand = (
+        batch_index.select(F.col(id_col).alias("_bid"), "band", "bucket")
+        .join(
+            corpus_index.select(F.col(id_col).alias("dup_of"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("_bid", "dup_of")
+        .distinct()
+    )
+    b_ws = batch.select(
+        F.col(id_col).alias("_bid"), shingle_set(text_col, shingle_n).alias("ws_b")
+    )
+    c_ws = corpus.select(
+        F.col(id_col).alias("dup_of"),
+        shingle_set(text_col, shingle_n).alias("ws_c"),
+    )
+    inter = F.size(F.array_intersect("ws_b", "ws_c"))
+    union = F.size(F.array_union("ws_b", "ws_c"))
+    sim = F.round(
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+    )
+    verified = (
+        cand.join(b_ws, "_bid")
+        .join(c_ws, "dup_of")
+        .select("_bid", "dup_of", sim.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        verified.groupBy("_bid")
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("dup_of")).alias("_neg"))).alias("m"))
+        .select(
+            "_bid",
+            (-F.col("m._neg")).alias("dup_of"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("_bid"))
+        .join(best, "_bid", "left")
+        .select(
+            F.col("_bid").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jaccard",
+        )
+    )
 
 
 def _md5_token_hash(token: str) -> int:

@@ -1,0 +1,123 @@
+"""Incremental batch-vs-corpus near-dup (operators/minhash.py
+incremental_near_dup): the continuous-ingest dedup shape — a stored
+corpus LSH index probed by each incoming batch, per-batch cost
+independent of corpus-pair count. Correctness on planted cases, plan
+pins (no cartesian; bucketed stored index probed without a corpus-side
+Exchange), and stored-index == inline-index equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.operators import minhash
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CORPUS = [
+    (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    # exact duplicate of doc 1 inside the corpus — exercises the
+    # best-match tie-break (jaccard equal -> smallest corpus id)
+    (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (3, "kilo lima mike november oscar papa quebec romeo sierra tango uniform victor"),
+    (4, "whiskey xray yankee zulu one two three four five six seven"),
+]
+
+BATCH = [
+    # exact copy of corpus 1/2 -> dup, jaccard 1.0, dup_of = 1 (min id)
+    (101, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    # novel text -> not a dup
+    (102, "red orange yellow green blue indigo violet amber teal maroon"),
+    # corpus 3 with the last word dropped: 9 of 10 trigrams shared
+    (103, "kilo lima mike november oscar papa quebec romeo sierra tango uniform"),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    batch = spark.createDataFrame(BATCH, ["doc_id", "text"])
+    out = minhash.incremental_near_dup(corpus, batch, threshold=0.8)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_every_batch_row_returned(result):
+    assert set(result) == {101, 102, 103}
+
+
+def test_exact_copy_flagged_with_min_id_tiebreak(result):
+    r = result[101]
+    assert r["is_dup"] and r["dup_of"] == 1 and r["jaccard"] == 1.0
+
+
+def test_novel_doc_not_flagged(result):
+    r = result[102]
+    assert not r["is_dup"] and r["dup_of"] is None and r["jaccard"] is None
+
+
+def test_near_copy_flagged_with_exact_jaccard(result):
+    r = result[103]
+    assert r["is_dup"] and r["dup_of"] == 3
+    assert r["jaccard"] == 0.9  # 9 shared / 10 union trigrams
+
+
+def test_plan_has_no_cartesian(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    batch = spark.createDataFrame(BATCH, ["doc_id", "text"])
+    plan = _plan(minhash.incremental_near_dup(corpus, batch))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, tmp_path_factory):
+    """The production layout: corpus band buckets persisted bucketed by
+    (band, bucket) — the probe join's exact key."""
+    from smart_crawler_spark.sources.bucketed import write_bucketed
+
+    loc = str(tmp_path_factory.mktemp("lsh_wh"))
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = minhash.band_buckets(
+        minhash.minhash_signatures(corpus), bands=16, num_perm=64
+    )
+    t = write_bucketed(
+        idx, "lsh_index", key=["band", "bucket"], n_buckets=8,
+        database="lshdb", location=loc,
+    )
+    yield t
+    spark.sql("DROP TABLE IF EXISTS lshdb.lsh_index")
+    spark.sql("DROP DATABASE IF EXISTS lshdb")
+
+
+def test_stored_index_probe_skips_corpus_shuffle(spark, stored_index):
+    """Probing the bucketed index shuffles ONLY the batch side: one
+    Exchange (batch) vs two in the unbucketed control. At 10^10 corpus
+    rows that is the difference between reshuffling the corpus index
+    every batch and never."""
+    idx = spark.table(stored_index)
+    batch = spark.createDataFrame(BATCH, ["doc_id", "text"])
+    b_idx = minhash.band_buckets(
+        minhash.minhash_signatures(batch), bands=16, num_perm=64
+    ).withColumnRenamed("doc_id", "batch_id")
+    probe = b_idx.hint("merge").join(idx, ["band", "bucket"])
+    control = b_idx.hint("merge").join(
+        idx.localCheckpoint(eager=True), ["band", "bucket"]
+    )
+    n_bucketed = _plan(probe).count("Exchange")
+    n_control = _plan(control).count("Exchange")
+    assert n_bucketed < n_control, (n_bucketed, n_control)
+    assert n_bucketed == 1, _plan(probe)
+
+
+def test_stored_index_matches_inline(spark, stored_index):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    batch = spark.createDataFrame(BATCH, ["doc_id", "text"])
+    inline = minhash.incremental_near_dup(corpus, batch)
+    stored = minhash.incremental_near_dup(
+        corpus, batch, corpus_index=spark.table(stored_index)
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(inline.collect(), key=key) == sorted(
+        stored.collect(), key=key
+    )
