@@ -146,6 +146,73 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _trap_url_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL mix with planted trap families: path cycles
+    (%13), calendar walks spanning 1980-2049 (%11), depth-9 paths (%7),
+    session-id (%17) and faceted-param (%19) queries, organic rest."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    eid = F.col("event_id")
+    host = F.concat(
+        F.lit("http://h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")
+    )
+    path = (
+        F.when(eid % 13 == 0, F.lit("/a/b/a/b/a/b"))
+        .when(
+            eid % 11 == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (eid % 70 + 1980).cast("string"),
+                F.lit("/"),
+                (eid % 12 + 1).cast("string"),
+            ),
+        )
+        .when(
+            eid % 7 == 0,
+            F.concat(F.lit("/d/e/f/g/h/i/j/k/"), eid.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/p/"),
+                (eid % 50).cast("string"),
+                F.lit("/item/"),
+                eid.cast("string"),
+            )
+        )
+    )
+    query = (
+        F.when(eid % 17 == 0, F.concat(F.lit("?phpsessid=s"), eid.cast("string")))
+        .when(eid % 19 == 0, F.lit("?a=1&b=2&c=3&d=4&e=5&f=6"))
+        .when(eid % 3 == 0, F.concat(F.lit("?page="), (eid % 4).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return ev.select("event_id", F.concat(host, path, query).alias("url"))
+
+
+def url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap verdicts (frontier/traps.py trap_features): map-only
+    Catalyst features — path depth, repeated-segment fraction, query
+    param count, session-id key, implausible calendar year — and the
+    composite is_trap flag, over the planted trap-family population.
+    The oracle replays every rule and threshold in SQL."""
+    from smart_crawler_spark.frontier import traps
+
+    urls = _trap_url_population(spark, sf_dir)
+    return traps.trap_features(urls, keep_cols=["event_id", "url"]).orderBy(
+        "event_id"
+    )
+
+
+def url_templates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (frontier/traps.py url_templates): digit runs
+    in the path collapse to {d}, one hash agg per template with
+    n_urls / n_hosts / lexicographically-first sample — the family-level
+    view a frontier uses to budget generated link spaces."""
+    from smart_crawler_spark.frontier import traps
+
+    urls = _trap_url_population(spark, sf_dir)
+    return traps.url_templates(urls).orderBy("template")
+
+
 def regex_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: golden-pattern regex join → count matrix per (pattern, lang).
 
@@ -2520,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_dedup": frontier_dedup,
         "per_host_topk": per_host_topk,
         "url_canonicalize": url_canonicalize,
+        "url_trap_detect": url_trap_detect,
+        "url_templates": url_templates_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -2613,6 +2682,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemap_parse_q,
         "bpe_pair_stats": bpe_pair_stats_docs,
     }
+
+
+# _trap_url_population replayed in SQL (url_trap_detect / url_templates)
+_TRAP_URLS_SQL = """
+        u AS (
+            SELECT event_id,
+                   lower('h' || (user_id % 5) || '.test') AS host,
+                   'http://h' || (user_id % 5) || '.test' ||
+                   CASE WHEN event_id % 13 = 0 THEN '/a/b/a/b/a/b'
+                        WHEN event_id % 11 = 0
+                        THEN '/cal/' || (event_id % 70 + 1980) || '/'
+                             || (event_id % 12 + 1)
+                        WHEN event_id % 7 = 0
+                        THEN '/d/e/f/g/h/i/j/k/' || event_id
+                        ELSE '/p/' || (event_id % 50) || '/item/' || event_id
+                   END ||
+                   CASE WHEN event_id % 17 = 0
+                        THEN '?phpsessid=s' || event_id
+                        WHEN event_id % 19 = 0
+                        THEN '?a=1&b=2&c=3&d=4&e=5&f=6'
+                        WHEN event_id % 3 = 0 THEN '?page=' || (event_id % 4)
+                        ELSE '' END AS url
+            FROM events WHERE event_id < 4000
+        )"""
 
 
 _TRADE_GRAPH_SQL = """
@@ -2806,6 +2899,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE path || query END AS rel_url
             FROM u
             ORDER BY event_id
+        """,
+        "url_trap_detect": "WITH " + _TRAP_URLS_SQL + """,
+            f AS (
+                SELECT event_id, url,
+                       regexp_replace(regexp_replace(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                           '[?#].*$', '') AS path,
+                       coalesce(regexp_extract(url, '\\?([^#]*)', 1), '')
+                           AS query
+                FROM u
+            ),
+            g AS (
+                SELECT event_id, url, path, query,
+                       list_filter(string_split(path, '/'), s -> s <> '')
+                           AS segs
+                FROM f
+            ),
+            h AS (
+                SELECT event_id, url,
+                       len(segs) AS depth,
+                       CASE WHEN len(segs) > 0
+                            THEN round(1.0 - CAST(len(list_distinct(segs))
+                                 AS DOUBLE) / len(segs), 6)
+                            ELSE 0.0 END AS repeat_frac,
+                       CASE WHEN query = '' THEN 0
+                            ELSE len(string_split(query, '&')) END AS n_params,
+                       regexp_matches(lower(query),
+                           '(^|&)(phpsessid|jsessionid|sessionid|sid)=')
+                           AS has_session,
+                       regexp_matches(path,
+                           '/((1[0-8][0-9]{2})|(19[0-8][0-9])|(20[4-9][0-9])|(2[1-9][0-9]{2}))(/|$)')
+                           AS calendar_trap
+                FROM g
+            )
+            SELECT event_id, url, depth, repeat_frac, n_params, has_session,
+                   calendar_trap,
+                   (has_session OR calendar_trap OR depth >= 8
+                    OR (depth >= 6 AND repeat_frac >= 0.5)
+                    OR n_params >= 6) AS is_trap
+            FROM h ORDER BY event_id
+        """,
+        "url_templates": "WITH " + _TRAP_URLS_SQL + """,
+            t AS (
+                SELECT url, host,
+                       host || regexp_replace(
+                           regexp_replace(regexp_replace(url,
+                               '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                               '[?#].*$', ''),
+                           '[0-9]+', '{d}', 'g') AS template
+                FROM u
+            )
+            SELECT template, count(*) AS n_urls,
+                   count(DISTINCT host) AS n_hosts,
+                   min(url) AS sample_url
+            FROM t GROUP BY template ORDER BY template
         """,
         "regex_join_eval": f"""
             SELECT pat_name, lang, count(*) AS n_docs

@@ -1,0 +1,125 @@
+"""Crawler-trap detection and URL template mining — frontier hygiene.
+
+The reference crawls closed synthetic sites and never meets traps; on
+the open web a frontier at 10^10 URLs is mostly machine-generated link
+space (calendars, session ids, faceted search, path cycles), so the
+scheduler needs a cheap per-URL trap verdict BEFORE a URL costs a
+fetch, and per-template counts to budget pattern families instead of
+individual URLs.
+
+Both operators are pure Catalyst expressions over the URL string:
+``trap_features`` is map-only (zero shuffle — it composes with the F1
+seen filter and F2 priority queue without adding an Exchange), and
+``url_templates`` adds exactly one hash aggregation on the template
+key. No Python runs per row, so a 10^10-row frontier pays only the
+scan + codegen cost; every rule is replayable in ANSI SQL, which is
+how the driver gate oracles them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query keys that mint a fresh URL per visitor: any URL carrying one is
+# an unbounded alias family for the same page
+SESSION_PARAM_RE = r"(^|&)(phpsessid|jsessionid|sessionid|sid)="
+
+# a calendar trap walks year/month links far outside the plausible
+# content window; flag path years outside [1990, 2039]
+CALENDAR_YEAR_RE = r"/((1[0-8][0-9]{2})|(19[0-8][0-9])|(20[4-9][0-9])|(2[1-9][0-9]{2}))(/|$)"
+
+MAX_DEPTH = 8  # organic information architecture rarely exceeds this
+REPEAT_DEPTH = 6  # depth at which repeated segments mean a path cycle
+MAX_PARAMS = 6  # faceted-search explosion threshold
+
+
+def _url_path(url: Column) -> Column:
+    """Path component: strip scheme://host, then ?query / #fragment."""
+    return F.regexp_replace(
+        F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*", ""),
+        r"[?#].*$",
+        "",
+    )
+
+
+def _url_query(url: Column) -> Column:
+    """Query string without the leading '?' ('' when absent)."""
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def trap_features(
+    df: DataFrame, url_col: str = "url", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-URL trap features + verdict, map-only.
+
+    Features: ``depth`` (path segments), ``repeat_frac`` (1 −
+    distinct/total segments — a /a/b/a/b/a/b cycle scores 0.66),
+    ``n_params``, ``has_session`` (session-id query key), and
+    ``calendar_trap`` (path year outside [1990, 2039]). ``is_trap``
+    fires on any of: session id; calendar year; depth ≥ 8; depth ≥ 6
+    with ≥ half the segments repeated; ≥ 6 query params. Thresholds
+    are module constants so deployments can tune them; the driver
+    gate replays these exact values in SQL."""
+    url = F.col(url_col)
+    path = _url_path(url)
+    query = _url_query(url)
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs)
+    repeat_frac = F.when(
+        depth > 0,
+        F.round(1.0 - F.size(F.array_distinct(segs)) / depth, 6),
+    ).otherwise(F.lit(0.0))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    has_session = F.lower(query).rlike(SESSION_PARAM_RE)
+    calendar_trap = path.rlike(CALENDAR_YEAR_RE)
+    is_trap = (
+        has_session
+        | calendar_trap
+        | (depth >= MAX_DEPTH)
+        | ((depth >= REPEAT_DEPTH) & (repeat_frac >= 0.5))
+        | (n_params >= MAX_PARAMS)
+    )
+    cols = list(keep_cols) if keep_cols else [url_col]
+    return df.select(
+        *cols,
+        depth.alias("depth"),
+        repeat_frac.alias("repeat_frac"),
+        n_params.alias("n_params"),
+        has_session.alias("has_session"),
+        calendar_trap.alias("calendar_trap"),
+        is_trap.alias("is_trap"),
+    )
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Mine URL pattern families: host + path with every digit run
+    collapsed to ``{d}`` is the template key; per template report
+    ``n_urls``, ``n_hosts``, and the lexicographically smallest member
+    as ``sample_url``. One hash agg on the template — min/count carry
+    map-side partials, so the shuffle moves one row per (task,
+    template), not per URL. A template whose n_urls dwarfs its
+    siblings is a generated link space: budget it as a family (crawl
+    k members), not URL-by-URL."""
+    from smart_crawler_spark.frontier.canonical import url_host
+
+    url = F.col(url_col)
+    template = F.concat(
+        url_host(url),
+        F.regexp_replace(_url_path(url), r"[0-9]+", "{d}"),
+    )
+    return (
+        df.select(
+            url.alias("url"),
+            template.alias("template"),
+            url_host(url).alias("host"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("url").alias("sample_url"),
+        )
+    )

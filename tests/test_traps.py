@@ -1,0 +1,84 @@
+"""Crawler-trap detection + URL template mining (frontier/traps.py):
+rule correctness on planted URL shapes and zero-shuffle / single-agg
+plan pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.frontier import traps
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+URLS = [
+    (1, "http://a.test/p/3/item/9?page=1"),                 # organic
+    (2, "http://a.test/a/b/a/b/a/b"),                       # path cycle
+    (3, "http://a.test/d/e/f/g/h/i/j/k/9"),                 # depth 9
+    (4, "http://a.test/cal/1984/5"),                        # year < 1990
+    (5, "http://a.test/cal/2031/5"),                        # plausible year
+    (6, "http://a.test/x?phpsessid=abc123"),                # session id
+    (7, "http://a.test/x?a=1&b=2&c=3&d=4&e=5&f=6"),         # param burst
+    (8, "http://b.test:8081/"),                             # root, no path
+    (9, "http://b.test/p/44/item/7?page=2"),                # organic
+]
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    df = spark.createDataFrame(URLS, ["id", "url"])
+    out = traps.trap_features(df, keep_cols=["id", "url"])
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_organic_urls_pass(feats):
+    for i in (1, 5, 8, 9):
+        assert not feats[i]["is_trap"], feats[i]
+
+
+def test_path_cycle_flagged(feats):
+    r = feats[2]
+    assert r["depth"] == 6 and r["repeat_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["is_trap"]
+
+
+def test_depth_flagged(feats):
+    assert feats[3]["depth"] == 9 and feats[3]["is_trap"]
+
+
+def test_calendar_year_window(feats):
+    assert feats[4]["calendar_trap"] and feats[4]["is_trap"]
+    assert not feats[5]["calendar_trap"]
+
+
+def test_session_and_param_burst(feats):
+    assert feats[6]["has_session"] and feats[6]["is_trap"]
+    assert feats[7]["n_params"] == 6 and feats[7]["is_trap"]
+
+
+def test_empty_path(feats):
+    r = feats[8]
+    assert r["depth"] == 0 and r["repeat_frac"] == 0.0 and r["n_params"] == 0
+
+
+def test_trap_features_plan_is_map_only(spark):
+    df = spark.createDataFrame(URLS, ["id", "url"])
+    plan = _plan(traps.trap_features(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_url_templates(spark):
+    df = spark.createDataFrame(URLS, ["id", "url"])
+    rows = {r["template"]: r for r in traps.url_templates(df).collect()}
+    t = rows["a.test/p/{d}/item/{d}"]
+    assert t["n_urls"] == 1 and t["sample_url"] == URLS[0][1]
+    both = rows["b.test/p/{d}/item/{d}"]
+    assert both["n_urls"] == 1
+    # port is part of the host key (two sites on one box stay distinct)
+    assert "b.test:8081/" in rows
+    # one shuffle: the template agg (plus countDistinct's expand stays
+    # inside the same exchange pair)
+    plan = _plan(traps.url_templates(df))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
