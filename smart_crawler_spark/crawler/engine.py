@@ -106,6 +106,13 @@ class EngineConfig:
     # the termination knob for recrawl runs (which otherwise never
     # drain) and an ops guard for capped experiments
     max_rounds: int = 1 << 30
+    # frontier hygiene (frontier/traps.py): True drops crawler-trap URLs
+    # (session ids, calendar walks, path cycles, depth/param bursts)
+    # before they enter the frontier or the seen set — same placement as
+    # the robots filter, and like it a pure map-side predicate (no
+    # shuffle added to the link path). Off by default: the reference has
+    # no trap concept and exact-parity runs must not drop URLs.
+    trap_filter: bool = False
 
     def effective_budget(self) -> int:
         from smart_crawler_spark.frontier.queue import politeness_budget
@@ -233,11 +240,18 @@ class CrawlEngine:
         metrics: list[dict] = []
 
         def robots_ok(df: DataFrame) -> DataFrame:
-            if self.robots is None:
-                return df
-            from smart_crawler_spark.frontier.robots import filter_allowed
+            """Frontier admission hygiene: robots.txt, then the trap
+            predicate when enabled — both map-side, both BEFORE the
+            seen set so rejected URLs are never remembered."""
+            if self.robots is not None:
+                from smart_crawler_spark.frontier.robots import filter_allowed
 
-            return filter_allowed(df, self.robots)
+                df = filter_allowed(df, self.robots)
+            if self.cfg.trap_filter:
+                from smart_crawler_spark.frontier.traps import trap_expr
+
+                df = df.filter(~trap_expr("url"))
+            return df
 
         if resume:
             if self.checkpoint is None:

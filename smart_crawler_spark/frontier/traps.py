@@ -48,6 +48,43 @@ def _url_query(url: Column) -> Column:
     return F.regexp_extract(url, r"\?([^#]*)", 1)
 
 
+def _features(url: Column) -> dict[str, Column]:
+    """The shared feature expressions (all map-only Catalyst)."""
+    path = _url_path(url)
+    query = _url_query(url)
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs)
+    repeat_frac = F.when(
+        depth > 0,
+        F.round(1.0 - F.size(F.array_distinct(segs)) / depth, 6),
+    ).otherwise(F.lit(0.0))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    return {
+        "depth": depth,
+        "repeat_frac": repeat_frac,
+        "n_params": n_params,
+        "has_session": F.lower(query).rlike(SESSION_PARAM_RE),
+        "calendar_trap": path.rlike(CALENDAR_YEAR_RE),
+    }
+
+
+def trap_expr(url: Column | str) -> Column:
+    """The composite is_trap predicate as a single Column — usable as a
+    plain ``.filter(~trap_expr("url"))`` in the engine's link path
+    without touching the frame's columns (still zero shuffle)."""
+    url = F.col(url) if isinstance(url, str) else url
+    f = _features(url)
+    return (
+        f["has_session"]
+        | f["calendar_trap"]
+        | (f["depth"] >= MAX_DEPTH)
+        | ((f["depth"] >= REPEAT_DEPTH) & (f["repeat_frac"] >= 0.5))
+        | (f["n_params"] >= MAX_PARAMS)
+    )
+
+
 def trap_features(
     df: DataFrame, url_col: str = "url", keep_cols: list[str] | None = None
 ) -> DataFrame:
@@ -62,35 +99,16 @@ def trap_features(
     are module constants so deployments can tune them; the driver
     gate replays these exact values in SQL."""
     url = F.col(url_col)
-    path = _url_path(url)
-    query = _url_query(url)
-    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
-    depth = F.size(segs)
-    repeat_frac = F.when(
-        depth > 0,
-        F.round(1.0 - F.size(F.array_distinct(segs)) / depth, 6),
-    ).otherwise(F.lit(0.0))
-    n_params = F.when(query == "", F.lit(0)).otherwise(
-        F.size(F.split(query, "&"))
-    )
-    has_session = F.lower(query).rlike(SESSION_PARAM_RE)
-    calendar_trap = path.rlike(CALENDAR_YEAR_RE)
-    is_trap = (
-        has_session
-        | calendar_trap
-        | (depth >= MAX_DEPTH)
-        | ((depth >= REPEAT_DEPTH) & (repeat_frac >= 0.5))
-        | (n_params >= MAX_PARAMS)
-    )
+    f = _features(url)
     cols = list(keep_cols) if keep_cols else [url_col]
     return df.select(
         *cols,
-        depth.alias("depth"),
-        repeat_frac.alias("repeat_frac"),
-        n_params.alias("n_params"),
-        has_session.alias("has_session"),
-        calendar_trap.alias("calendar_trap"),
-        is_trap.alias("is_trap"),
+        f["depth"].alias("depth"),
+        f["repeat_frac"].alias("repeat_frac"),
+        f["n_params"].alias("n_params"),
+        f["has_session"].alias("has_session"),
+        f["calendar_trap"].alias("calendar_trap"),
+        trap_expr(url).alias("is_trap"),
     )
 
 

@@ -69,6 +69,44 @@ def test_trap_features_plan_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_engine_trap_filter(spark, tmp_path):
+    """trap_filter=True drops trap URLs at frontier admission (never
+    dispatched, never in seen); default off dispatches them — the
+    reference-parity behavior."""
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.datagen.site import (
+        SiteConfig,
+        generate_site_pages,
+        target_tsv,
+    )
+    from smart_crawler_spark.sources.targets import load_target_tsv
+
+    cfg = SiteConfig(n_hosts=1, dirs=2, chain=2, details_per_page=2, n_images=6)
+    model = load_target_tsv(target_tsv(cfg))
+    pages = generate_site_pages(spark, cfg).localCheckpoint()
+    trap_seed = f"http://{cfg.host(0)}/detail/1?phpsessid=deadbeef"
+    seeds = [f"http://{cfg.host(0)}/", trap_seed]
+
+    res_on = CrawlEngine(
+        spark, pages, model, str(tmp_path / "on"),
+        EngineConfig(budget_per_host=100, trap_filter=True),
+    ).run(seeds)
+    assert not [
+        r for r in res_on.order.collect() if "phpsessid" in r["url"]
+    ]
+
+    res_off = CrawlEngine(
+        spark, pages, model, str(tmp_path / "off"),
+        EngineConfig(budget_per_host=100),
+    ).run(seeds)
+    assert [r for r in res_off.order.collect() if "phpsessid" in r["url"]]
+    # the filter only removes the trap: the organic crawl is identical
+    clean = lambda res: sorted(  # noqa: E731
+        r["url"] for r in res.order.collect() if "phpsessid" not in r["url"]
+    )
+    assert clean(res_on) == clean(res_off)
+
+
 def test_url_templates(spark):
     df = spark.createDataFrame(URLS, ["id", "url"])
     rows = {r["template"]: r for r in traps.url_templates(df).collect()}
