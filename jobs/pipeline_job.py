@@ -34,6 +34,8 @@ line of per-stage row counts and wall seconds. Stages:
   keepbest quality-aware dedup survivors (components keep their
            highest-quality member, not the min id)
   export   corpus -> deterministic WARC shard blobs (archive sink)
+  ingest   incremental batch-vs-corpus dedup: the corpus LSH band index
+           persisted bucketed on (band, bucket), probed by the batch
   ann      LSH-bucketed cosine top-k of each planted query vector
 """
 
@@ -206,6 +208,39 @@ def main() -> None:
             return write_warc_shards(payload, n_shards=16)
 
         run("export", _export)
+
+    if "ingest" in stages:
+
+        def _ingest():
+            from smart_crawler_spark.operators.minhash import (
+                band_buckets,
+                incremental_near_dup,
+                minhash_signatures,
+            )
+            from smart_crawler_spark.sources.bucketed import write_bucketed
+
+            # the continuous-ingest shape: even docs are the standing
+            # corpus whose LSH index is persisted BUCKETED on the probe
+            # key (on Iceberg: bucket(N, band, bucket) transform), odd
+            # docs are the incoming batch probing it — the probe join
+            # shuffles only the batch side
+            corpus = docs.filter(F.col("doc_id") % 2 == 0)
+            batch = docs.filter(F.col("doc_id") % 2 == 1)
+            idx = band_buckets(
+                minhash_signatures(corpus, num_perm=64), bands=16, num_perm=64
+            )
+            t = write_bucketed(
+                idx, "lsh_index", key=["band", "bucket"], n_buckets=32,
+                database="pipe_lsh",
+                location=os.path.join(args.output, "lsh_wh"),
+            )
+            return incremental_near_dup(
+                corpus, batch, threshold=args.jaccard,
+                num_perm=64, bands=16,
+                corpus_index=spark.table(t),
+            )
+
+        run("incremental_dedup", _ingest)
 
     if "ann" in stages:
 
