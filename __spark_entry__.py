@@ -213,6 +213,36 @@ def url_templates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traps.url_templates(urls).orderBy("template")
 
 
+def mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (frontier/traps.py mirror_families):
+    identical payloads on >= 2 hosts, one md5-keyed hash agg. Every 4th
+    document is planted on a second host; the oracle recomputes the
+    family table from the same plant rule."""
+    from smart_crawler_spark.frontier import traps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.concat(
+            F.lit("http://m"),
+            (F.col("doc_id") % 6).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    mirror = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(
+            F.lit("http://m"),
+            ((F.col("doc_id") + 3) % 6).cast("string"),
+            F.lit(".test/mirror/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    pages = base.unionAll(mirror)
+    return traps.mirror_families(pages).orderBy("content_key")
+
+
 def regex_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: golden-pattern regex join → count matrix per (pattern, lang).
 
@@ -2589,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize,
         "url_trap_detect": url_trap_detect,
         "url_templates": url_templates_q,
+        "mirror_detect": mirror_detect,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -2954,6 +2985,29 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT host) AS n_hosts,
                    min(url) AS sample_url
             FROM t GROUP BY template ORDER BY template
+        """,
+        "mirror_detect": """
+            WITH pages AS (
+                SELECT 'http://m' || (doc_id % 6) || '.test/doc/' || doc_id
+                           AS url,
+                       'm' || (doc_id % 6) || '.test' AS host, text
+                FROM documents
+                UNION ALL
+                SELECT 'http://m' || ((doc_id + 3) % 6) || '.test/mirror/'
+                           || doc_id,
+                       'm' || ((doc_id + 3) % 6) || '.test', text
+                FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT md5(text) AS content_key,
+                   count(DISTINCT host) AS n_hosts,
+                   count(*) AS n_urls,
+                   min(url) AS canonical_url,
+                   array_to_string(list_sort(list(DISTINCT host)), ',')
+                       AS hosts
+            FROM pages
+            GROUP BY md5(text)
+            HAVING count(DISTINCT host) >= 2
+            ORDER BY content_key
         """,
         "regex_join_eval": f"""
             SELECT pat_name, lang, count(*) AS n_docs

@@ -112,6 +112,41 @@ def trap_features(
     )
 
 
+def mirror_families(
+    df: DataFrame, url_col: str = "url", content_col: str = "text"
+) -> DataFrame:
+    """Detect mirrored content: identical payloads served from ≥ 2
+    hosts. One hash agg on md5(content) — count/min carry map-side
+    partials and the host set per content key is bounded by the mirror
+    fan-out, so the shuffle moves one compact row per (task, content
+    key). Output per family: the content key, ``n_hosts`` / ``n_urls``,
+    the lexicographically-first member as ``canonical_url``, and the
+    sorted host list as a comma-joined string (string, not array, so
+    any SQL engine reproduces the value byte-for-byte). A frontier
+    joins this to demote known-mirror hosts before spending fetch
+    budget re-crawling the same bytes."""
+    from smart_crawler_spark.frontier.canonical import url_host
+
+    url = F.col(url_col)
+    keyed = df.select(
+        url.alias("url"),
+        url_host(url).alias("host"),
+        F.md5(F.col(content_col).cast("binary")).alias("content_key"),
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("url").alias("canonical_url"),
+            F.concat_ws(",", F.sort_array(F.collect_set("host"))).alias(
+                "hosts"
+            ),
+        )
+        .filter(F.col("n_hosts") >= 2)
+    )
+
+
 def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Mine URL pattern families: host + path with every digit run
     collapsed to ``{d}`` is the template key; per template report

@@ -69,6 +69,26 @@ def test_trap_features_plan_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_mirror_families(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/x", "same bytes"),
+            ("http://b.test/y", "same bytes"),
+            ("http://a.test/z", "same bytes"),   # third copy, host a again
+            ("http://a.test/solo", "unique"),
+            ("http://c.test/q1", "twice on one host"),
+            ("http://c.test/q2", "twice on one host"),  # 1 host -> no family
+        ],
+        ["url", "text"],
+    )
+    fams = traps.mirror_families(pages).collect()
+    assert len(fams) == 1
+    f = fams[0]
+    assert f["n_hosts"] == 2 and f["n_urls"] == 3
+    assert f["canonical_url"] == "http://a.test/x"
+    assert f["hosts"] == "a.test,b.test"
+
+
 def test_engine_trap_filter(spark, tmp_path):
     """trap_filter=True drops trap URLs at frontier admission (never
     dispatched, never in seen); default off dispatches them — the
