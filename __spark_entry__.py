@@ -213,6 +213,21 @@ def url_templates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traps.url_templates(urls).orderBy("template")
 
 
+def template_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template crawl budget (frontier/traps.py template_cap): at
+    most 3 URLs survive per template family, picked deterministically
+    (URL ascending). Plans as WindowGroupLimit — map tasks ship ~k rows
+    per family into the shuffle (pinned in test_traps.py)."""
+    from smart_crawler_spark.frontier import traps
+
+    urls = _trap_url_population(spark, sf_dir)
+    return (
+        traps.template_cap(urls, k=3, order_cols=["url", "event_id"])
+        .select("event_id", "url", "template")
+        .orderBy("template", "url")
+    )
+
+
 def mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (frontier/traps.py mirror_families):
     identical payloads on >= 2 hosts, one md5-keyed hash agg. Every 4th
@@ -2620,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_detect": url_trap_detect,
         "url_templates": url_templates_q,
         "mirror_detect": mirror_detect,
+        "template_cap": template_cap_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -2985,6 +3001,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT host) AS n_hosts,
                    min(url) AS sample_url
             FROM t GROUP BY template ORDER BY template
+        """,
+        "template_cap": "WITH " + _TRAP_URLS_SQL + """,
+            t AS (
+                SELECT event_id, url,
+                       host || regexp_replace(
+                           regexp_replace(regexp_replace(url,
+                               '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                               '[?#].*$', ''),
+                           '[0-9]+', '{d}', 'g') AS template
+                FROM u
+            )
+            SELECT event_id, url, template FROM (
+                SELECT event_id, url, template,
+                       row_number() OVER (PARTITION BY template
+                           ORDER BY url, event_id) AS rk
+                FROM t
+            ) WHERE rk <= 3
+            ORDER BY template, url
         """,
         "mirror_detect": """
             WITH pages AS (

@@ -112,6 +112,37 @@ def trap_features(
     )
 
 
+def template_cap(
+    df: DataFrame,
+    k: int,
+    url_col: str = "url",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Enforce a per-template crawl budget: at most ``k`` URLs survive
+    per template family, picked by ``order_cols`` ascending (frontier
+    priority; default the URL itself). The order must be a TOTAL order
+    for a deterministic pick — when the URL can repeat (one page
+    enqueued from several parents), append a unique id. The complement
+    of ``url_templates``: mining finds the generated link spaces, this
+    caps them without a separate join against the mined table.
+
+    Scale shape: the rank<=k filter plans as WindowGroupLimit
+    (Spark 4) — a Partial limit runs map-side before the shuffle, so
+    each map task ships at most ~k rows per template; the shuffle is
+    bounded by k × n_templates, not the frontier size. Keeps every
+    input column and adds ``template``."""
+    from pyspark.sql import Window
+
+    order = [F.col(c).asc() for c in (order_cols or [url_col])]
+    out = df.withColumn("template", template_expr(F.col(url_col)))
+    w = Window.partitionBy("template").orderBy(*order)
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def mirror_families(
     df: DataFrame, url_col: str = "url", content_col: str = "text"
 ) -> DataFrame:
@@ -147,6 +178,18 @@ def mirror_families(
     )
 
 
+def template_expr(url: Column | str) -> Column:
+    """The template key: host + path with every digit run collapsed to
+    ``{d}`` — one family per generated-URL pattern."""
+    from smart_crawler_spark.frontier.canonical import url_host
+
+    url = F.col(url) if isinstance(url, str) else url
+    return F.concat(
+        url_host(url),
+        F.regexp_replace(_url_path(url), r"[0-9]+", "{d}"),
+    )
+
+
 def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Mine URL pattern families: host + path with every digit run
     collapsed to ``{d}`` is the template key; per template report
@@ -159,10 +202,7 @@ def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
     from smart_crawler_spark.frontier.canonical import url_host
 
     url = F.col(url_col)
-    template = F.concat(
-        url_host(url),
-        F.regexp_replace(_url_path(url), r"[0-9]+", "{d}"),
-    )
+    template = template_expr(url)
     return (
         df.select(
             url.alias("url"),

@@ -69,6 +69,26 @@ def test_trap_features_plan_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_template_cap(spark):
+    urls = [(i, f"http://a.test/gen/{i}") for i in range(20)] + [
+        (100, "http://a.test/about"),
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    out = traps.template_cap(df, k=3)
+    rows = out.collect()
+    gen = [r for r in rows if r["template"] == "a.test/gen/{d}"]
+    # URL-ascending pick: /gen/0, /gen/1, /gen/10 (string order)
+    assert sorted(r["url"] for r in gen) == [
+        "http://a.test/gen/0", "http://a.test/gen/1", "http://a.test/gen/10",
+    ]
+    assert [r["url"] for r in rows if r["template"] == "a.test/about"] == [
+        "http://a.test/about"
+    ]
+    # map-side partial group limit: the shuffle carries ~k rows/family
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_mirror_families(spark):
     pages = spark.createDataFrame(
         [
