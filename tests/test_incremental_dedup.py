@@ -110,6 +110,78 @@ def test_stored_index_probe_skips_corpus_shuffle(spark, stored_index):
     assert n_bucketed == 1, _plan(probe)
 
 
+def _brute_force(corpus, batch, threshold):
+    """Pure-Python spec: exact shingle Jaccard vs every corpus doc,
+    best = (max round-6 jaccard, min corpus id)."""
+    import re
+
+    def shingles(text):
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if len(toks) < 3:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    c_sh = {cid: shingles(t) for cid, t in corpus}
+    out = {}
+    for bid, t in batch:
+        s = shingles(t)
+        best = None
+        for cid, cs in c_sh.items():
+            union = len(s | cs)
+            j = round(len(s & cs) / union, 6) if union else 0.0
+            if j >= threshold and (
+                best is None or (j, -cid) > (best[1], -best[0])
+            ):
+                best = (cid, j)
+        out[bid] = best
+    return out
+
+
+def test_random_sweep_matches_brute_force(spark):
+    """Randomized corpora/batches: exact copies, truncated near-copies
+    (J >= ~0.8), and novel docs — engine output == the pure-Python spec
+    on every shape. Threshold 0.6 keeps every planted pair far from
+    both the decision boundary and the 16x4 banding recall cliff."""
+    import random
+
+    vocab = [f"w{i}" for i in range(60)]
+    for seed in range(5):
+        rng = random.Random(seed)
+        n_c = rng.randrange(25, 50)
+        corpus = [
+            (cid, " ".join(rng.choices(vocab, k=rng.randrange(8, 40))))
+            for cid in range(n_c)
+        ]
+        batch = []
+        for bid in range(100, 100 + rng.randrange(12, 25)):
+            kind = rng.randrange(3)
+            if kind == 0:  # exact copy
+                batch.append((bid, corpus[rng.randrange(n_c)][1]))
+            elif kind == 1:  # drop the last ~10% of a long-enough doc
+                src = rng.choice([c for c in corpus if len(c[1].split()) >= 20])
+                toks = src[1].split()
+                batch.append((bid, " ".join(toks[: len(toks) - 2])))
+            else:  # novel
+                batch.append(
+                    (bid, " ".join(rng.choices(vocab, k=rng.randrange(8, 40))))
+                )
+        got = {
+            r["doc_id"]: (r["dup_of"], r["jaccard"])
+            for r in minhash.incremental_near_dup(
+                spark.createDataFrame(corpus, ["doc_id", "text"]),
+                spark.createDataFrame(batch, ["doc_id", "text"]),
+                threshold=0.6,
+            ).collect()
+            if r["is_dup"]
+        }
+        want = {
+            bid: b
+            for bid, b in _brute_force(corpus, batch, 0.6).items()
+            if b is not None
+        }
+        assert got == want, (seed, got, want)
+
+
 def test_stored_index_matches_inline(spark, stored_index):
     corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
     batch = spark.createDataFrame(BATCH, ["doc_id", "text"])
