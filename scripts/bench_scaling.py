@@ -12,6 +12,8 @@ bias. Jobs (the crawl hot path, sized so executor work dominates):
   links      — explode + broadcast-classify + intra-batch dedup, 2M pages
   crawl      — end-to-end engine drain of a flat synthetic site
   crawl_skew — end-to-end drain with ~90% of URLs on host 0
+  ingest     — incremental batch-vs-corpus near-dup (Arrow signature
+               UDF + band-bucket probe join)
 
 Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
                                        [--jobs dedup,topk,links,crawl]
@@ -171,6 +173,39 @@ if "links" in jobs:
     nl, dt = timed(lambda: deduped)
     out["links"] = {{"rows": N_PAGES * 3, "sec": round(dt, 3),
                      "rows_per_sec": round(N_PAGES * 3 / dt), "deduped": nl}}
+
+# --- ingest: incremental batch-vs-corpus near-dup probe. The cost is
+# the Arrow signature UDF over corpus+batch (embarrassingly parallel)
+# plus the (band, bucket) probe join — the continuous-ingest dedup
+# path's scaling story in one number --------------------------------
+if "ingest" in jobs:
+    from smart_crawler_spark.operators.minhash import incremental_near_dup
+
+    N_DOCS = int(200_000 * scale)
+
+    def text_of(c):
+        # 20 unique 8-hex words per content seed: exact copies share all
+        # trigram shingles, novel docs share none
+        return F.concat_ws(" ", *[
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f"_{{j}}"))), 1, 8)
+            for j in range(20)
+        ])
+
+    corpus = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"), text_of(F.col("id")).alias("text"))
+    M = N_DOCS // 4
+    batch = spark.range(M).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        text_of(
+            F.when(F.col("id") % 2 == 0, (F.col("id") * 2) % N_DOCS)
+            .otherwise(F.col("id") + 20_000_000)
+        ).alias("text"))
+    nd, dt = timed(lambda: incremental_near_dup(
+        corpus, batch, threshold=0.8).filter(F.col("is_dup")))
+    assert nd == (M + 1) // 2, (nd, M)
+    out["ingest"] = {{"rows": N_DOCS + M, "sec": round(dt, 3),
+                      "rows_per_sec": round((N_DOCS + M) / dt),
+                      "dups": nd}}
 
 # --- crawl: end-to-end engine drain of a deterministic synthetic site ----
 # (the north-rule metric itself: fetched URLs/sec at both parallelism
