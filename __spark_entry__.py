@@ -2953,7 +2953,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(regexp_replace(url,
                            '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
                            '[?#].*$', '') AS path,
-                       coalesce(regexp_extract(url, '\\?([^#]*)', 1), '')
+                       coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '')
                            AS query
                 FROM u
             ),

@@ -44,8 +44,10 @@ def _url_path(url: Column) -> Column:
 
 
 def _url_query(url: Column) -> Column:
-    """Query string without the leading '?' ('' when absent)."""
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    """Query string without the leading '?' ('' when absent). The '?'
+    must precede any '#': a '?' inside the fragment is not a query
+    (urllib.parse semantics, fuzz-pinned in test_traps.py)."""
+    return F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
 
 
 def _features(url: Column) -> dict[str, Column]:

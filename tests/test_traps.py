@@ -89,6 +89,38 @@ def test_template_cap(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_path_query_parse_matches_urllib(spark):
+    """The Catalyst path/query extraction == urllib.parse on randomized
+    absolute URLs (ports, empty paths, queries with '?'-like chars in
+    fragments, trailing separators)."""
+    import random
+    from urllib.parse import urlsplit
+
+    rng = random.Random(11)
+    hosts = ["a.test", "b.test:8081", "x-y.example.com"]
+    seg_pool = ["p", "2024", "a.b", "x_y", "q-r", "07"]
+    urls = []
+    for i in range(200):
+        host = rng.choice(hosts)
+        segs = [rng.choice(seg_pool) for _ in range(rng.randrange(0, 5))]
+        path = "/" + "/".join(segs) if segs else rng.choice(["", "/"])
+        query = rng.choice(["", "?a=1", "?a=1&b=2", "?sid=9"])
+        frag = rng.choice(["", "#top", "#x?y=1"])
+        urls.append((i, f"http://{host}{path}{query}{frag}"))
+    df = spark.createDataFrame(urls, ["id", "url"])
+    got = {
+        r["id"]: (r["p"], r["q"])
+        for r in df.select(
+            "id",
+            traps._url_path(F.col("url")).alias("p"),
+            traps._url_query(F.col("url")).alias("q"),
+        ).collect()
+    }
+    for i, u in urls:
+        s = urlsplit(u)
+        assert got[i] == (s.path, s.query), (u, got[i], (s.path, s.query))
+
+
 def test_mirror_families(spark):
     pages = spark.createDataFrame(
         [
