@@ -1314,6 +1314,24 @@ def image_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aspect_buckets(corpus).orderBy("image_id")
 
 
+def image_bomb_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-bomb guard (operators/images.py decode_bomb_guard): flag
+    payloads whose header-declared decoded size is an attack BEFORE any
+    pixel decode — every 9th corpus image is a planted 1024x768
+    solid-color PNG (deflates to ~2.5 KB, ~300 decoded px per payload
+    byte). Header sniff + Catalyst predicate only; the oracle predicts
+    dims and both flags exactly from the plant rule."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import decode_bomb_guard
+
+    corpus = generate_images(spark, 400, jpeg_every=10, bomb_every=9)
+    return (
+        decode_bomb_guard(corpus, max_megapixels=0.25, max_px_per_byte=50.0)
+        .select("image_id", "w", "h", "oversize", "ratio_bomb", "keep")
+        .orderBy("image_id")
+    )
+
+
 def image_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image quality filtering for a training pipeline: decode, compute
     luma contrast + histogram entropy, drop flat/low-information images
@@ -2693,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "image_aspect_bucket": image_aspect_bucket,
         "image_quality_filter": image_quality_filter,
+        "image_bomb_guard": image_bomb_guard,
         "image_exact_dedup": image_exact_dedup,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
@@ -3988,6 +4007,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img' || i::VARCHAR AS image_id,
                    CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
                    (i % 7 <> 6) AS keep
+            FROM range(400) t(i)
+            ORDER BY image_id
+        """,
+        # dims + flags predicted from the bomb_every=9 plant: img(i) for
+        # i%9=8 is a 1024x768 solid PNG (oversize at 0.25 MP AND >50
+        # decoded px/byte); every other image is 32..80 x 24..56
+        "image_bomb_guard": """
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   CASE WHEN i % 9 = 8 THEN 1024
+                        ELSE 32 + (i % 4) * 16 END AS w,
+                   CASE WHEN i % 9 = 8 THEN 768
+                        ELSE 24 + (i % 3) * 16 END AS h,
+                   (i % 9 = 8) AS oversize,
+                   (i % 9 = 8) AS ratio_bomb,
+                   (i % 9 <> 8) AS keep
             FROM range(400) t(i)
             ORDER BY image_id
         """,

@@ -60,6 +60,7 @@ def image_row(
     flat_every: int = 0,
     dup_every: int = 0,
     short_caption_every: int = 0,
+    bomb_every: int = 0,
 ) -> dict:
     """One deterministic corpus row. Optional planted rows for the
     filter/dedup oracles (all OFF by default, so every existing corpus
@@ -71,10 +72,26 @@ def image_row(
       byte-identical duplicate pair; only image_id differs.
     - ``short_caption_every``: every k-th caption degenerates to the
       one-word 'thumb' (the alt-text-less thumbnail case) — the
-      caption gate must drop exactly these."""
+      caption gate must drop exactly these.
+    - ``bomb_every``: every k-th image is a 1024x768 solid-color PNG —
+      a decompression bomb (hundreds of decoded pixels per payload
+      byte); the decode-bomb guard must flag exactly these. Takes
+      precedence over the other plant rules."""
     content_idx = idx
     if dup_every and idx % dup_every == dup_every - 1:
         content_idx = idx - 1
+    if bomb_every and content_idx % bomb_every == bomb_every - 1:
+        w, h = 1024, 768
+        px = np.full((h, w, 3), (29 * content_idx) % 256, dtype=np.uint8)
+        return {
+            "image_id": f"img{idx}",
+            "bytes": encode_png(px),
+            "w": w,
+            "h": h,
+            "fmt": "png",
+            "caption": image_caption(content_idx),
+            "phash": perceptual_hash(px),
+        }
     w = 32 + (content_idx % 4) * 16
     h = 24 + (content_idx % 3) * 16
     fmt = (
@@ -115,6 +132,7 @@ def generate_images(
     flat_every: int = 0,
     dup_every: int = 0,
     short_caption_every: int = 0,
+    bomb_every: int = 0,
 ) -> DataFrame:
     # ceil-divide into ~16-image tasks: the pure-Python JPEG encode is
     # the slowest per-row work in the suite, and floor division
@@ -127,7 +145,7 @@ def generate_images(
                 [
                     image_row(
                         int(i), jpeg_every, flat_every, dup_every,
-                        short_caption_every,
+                        short_caption_every, bomb_every,
                     )
                     for i in pdf["id"]
                 ]

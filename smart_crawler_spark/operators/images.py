@@ -396,6 +396,46 @@ def caption_gate(
     )
 
 
+def decode_bomb_guard(
+    images: DataFrame,
+    max_megapixels: float = 16.0,
+    max_px_per_byte: float = 50.0,
+) -> DataFrame:
+    """Decode-cost guard for a crawled image corpus — flag payloads
+    whose DECODED size is an attack before any pixel is decoded:
+    ``oversize`` (header-declared w×h above ``max_megapixels``) and
+    ``ratio_bomb`` (more than ``max_px_per_byte`` decoded pixels per
+    payload byte — the decompression-bomb signature: a multi-megapixel
+    solid-color PNG deflates to a few KB, while organic photos carry
+    well under ~3 px/byte even at high compression). Dims come from
+    container headers only (sniff_dims_df), the payload length rides
+    through the Arrow batch, the verdict is a Catalyst predicate: no
+    decode, no join, no shuffle. Unparseable headers fail CLOSED
+    (keep=false) — a guard that cannot size a payload must not admit
+    it to the decode tier.
+
+    Why it matters at 100 TB: one 64k×64k PNG (12 GB decoded) inside a
+    mapInPandas decode batch OOMs the executor and, with task retries,
+    can poison every executor in turn — the guard costs a header sniff.
+    """
+    sized = images.withColumn("n_bytes", F.length("bytes"))
+    dims = sniff_dims_df(sized, passthrough=("n_bytes",))
+    px = F.col("w").cast("double") * F.col("h").cast("double")
+    oversize = F.coalesce(px > max_megapixels * 1e6, F.lit(True))
+    ratio_bomb = F.coalesce(
+        px > max_px_per_byte * F.col("n_bytes"), F.lit(True)
+    )
+    return dims.select(
+        "image_id",
+        "w",
+        "h",
+        "n_bytes",
+        oversize.alias("oversize"),
+        ratio_bomb.alias("ratio_bomb"),
+        (~oversize & ~ratio_bomb).alias("keep"),
+    )
+
+
 def aspect_bucket_expr(
     w, h, buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS
 ):

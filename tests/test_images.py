@@ -472,3 +472,44 @@ def test_caption_gate_unparseable_payload_is_drop_not_null(spark):
     )
     (r,) = caption_gate(df).collect()
     assert r["keep"] is False and r["w"] is None
+
+
+def test_decode_bomb_guard(spark):
+    """Planted 1024x768 solid PNGs are flagged by BOTH rules (oversize
+    at 0.25 MP, >50 decoded px/byte); organic images keep; unparseable
+    payloads fail closed; the whole guard is map-only."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import decode_bomb_guard
+
+    corpus = generate_images(spark, 36, jpeg_every=10, bomb_every=9)
+    out = {
+        r["image_id"]: r
+        for r in decode_bomb_guard(
+            corpus, max_megapixels=0.25, max_px_per_byte=50.0
+        ).collect()
+    }
+    for i in range(36):
+        r = out[f"img{i}"]
+        if i % 9 == 8:
+            assert r["oversize"] and r["ratio_bomb"] and not r["keep"], r
+            assert (r["w"], r["h"]) == (1024, 768)
+            # the bomb signature itself: tiny payload, huge decode
+            assert r["n_bytes"] < 1024 * 768 / 50
+        else:
+            assert r["keep"] and not r["oversize"] and not r["ratio_bomb"], r
+    plan = (
+        decode_bomb_guard(corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_decode_bomb_guard_fails_closed(spark):
+    from smart_crawler_spark.operators.images import decode_bomb_guard
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"not an image"))],
+        "image_id string, bytes binary",
+    )
+    (r,) = decode_bomb_guard(df).collect()
+    assert r["keep"] is False and r["oversize"] and r["ratio_bomb"]
