@@ -108,17 +108,21 @@ def test_path_query_parse_matches_urllib(spark):
         frag = rng.choice(["", "#top", "#x?y=1"])
         urls.append((i, f"http://{host}{path}{query}{frag}"))
     df = spark.createDataFrame(urls, ["id", "url"])
+    from smart_crawler_spark.frontier.canonical import url_host
+
     got = {
-        r["id"]: (r["p"], r["q"])
+        r["id"]: (r["p"], r["q"], r["h"])
         for r in df.select(
             "id",
             traps._url_path(F.col("url")).alias("p"),
             traps._url_query(F.col("url")).alias("q"),
+            url_host(F.col("url")).alias("h"),
         ).collect()
     }
     for i, u in urls:
         s = urlsplit(u)
-        assert got[i] == (s.path, s.query), (u, got[i], (s.path, s.query))
+        want = (s.path, s.query, s.netloc.lower())
+        assert got[i] == want, (u, got[i], want)
 
 
 def test_mirror_families(spark):
