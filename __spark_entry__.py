@@ -228,6 +228,16 @@ def template_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host hygiene rollup (frontier/traps.py host_profile): URL
+    count, trap count/rate, distinct template families — one hash agg
+    on host over the planted trap population."""
+    from smart_crawler_spark.frontier import traps
+
+    urls = _trap_url_population(spark, sf_dir)
+    return traps.host_profile(urls).orderBy("host")
+
+
 def mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (frontier/traps.py mirror_families):
     identical payloads on >= 2 hosts, one md5-keyed hash agg. Every 4th
@@ -2654,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": url_templates_q,
         "mirror_detect": mirror_detect,
         "template_cap": template_cap_q,
+        "host_profile": host_profile_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -2748,6 +2759,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemap_parse_q,
         "bpe_pair_stats": bpe_pair_stats_docs,
     }
+
+
+# the trap-feature CTE chain shared by the url_trap_detect and
+# host_profile oracles (continues the WITH list opened by
+# _TRAP_URLS_SQL; h carries per-URL features + host + path)
+_TRAP_FEATURES_SQL = """,
+            f AS (
+                SELECT event_id, url, host,
+                       regexp_replace(regexp_replace(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                           '[?#].*$', '') AS path,
+                       coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '')
+                           AS query
+                FROM u
+            ),
+            g AS (
+                SELECT event_id, url, host, path, query,
+                       list_filter(string_split(path, '/'), s -> s <> '')
+                           AS segs
+                FROM f
+            ),
+            h AS (
+                SELECT event_id, url, host, path,
+                       len(segs) AS depth,
+                       CASE WHEN len(segs) > 0
+                            THEN round(1.0 - CAST(len(list_distinct(segs))
+                                 AS DOUBLE) / len(segs), 6)
+                            ELSE 0.0 END AS repeat_frac,
+                       CASE WHEN query = '' THEN 0
+                            ELSE len(string_split(query, '&')) END AS n_params,
+                       regexp_matches(lower(query),
+                           '(^|&)(phpsessid|jsessionid|sessionid|sid)=')
+                           AS has_session,
+                       regexp_matches(path,
+                           '/((1[0-8][0-9]{2})|(19[0-8][0-9])|(20[4-9][0-9])|(2[1-9][0-9]{2}))(/|$)')
+                           AS calendar_trap
+                FROM g
+            )"""
 
 
 # _trap_url_population replayed in SQL (url_trap_detect / url_templates)
@@ -2966,45 +3015,31 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             ORDER BY event_id
         """,
-        "url_trap_detect": "WITH " + _TRAP_URLS_SQL + """,
-            f AS (
-                SELECT event_id, url,
-                       regexp_replace(regexp_replace(url,
-                           '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
-                           '[?#].*$', '') AS path,
-                       coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '')
-                           AS query
-                FROM u
-            ),
-            g AS (
-                SELECT event_id, url, path, query,
-                       list_filter(string_split(path, '/'), s -> s <> '')
-                           AS segs
-                FROM f
-            ),
-            h AS (
-                SELECT event_id, url,
-                       len(segs) AS depth,
-                       CASE WHEN len(segs) > 0
-                            THEN round(1.0 - CAST(len(list_distinct(segs))
-                                 AS DOUBLE) / len(segs), 6)
-                            ELSE 0.0 END AS repeat_frac,
-                       CASE WHEN query = '' THEN 0
-                            ELSE len(string_split(query, '&')) END AS n_params,
-                       regexp_matches(lower(query),
-                           '(^|&)(phpsessid|jsessionid|sessionid|sid)=')
-                           AS has_session,
-                       regexp_matches(path,
-                           '/((1[0-8][0-9]{2})|(19[0-8][0-9])|(20[4-9][0-9])|(2[1-9][0-9]{2}))(/|$)')
-                           AS calendar_trap
-                FROM g
-            )
+        "url_trap_detect": "WITH " + _TRAP_URLS_SQL + _TRAP_FEATURES_SQL + """
             SELECT event_id, url, depth, repeat_frac, n_params, has_session,
                    calendar_trap,
                    (has_session OR calendar_trap OR depth >= 8
                     OR (depth >= 6 AND repeat_frac >= 0.5)
                     OR n_params >= 6) AS is_trap
             FROM h ORDER BY event_id
+        """,
+        "host_profile": "WITH " + _TRAP_URLS_SQL + _TRAP_FEATURES_SQL + """,
+            t AS (
+                SELECT host,
+                       host || regexp_replace(path, '[0-9]+', '{d}', 'g')
+                           AS template,
+                       CASE WHEN has_session OR calendar_trap OR depth >= 8
+                                 OR (depth >= 6 AND repeat_frac >= 0.5)
+                                 OR n_params >= 6
+                            THEN 1 ELSE 0 END AS is_trap
+                FROM h
+            )
+            SELECT host, count(*) AS n_urls,
+                   CAST(sum(is_trap) AS BIGINT) AS n_traps,
+                   round(CAST(sum(is_trap) AS DOUBLE) / count(*), 6)
+                       AS trap_rate,
+                   count(DISTINCT template) AS n_templates
+            FROM t GROUP BY host ORDER BY host
         """,
         "url_templates": "WITH " + _TRAP_URLS_SQL + """,
             t AS (

@@ -145,6 +145,30 @@ def template_cap(
     )
 
 
+def host_profile(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host hygiene rollup — the table an operator (or an adaptive
+    scheduler) reads to decide which hosts deserve budget: URL count,
+    trap count/rate, and distinct template families (a host whose URL
+    count dwarfs its template count is serving a generated link space).
+    One hash agg on host; countDistinct(template) is the only expanded
+    aggregate and templates per host are bounded by site structure, not
+    URL count."""
+    url = F.col(url_col)
+    from smart_crawler_spark.frontier.canonical import url_host
+
+    keyed = df.select(
+        url_host(url).alias("host"),
+        template_expr(url).alias("template"),
+        trap_expr(url).cast("int").alias("is_trap"),
+    )
+    return keyed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("is_trap").alias("n_traps"),
+        F.round(F.sum("is_trap") / F.count(F.lit(1)), 6).alias("trap_rate"),
+        F.countDistinct("template").alias("n_templates"),
+    )
+
+
 def mirror_families(
     df: DataFrame, url_col: str = "url", content_col: str = "text"
 ) -> DataFrame:

@@ -196,3 +196,22 @@ def test_url_templates(spark):
     # inside the same exchange pair)
     plan = _plan(traps.url_templates(df))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_host_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.test/p/1"),
+            (2, "http://a.test/p/2"),
+            (3, "http://a.test/x?phpsessid=1"),
+            (4, "http://b.test/only"),
+        ],
+        ["id", "url"],
+    )
+    rows = {r["host"]: r for r in traps.host_profile(df).collect()}
+    a = rows["a.test"]
+    assert a["n_urls"] == 3 and a["n_traps"] == 1
+    assert a["trap_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert a["n_templates"] == 2  # p/{d} family + /x
+    b = rows["b.test"]
+    assert b["n_urls"] == 1 and b["n_traps"] == 0 and b["n_templates"] == 1
