@@ -53,6 +53,9 @@ class RobotsRule:
 class HostRobots:
     rules: list[RobotsRule] = field(default_factory=list)
     crawl_delay_s: float | None = None
+    # Sitemap: lines are group-INDEPENDENT (RFC 9309 / sitemaps.org —
+    # they apply to every agent, wherever they appear in the file)
+    sitemaps: list[str] = field(default_factory=list)
 
 
 def parse_robots(text: str, agent: str = "*") -> HostRobots:
@@ -65,6 +68,7 @@ def parse_robots(text: str, agent: str = "*") -> HostRobots:
     """
     groups: list[tuple[list[str], HostRobots]] = []
     cur: tuple[list[str], HostRobots] | None = None
+    sitemaps: list[str] = []
     in_ua_run = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0]
@@ -72,6 +76,10 @@ def parse_robots(text: str, agent: str = "*") -> HostRobots:
         if not m:
             continue
         key, val = m.group(1).lower(), m.group(2)
+        if key == "sitemap":
+            if val:
+                sitemaps.append(val)  # URL: case preserved
+            continue
         if key == "user-agent":
             if not in_ua_run:
                 cur = ([], HostRobots())
@@ -105,8 +113,8 @@ def parse_robots(text: str, agent: str = "*") -> HostRobots:
         (_spec(ua) for uas, _ in groups for ua in uas), default=-1
     )
     if best_spec < 0:
-        return HostRobots()
-    merged = HostRobots()
+        return HostRobots(sitemaps=sitemaps)
+    merged = HostRobots(sitemaps=sitemaps)
     for uas, hr in groups:
         if not any(_spec(ua) == best_spec for ua in uas):
             continue
@@ -142,6 +150,20 @@ class RobotsPolicy:
         self.by_host: dict[str, HostRobots] = {
             host: parse_robots(text, agent) for host, text in robots_texts.items()
         }
+
+    def sitemap_seeds(self, spark) -> DataFrame:
+        """(host, sitemap_url) rows advertised across all hosts' robots
+        files — the bootstrap input for sources/sitemap.py: the fetch
+        tier pulls each URL and parse_sitemaps explodes the documents
+        (index rows loop back as further fetches)."""
+        rows = [
+            (h, u)
+            for h, hr in self.by_host.items()
+            for u in hr.sitemaps
+        ]
+        return spark.createDataFrame(
+            rows, "host string, sitemap_url string"
+        )
 
     def crawl_delays_ms(self) -> dict[str, int]:
         return {

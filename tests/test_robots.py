@@ -257,3 +257,37 @@ def test_engine_crawl_delay_budget(spark, tmp_path):
     # both hosts still crawl completely (delay defers, never drops)
     n_h0 = res.order.filter(F.col("host") == h0).count()
     assert n_h0 == CFG.pages_per_host(0)
+
+
+def test_sitemap_directive_is_group_independent():
+    """Sitemap: lines apply to every agent wherever they appear — before
+    any group, inside a non-matching group, case preserved."""
+    text = (
+        "Sitemap: http://h/Sitemap-Main.xml\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "Sitemap: http://h/s2.xml\n"
+        "User-agent: mybot\n"
+        "Allow: /\n"
+    )
+    hr = parse_robots(text, agent="mybot")
+    assert hr.sitemaps == ["http://h/Sitemap-Main.xml", "http://h/s2.xml"]
+    # an agent with NO matching group still sees the sitemaps
+    hr_none = parse_robots("Sitemap: http://h/s.xml\n", agent="x")
+    assert hr_none.sitemaps == ["http://h/s.xml"] and hr_none.rules == []
+
+
+def test_sitemap_seeds_df(spark):
+    policy = RobotsPolicy(
+        {
+            "a.test": "Sitemap: http://a.test/s.xml\nUser-agent: *\nDisallow: /x\n",
+            "b.test": "User-agent: *\nAllow: /\n",
+        }
+    )
+    rows = {
+        (r["host"], r["sitemap_url"])
+        for r in policy.sitemap_seeds(spark).collect()
+    }
+    assert rows == {("a.test", "http://a.test/s.xml")}
+    # rules unaffected by the sitemap line
+    assert len(policy.by_host["a.test"].rules) == 1
