@@ -113,6 +113,14 @@ class EngineConfig:
     # shuffle added to the link path). Off by default: the reference has
     # no trap concept and exact-parity runs must not drop URLs.
     trap_filter: bool = False
+    # per-template link budget (frontier/traps.py template_cap): N > 0
+    # admits at most N NEW distinct URLs per template family per round —
+    # a HARD drop at admission (like robots/traps, not a deferral), so a
+    # generated link space costs at most N fetches/round however many
+    # members each page links. Applied after link dedup; plans as
+    # WindowGroupLimit (one bounded shuffle per round). Off by default
+    # for reference parity.
+    template_budget: int = 0
 
     def effective_budget(self) -> int:
         from smart_crawler_spark.frontier.queue import politeness_budget
@@ -440,7 +448,18 @@ class CrawlEngine:
                 new = self._dedup_links(
                     robots_ok(links), seen_filter, prefer_bloom,
                     redirectors=redirectors,
-                ).localCheckpoint(eager=True)
+                )
+                if self.cfg.template_budget:
+                    from smart_crawler_spark.frontier.traps import (
+                        template_cap,
+                    )
+
+                    # url_hash is unique after dedup -> total order
+                    new = template_cap(
+                        new, self.cfg.template_budget,
+                        order_cols=["url", "url_hash"],
+                    ).drop("template")
+                new = new.localCheckpoint(eager=True)
                 return new, new.count()
 
             def _roll_stats():

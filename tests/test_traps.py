@@ -215,3 +215,44 @@ def test_host_profile(spark):
     assert a["n_templates"] == 2  # p/{d} family + /x
     b = rows["b.test"]
     assert b["n_urls"] == 1 and b["n_traps"] == 0 and b["n_templates"] == 1
+
+
+def test_engine_template_budget(spark, tmp_path):
+    """template_budget=N admits at most N new detail URLs per round;
+    a generous budget reproduces the unrestricted crawl exactly."""
+    from smart_crawler_spark.crawler.engine import CrawlEngine, EngineConfig
+    from smart_crawler_spark.datagen.site import (
+        SiteConfig,
+        generate_site_pages,
+        target_tsv,
+    )
+    from smart_crawler_spark.sources.targets import load_target_tsv
+
+    cfg = SiteConfig(n_hosts=1, dirs=2, chain=1, details_per_page=6, n_images=6)
+    model = load_target_tsv(target_tsv(cfg))
+    pages = generate_site_pages(spark, cfg).localCheckpoint()
+    seeds = [f"http://{cfg.host(0)}/"]
+
+    def detail_urls(res):
+        return sorted(
+            r["url"] for r in res.order.collect() if "/detail/" in r["url"]
+        )
+
+    base = CrawlEngine(
+        spark, pages, model, str(tmp_path / "base"),
+        EngineConfig(budget_per_host=100),
+    ).run(seeds)
+    capped = CrawlEngine(
+        spark, pages, model, str(tmp_path / "cap"),
+        EngineConfig(budget_per_host=100, template_budget=2),
+    ).run(seeds)
+    wide = CrawlEngine(
+        spark, pages, model, str(tmp_path / "wide"),
+        EngineConfig(budget_per_host=100, template_budget=10_000),
+    ).run(seeds)
+
+    n_base = len(detail_urls(base))
+    assert n_base > 2
+    # all details share one /detail/{d} family discovered in one round
+    assert len(detail_urls(capped)) == 2
+    assert detail_urls(wide) == detail_urls(base)
