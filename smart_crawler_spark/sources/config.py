@@ -136,6 +136,10 @@ class SeedConfig:
         if settings is not None and settings.recrawl_rounds:
             kw["recrawl_after_rounds"] = settings.recrawl_rounds
             kw["max_rounds"] = settings.max_rounds
+        if settings is not None and settings.trap_filter:
+            kw["trap_filter"] = True
+        if settings is not None and settings.template_budget:
+            kw["template_budget"] = settings.template_budget
         kw.update(overrides)
         return EngineConfig(**kw)
 
@@ -151,6 +155,12 @@ class CrawlerSettings:
     # many rounds after its dispatch, crawling.max-rounds bounds the
     # otherwise-endless run
     recrawl_rounds: int = 0
+    # frontier hygiene (Spark-side extensions, off by default):
+    # crawling.trap-filter drops crawler-trap URLs at admission;
+    # crawling.template-budget hard-caps new URLs per template family
+    # per round (frontier/traps.py)
+    trap_filter: bool = False
+    template_budget: int = 0
     max_rounds: int = 1 << 30
 
 
@@ -211,6 +221,10 @@ def load_settings(text: str) -> CrawlerSettings:
         frontierheap=int(flat.get("crawler.crawling.frontierheap", 10_000)),
         recrawl_rounds=int(flat.get("crawler.crawling.recrawl-rounds", 0)),
         max_rounds=int(flat.get("crawler.crawling.max-rounds", 1 << 30)),
+        trap_filter=bool(flat.get("crawler.crawling.trap-filter", False)),
+        template_budget=int(
+            flat.get("crawler.crawling.template-budget", 0)
+        ),
     )
 
 

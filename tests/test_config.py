@@ -37,6 +37,8 @@ crawler {
     frontierheap = 128
     recrawl-rounds = 6
     max-rounds = 40
+    trap-filter = true
+    template-budget = 9
   }
 }
 """
@@ -73,6 +75,8 @@ def test_engine_config_mapping():
     assert cfg.random_pause_ms == 0 and cfg.budget_per_host == 7
     # recrawl knobs (Spark-side extension) ride the crawling block
     assert cfg.recrawl_after_rounds == 6 and cfg.max_rounds == 40
+    # frontier-hygiene knobs (Spark-side extension) ride it too
+    assert cfg.trap_filter is True and cfg.template_budget == 9
     # absent knobs leave recrawl off
     ref = load_settings(REFERENCE_MASTER_CONF)
     assert ref.recrawl_rounds == 0 and ref.max_rounds == 1 << 30
