@@ -2768,7 +2768,7 @@ _TRAP_FEATURES_SQL = """,
             f AS (
                 SELECT event_id, url, host,
                        regexp_replace(regexp_replace(url,
-                           '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
                            '[?#].*$', '') AS path,
                        coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '')
                            AS query
@@ -3046,7 +3046,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url, host,
                        host || regexp_replace(
                            regexp_replace(regexp_replace(url,
-                               '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
                                '[?#].*$', ''),
                            '[0-9]+', '{d}', 'g') AS template
                 FROM u
@@ -3061,7 +3061,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, url,
                        host || regexp_replace(
                            regexp_replace(regexp_replace(url,
-                               '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
                                '[?#].*$', ''),
                            '[0-9]+', '{d}', 'g') AS template
                 FROM u

@@ -37,7 +37,7 @@ MAX_PARAMS = 6  # faceted-search explosion threshold
 def _url_path(url: Column) -> Column:
     """Path component: strip scheme://host, then ?query / #fragment."""
     return F.regexp_replace(
-        F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*", ""),
+        F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
         r"[?#].*$",
         "",
     )

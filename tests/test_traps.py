@@ -97,7 +97,8 @@ def test_path_query_parse_matches_urllib(spark):
     from urllib.parse import urlsplit
 
     rng = random.Random(11)
-    hosts = ["a.test", "b.test:8081", "x-y.example.com"]
+    hosts = ["a.test", "b.test:8081", "x-y.example.com", "CDN.A.test"]
+    schemes = ["http", "https", "HTTP", "Https"]
     seg_pool = ["p", "2024", "a.b", "x_y", "q-r", "07"]
     urls = []
     for i in range(200):
@@ -106,7 +107,7 @@ def test_path_query_parse_matches_urllib(spark):
         path = "/" + "/".join(segs) if segs else rng.choice(["", "/"])
         query = rng.choice(["", "?a=1", "?a=1&b=2", "?sid=9"])
         frag = rng.choice(["", "#top", "#x?y=1"])
-        urls.append((i, f"http://{host}{path}{query}{frag}"))
+        urls.append((i, f"{rng.choice(schemes)}://{host}{path}{query}{frag}"))
     df = spark.createDataFrame(urls, ["id", "url"])
     from smart_crawler_spark.frontier.canonical import url_host
 
