@@ -118,8 +118,9 @@ class EngineConfig:
     # a HARD drop at admission (like robots/traps, not a deferral), so a
     # generated link space costs at most N fetches/round however many
     # members each page links. Applied after link dedup; plans as
-    # WindowGroupLimit (one bounded shuffle per round). Off by default
-    # for reference parity.
+    # WindowGroupLimit (one bounded shuffle per round); drops are
+    # reported per round as metrics["template_dropped"], never silent.
+    # Off by default for reference parity.
     template_budget: int = 0
 
     def effective_budget(self) -> int:
@@ -449,18 +450,28 @@ class CrawlEngine:
                     robots_ok(links), seen_filter, prefer_bloom,
                     redirectors=redirectors,
                 )
+                n_pre_cap = None
                 if self.cfg.template_budget:
                     from smart_crawler_spark.frontier.traps import (
                         template_cap,
                     )
 
+                    # checkpoint before the cap so the pre-cap count and
+                    # the capped table share one computation of the
+                    # dedup pipeline; the drop count is NOT silent — it
+                    # lands in the round metrics as template_dropped
+                    new = new.localCheckpoint(eager=True)
+                    n_pre_cap = new.count()
                     # url_hash is unique after dedup -> total order
                     new = template_cap(
                         new, self.cfg.template_budget,
                         order_cols=["url", "url_hash"],
                     ).drop("template")
                 new = new.localCheckpoint(eager=True)
-                return new, new.count()
+                n = new.count()
+                return new, n, (
+                    n_pre_cap - n if n_pre_cap is not None else None
+                )
 
             def _roll_stats():
                 return self._update_host_stats(host_stats, fetched)
@@ -472,7 +483,7 @@ class CrawlEngine:
                 f_stats = pool.submit(_roll_stats)
                 f_order.result()
                 f_records.result()
-                new, n_new = f_new.result()
+                new, n_new, n_template_dropped = f_new.result()
                 host_stats, n_batch, n_ok = f_stats.result()
             t_sinks = time.monotonic()
 
@@ -561,6 +572,8 @@ class CrawlEngine:
                 "sec_sinks": round(t_sinks - t0, 3),
                 "sec_state": round(time.monotonic() - t_sinks, 3),
             }
+            if n_template_dropped is not None:
+                m["template_dropped"] = n_template_dropped
             if auto_bloom:
                 m["dedup_path"] = "bloom" if prefer_bloom else "exact"
                 m["bloom_built"] = seen_filter.blooms is not None

@@ -257,3 +257,10 @@ def test_engine_template_budget(spark, tmp_path):
     # all details share one /detail/{d} family discovered in one round
     assert len(detail_urls(capped)) == 2
     assert detail_urls(wide) == detail_urls(base)
+    # the drop is metered, not silent — and absent when the cap is off
+    assert (
+        sum(m.get("template_dropped", 0) for m in capped.metrics)
+        == n_base - 2
+    )
+    assert all("template_dropped" not in m for m in base.metrics)
+    assert sum(m["template_dropped"] for m in wide.metrics) == 0
