@@ -228,6 +228,39 @@ def template_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta (operators/relational.py snapshot_diff): one
+    full-outer join classifying every key as added / removed / changed
+    / unchanged between two index snapshots. The new snapshot derives
+    from the old with planted drift: every 17th key removed, every
+    13th key's event_type rewritten, every 23rd re-added under a
+    shifted id; null-safe comparisons throughout."""
+    from smart_crawler_spark.operators.relational import snapshot_diff
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "event_type", "user_id")
+    )
+    new = ev.filter(F.col("event_id") % 17 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit("upd")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    added = ev.filter(F.col("event_id") % 23 == 0).select(
+        (F.col("event_id") + 100000).alias("event_id"),
+        "event_type",
+        "user_id",
+    )
+    return snapshot_diff(
+        ev,
+        new.unionByName(added),
+        ["event_id"],
+        ["event_type", "user_id"],
+    ).orderBy("event_id")
+
+
 def host_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host hygiene rollup (frontier/traps.py host_profile): URL
     count, trap count/rate, distinct template families — one hash agg
@@ -2665,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_detect": mirror_detect,
         "template_cap": template_cap_q,
         "host_profile": host_profile_q,
+        "snapshot_diff": snapshot_diff_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -3022,6 +3056,31 @@ def oracle_sql() -> dict[str, str]:
                     OR (depth >= 6 AND repeat_frac >= 0.5)
                     OR n_params >= 6) AS is_trap
             FROM h ORDER BY event_id
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT event_id, event_type, user_id FROM events
+                WHERE event_id < 3000
+            ),
+            new AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 13 = 0 THEN 'upd'
+                            ELSE event_type END AS event_type,
+                       user_id
+                FROM old WHERE event_id % 17 <> 0
+                UNION ALL
+                SELECT event_id + 100000, event_type, user_id
+                FROM old WHERE event_id % 23 = 0
+            )
+            SELECT coalesce(n.event_id, o.event_id) AS event_id,
+                   CASE WHEN o.event_id IS NULL THEN 'added'
+                        WHEN n.event_id IS NULL THEN 'removed'
+                        WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                         AND o.user_id IS NOT DISTINCT FROM n.user_id
+                        THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+            ORDER BY event_id
         """,
         "host_profile": "WITH " + _TRAP_URLS_SQL + _TRAP_FEATURES_SQL + """,
             t AS (

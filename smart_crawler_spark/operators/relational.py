@@ -387,3 +387,53 @@ def group_sample_k(
         .withColumn("rk", F.col("_rk").cast("int"))
         .drop("_rk")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Delta between two snapshot tables: one row per key with
+    ``change`` in {added, removed, changed, unchanged} — the standard
+    incremental-index question ("what moved between crawl snapshot N
+    and N+1") asked of a 10^10-row seen/frontier/content table.
+
+    One full-outer shuffle join on the key; comparisons are null-safe
+    (``eqNullSafe`` / SQL IS NOT DISTINCT FROM) so a null-to-value
+    transition counts as changed, not unchanged. At rest both
+    snapshots live bucketed by the key (sources/bucketed.py), making
+    the join Exchange-free on both sides; output carries the key plus
+    the change tag — callers filter ``change != 'unchanged'`` and let
+    the filter push into the join's output."""
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}") == F.col(f"_nk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col(f"_ok_{key_cols[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"_nk_{key_cols[0]}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"_nk_{c}"), F.col(f"_ok_{c}")).alias(c)
+            for c in key_cols
+        ],
+        change.alias("change"),
+    )

@@ -419,3 +419,32 @@ def test_new_sampling_ops_match_bruteforce_property(spark):
             )
             want_s |= {(d, i) for i in members[:k]}
         assert got_s == want_s, f"group_sample trial {trial} k={k}"
+
+
+def test_snapshot_diff(spark):
+    from smart_crawler_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, v string, n int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k long, v string, n int",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, ["k"], ["v", "n"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",      # v differs
+        3: "changed",      # null -> 30 must be changed (null-safe)
+        4: "removed",
+        5: "added",
+    }
+    plan = (
+        snapshot_diff(old, new, ["k"], ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in plan and "CartesianProduct" not in plan, plan
