@@ -228,6 +228,19 @@ def template_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling
+    (operators/relational.py weighted_sample): inclusion probability
+    0.5 * price / max(price), md5-keyed draw, one broadcast max —
+    hash-exact oracle replays the identical arithmetic."""
+    from smart_crawler_spark.operators.relational import weighted_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(
+        o, "o_totalprice", "o_orderkey", target_fraction=0.5
+    ).orderBy("o_orderkey")
+
+
 def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta (operators/relational.py snapshot_diff): one
     full-outer join classifying every key as added / removed / changed
@@ -2699,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_cap": template_cap_q,
         "host_profile": host_profile_q,
         "snapshot_diff": snapshot_diff_q,
+        "weighted_sample": weighted_sample_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -3056,6 +3070,16 @@ def oracle_sql() -> dict[str, str]:
                     OR (depth >= 6 AND repeat_frac >= 0.5)
                     OR n_params >= 6) AS is_trap
             FROM h ORDER BY event_id
+        """,
+        "weighted_sample": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_totalprice > 0
+              AND ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                      ::BIGINT / 4294967296.0
+                  < least(1.0, 0.5 * o_totalprice /
+                          (SELECT max(o_totalprice) FROM orders))
+            ORDER BY o_orderkey
         """,
         "snapshot_diff": """
             WITH old AS (

@@ -437,3 +437,33 @@ def snapshot_diff(
         ],
         change.alias("change"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    target_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: row i survives iff
+    the md5 uniform draw on its key falls below
+    ``target_fraction * w_i / max(w)`` — inclusion probability
+    proportional to weight (clamped at 1), the standard quality- or
+    DSIR-weighted resample step. Same layout/engine/run-independence
+    guarantees as stratified_sample (the draw is a pure function of
+    the key), with ONE tiny aggregation (the global max weight)
+    broadcast back — the corpus itself is touched by a single map-side
+    filter. Non-positive weights never survive."""
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    mx = df.select(F.max(F.col(weight_col)).alias("_wmax"))
+    u = md5_hash32(key_col).cast("double") / float(1 << 32)
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction)) * F.col(weight_col) / F.col("_wmax"),
+    )
+    return (
+        df.join(F.broadcast(mx))
+        .filter((F.col(weight_col) > 0) & (u < p))
+        .drop("_wmax")
+    )

@@ -448,3 +448,24 @@ def test_snapshot_diff(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "FullOuter" in plan and "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample(spark):
+    from smart_crawler_spark.operators.relational import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+        + [(9001, 0.0), (9002, -3.0)],
+        "k long, w double",
+    )
+    out = weighted_sample(df, "w", "k", target_fraction=1.0)
+    rows = out.collect()
+    kept = {r["k"] for r in rows}
+    assert 9001 not in kept and 9002 not in kept
+    # w=10 is max -> p=1.0: every even key survives
+    assert all(i in kept for i in range(0, 2000, 2))
+    # w=1 -> p=0.1: binomial(1000, 0.1), 5-sigma band
+    n_light = sum(1 for k in kept if k < 2000 and k % 2 == 1)
+    assert 50 < n_light < 150, n_light
+    # deterministic: identical output on a re-run
+    assert {r["k"] for r in weighted_sample(df, "w", "k").collect()} == kept
