@@ -228,6 +228,25 @@ def template_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/simsearch.py
+    quantize_embeddings): per-vector symmetric scale, JVM array
+    functions only; the oracle replays the identical IEEE arithmetic
+    (scale, codes, max reconstruction error) element-for-element."""
+    from smart_crawler_spark.operators.simsearch import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws(
+            ",", F.transform("q", lambda x: x.cast("string"))
+        ).alias("q_csv"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional deterministic sampling
     (operators/relational.py weighted_sample): inclusion probability
@@ -2713,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": host_profile_q,
         "snapshot_diff": snapshot_diff_q,
         "weighted_sample": weighted_sample_q,
+        "quantize_embeddings": quantize_embeddings_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -3070,6 +3090,37 @@ def oracle_sql() -> dict[str, str]:
                     OR (depth >= 6 AND repeat_frac >= 0.5)
                     OR n_params >= 6) AS is_trap
             FROM h ORDER BY event_id
+        """,
+        "quantize_embeddings": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale
+                FROM v
+            ),
+            q AS (
+                SELECT vec_id, v, scale,
+                       CASE WHEN scale = 0
+                            THEN list_transform(v, x -> 0)
+                            ELSE list_transform(v,
+                                 x -> CAST(floor(x / scale + 0.5) AS INT))
+                       END AS q
+                FROM s
+            )
+            SELECT vec_id, round(scale, 9) AS scale,
+                   array_to_string(q, ',') AS q_csv,
+                   round(CASE WHEN scale = 0 THEN 0.0 ELSE
+                       list_max(list_transform(
+                           generate_series(1, len(v)),
+                           i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale)))
+                       END, 9) AS max_abs_err
+            FROM q ORDER BY vec_id
         """,
         "weighted_sample": """
             SELECT o_orderkey, o_totalprice

@@ -546,3 +546,45 @@ def pca_project(
         for ci, comp in enumerate(components)
     ]
     return embeddings.select(F.col(id_col), *projs)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage shrink a
+    100 TB embedding corpus takes before ANN indexing: scale =
+    max|v|/127, q_i = floor(v_i/scale + 0.5) in [-127, 127], with the
+    per-vector max reconstruction error reported (bounded by scale/2
+    by construction — asserted in tests, replayed by the oracle).
+    All JVM higher-order array functions (transform/aggregate): no
+    Python, no shuffle, parquet-IO bound. Zero vectors quantize to
+    all-zero with scale 0 (exact)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        )
+    )
+    err = F.when(max_abs == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.zip_with(
+                v,
+                q,
+                lambda x, qi: F.abs(x - qi.cast("double") * scale),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        err.alias("max_abs_err"),
+    )

@@ -150,3 +150,41 @@ def test_semantic_dedup_greedy_keep_rule(spark):
         assert got[i] == want, (i, got[i], want)
     assert got[1] == (False, 0) and got[2] == (False, 1)  # the chain
     assert got[4][0] is True and got[5] == (False, 4)  # boundary pair
+
+
+def test_quantize_embeddings(spark):
+    """Error bound scale/2 holds on every vector; codes stay in
+    [-127, 127]; a zero vector quantizes exactly; dequantized cosine
+    vs the original stays near 1 (the ANN-compatibility property)."""
+    import math
+
+    from smart_crawler_spark.operators.simsearch import quantize_embeddings
+
+    vecs = [
+        (0, [1.0, -2.0, 3.5, 0.25]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-127.0, 127.0, 1.0, -1.0]),
+        (3, [1e-5, 2e-5, -3e-5, 4e-5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, v in vecs:
+        r = out[vid]
+        assert all(-127 <= c <= 127 for c in r["q"])
+        if max(abs(x) for x in v) == 0:
+            assert r["scale"] == 0.0 and r["max_abs_err"] == 0.0
+            assert all(c == 0 for c in r["q"])
+            continue
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        deq = [c * r["scale"] for c in r["q"]]
+        dot = sum(a * b for a, b in zip(v, deq))
+        cos = dot / (
+            math.sqrt(sum(a * a for a in v))
+            * math.sqrt(sum(b * b for b in deq))
+        )
+        assert cos > 0.999, (vid, cos)
+    plan = (
+        quantize_embeddings(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "ArrowEval" not in plan, plan
