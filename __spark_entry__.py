@@ -247,6 +247,27 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over DEQUANTIZED int8 vectors — proves the
+    quantized storage path stays query-compatible end-to-end: quantize
+    (JVM arrays) -> dequantize -> brute-force cosine rank. The oracle
+    replays quantization, dequantization and the ranking in SQL."""
+    from smart_crawler_spark.operators.simsearch import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb)
+    deq = qz.select(
+        "vec_id",
+        F.transform(
+            "q", lambda c: c.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    queries = deq.filter(F.col("vec_id") < 5)
+    return simsearch.cosine_topk(queries, deq, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional deterministic sampling
     (operators/relational.py weighted_sample): inclusion probability
@@ -2733,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": snapshot_diff_q,
         "weighted_sample": weighted_sample_q,
         "quantize_embeddings": quantize_embeddings_q,
+        "quantized_topk": quantized_topk_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -3121,6 +3143,59 @@ def oracle_sql() -> dict[str, str]:
                            i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale)))
                        END, 9) AS max_abs_err
             FROM q ORDER BY vec_id
+        """,
+        "quantized_topk": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale
+                FROM v
+            ),
+            qz AS (
+                SELECT vec_id, scale,
+                       CASE WHEN scale = 0
+                            THEN list_transform(v, x -> 0)
+                            ELSE list_transform(v,
+                                 x -> CAST(floor(x / scale + 0.5) AS INT))
+                       END AS q
+                FROM s
+            ),
+            deq AS (
+                SELECT vec_id,
+                       list_transform(q,
+                                      c -> CAST(c AS DOUBLE) * scale) AS dv
+                FROM qz
+            ),
+            flat AS (
+                SELECT vec_id, i, dv[i] AS v
+                FROM deq, unnest(generate_series(1, len(dv))) AS t(i)
+            ),
+            dots AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       sum(q.v * c.v)
+                         / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v)))
+                           AS sim
+                FROM flat q JOIN flat c ON q.i = c.i
+                WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(sim, 6) DESC, neighbor_id ASC
+                       ) AS rank
+                FROM dots
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
         "weighted_sample": """
             SELECT o_orderkey, o_totalprice
