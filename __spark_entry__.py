@@ -247,6 +247,42 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build (operators/relational.py scd2_history):
+    5 synthetic snapshot versions per key with deterministic status
+    transitions and a null-to-value score flip collapse into validity
+    intervals (valid_to null = current). Gaps-and-islands with
+    key-partitioned windows only; the oracle replays the same windows
+    in SQL."""
+    from smart_crawler_spark.operators.relational import scd2_history
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id")
+    )
+    snaps = (
+        ev.withColumn("ver", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .withColumn(
+            "status",
+            F.when(
+                F.col("ver") < F.col("event_id") % 3 + 1, F.lit("new")
+            )
+            .when(F.col("ver") < 4, F.lit("seen"))
+            .otherwise(F.lit("expired")),
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("ver") == 0, F.lit(None).cast("long")).otherwise(
+                (F.col("event_id") + F.floor(F.col("ver") / 2)) % 3
+            ),
+        )
+    )
+    return scd2_history(
+        snaps, ["event_id"], "ver", ["status", "score"]
+    ).orderBy("event_id", "valid_from")
+
+
 def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k over DEQUANTIZED int8 vectors — proves the
     quantized storage path stays query-compatible end-to-end: quantize
@@ -2755,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": weighted_sample_q,
         "quantize_embeddings": quantize_embeddings_q,
         "quantized_topk": quantized_topk_q,
+        "scd2_history": scd2_history_q,
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
@@ -3143,6 +3180,43 @@ def oracle_sql() -> dict[str, str]:
                            i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale)))
                        END, 9) AS max_abs_err
             FROM q ORDER BY vec_id
+        """,
+        "scd2_history": """
+            WITH snaps AS (
+                SELECT e.event_id, v.v AS ver,
+                       CASE WHEN v.v < e.event_id % 3 + 1 THEN 'new'
+                            WHEN v.v < 4 THEN 'seen'
+                            ELSE 'expired' END AS status,
+                       CASE WHEN v.v = 0 THEN NULL
+                            ELSE (e.event_id + v.v // 2) % 3 END AS score
+                FROM (SELECT event_id FROM events WHERE event_id < 500) e,
+                     (SELECT unnest(generate_series(0, 4)) AS v) v
+            ),
+            flags AS (
+                SELECT *,
+                       CASE WHEN lag(ver) OVER w IS NULL
+                             OR status IS DISTINCT FROM lag(status) OVER w
+                             OR score IS DISTINCT FROM lag(score) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM snaps
+                WINDOW w AS (PARTITION BY event_id ORDER BY ver)
+            ),
+            runs AS (
+                SELECT *,
+                       sum(chg) OVER (PARTITION BY event_id
+                                      ORDER BY ver) AS run
+                FROM flags
+            ),
+            agg AS (
+                SELECT event_id, run, min(status) AS status,
+                       min(score) AS score, min(ver) AS valid_from
+                FROM runs GROUP BY event_id, run
+            )
+            SELECT event_id, status, score, valid_from,
+                   lead(valid_from) OVER (PARTITION BY event_id
+                       ORDER BY valid_from) AS valid_to
+            FROM agg
+            ORDER BY event_id, valid_from
         """,
         "quantized_topk": """
             WITH v AS (

@@ -467,3 +467,38 @@ def weighted_sample(
         .filter((F.col(weight_col) > 0) & (u < p))
         .drop("_wmax")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Collapse per-snapshot rows into SCD2 validity intervals: one row
+    per (key, run of identical values) with ``valid_from`` /
+    ``valid_to`` versions (valid_to null = current) — how a crawl
+    index keeps page-state history across snapshot rounds without
+    storing every round in full.
+
+    Scale shape: both windows partition by the KEY (never the corpus),
+    so this is one shuffle on the key and linear work per key-history;
+    change detection is null-safe (a null-to-value flip opens a new
+    interval). The run-id is the classic gaps-and-islands prefix sum
+    of change flags."""
+    key = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*key).orderBy(F.col(version_col).asc())
+    changed = F.lag(F.col(version_col)).over(w).isNull()
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    runs = df.withColumn("_run", F.sum(changed.cast("int")).over(w))
+    agg = runs.groupBy(*key, F.col("_run")).agg(
+        *[F.first(c).alias(c) for c in compare_cols],
+        F.min(version_col).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(*key).orderBy(F.col("valid_from").asc())
+    return (
+        agg.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .drop("_run")
+        .select(*key_cols, *compare_cols, "valid_from", "valid_to")
+    )

@@ -469,3 +469,29 @@ def test_weighted_sample(spark):
     assert 50 < n_light < 150, n_light
     # deterministic: identical output on a re-run
     assert {r["k"] for r in weighted_sample(df, "w", "k").collect()} == kept
+
+
+def test_scd2_history(spark):
+    from smart_crawler_spark.operators.relational import scd2_history
+
+    rows = [
+        # key 1: a,a,b,b,a -> three intervals
+        (1, 0, "a"), (1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "a"),
+        # key 2: null -> x (null-safe change must open a new interval)
+        (2, 0, None), (2, 1, "x"),
+        # key 3: constant -> one open-ended interval
+        (3, 0, "c"), (3, 1, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ver long, v string")
+    got = sorted(
+        (
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(df, ["k"], "ver", ["v"]).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "a", 0, 2), (1, "b", 2, 4), (1, "a", 4, None),
+        (2, None, 0, 1), (2, "x", 1, None),
+        (3, "c", 0, None),
+    ]
