@@ -1347,6 +1347,63 @@ def image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_patch_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch pipeline round trip (operators/images.py
+    extract_patches + reassemble_verify): decode each image once inside
+    the Arrow batch, cut into 8x8 tiles, SHUFFLE the tiles keyed by
+    image_id (the patches-as-sequence layout a vision trainer
+    consumes), rebuild the pixel array per group, and compare its md5
+    against an independent decode of the original payload. The oracle
+    predicts the grid size from the datagen dims rule (w, h are
+    multiples of 8, so the grid tiles exactly) and that every rebuild
+    is byte-exact (PNG lossless; JPEG decode deterministic)."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import reassemble_verify
+
+    corpus = generate_images(spark, 500, jpeg_every=10)
+    return reassemble_verify(corpus, patch=8).orderBy("image_id")
+
+
+def watermark_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark/logo mining (operators/images.py watermark_patches):
+    every 7th PNG image carries the fixed 8x8 _LOGO tile at patch cell
+    (1,1); the miner hashes every tile (no pixel bytes in the shuffle),
+    finds hashes recurring across >=10 distinct images via one
+    map-side-partial distinct-count agg, and broadcast-joins the hot
+    set back. The oracle enumerates the planted rule (i%7==6 PNG rows;
+    i%10==9 rows are JPEG and unstamped) and predicts n_images as the
+    planted count — any false-positive noise tile or missed plant
+    breaks row count or hash."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import watermark_patches
+
+    corpus = generate_images(spark, 500, jpeg_every=10, logo_every=7)
+    return (
+        watermark_patches(corpus, patch=8, min_images=10)
+        .select("image_id", "py", "px", "n_images")
+        .orderBy("image_id")
+    )
+
+
+def image_augment_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation with an exact inverse check
+    (operators/images.py augment_images + augment_verify): hflip and
+    rot90 each image, re-encode losslessly, then decode the augmented
+    PNG, invert the transform, and hash-compare against an independent
+    decode of the original (equi-join on image_id — the two pixel
+    streams never share a task). The oracle predicts the dim swap
+    (rot90: (w,h)->(h,w)) from the datagen rule and ok=true everywhere
+    (index permutations + lossless re-encode are byte-exact even for
+    JPEG sources, whose decode is deterministic)."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import augment_verify
+
+    corpus = generate_images(spark, 500, jpeg_every=10)
+    return augment_verify(corpus, augs=("hflip", "rot90")).orderBy(
+        "image_id", "aug"
+    )
+
+
 def _video_sample_verified(spark: SparkSession, fmt: str) -> DataFrame:
     from smart_crawler_spark.datagen.images import (
         generate_videos,
@@ -2829,6 +2886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
+        "image_patch_verify": image_patch_verify_q,
+        "watermark_detect": watermark_detect_q,
+        "image_augment_verify": image_augment_verify_q,
         "video_frame_sample": video_frame_sample,
         "video_frame_sample_mjpeg": video_frame_sample_mjpeg,
         "audio_features": audio_features,
@@ -3838,6 +3898,35 @@ def oracle_sql() -> dict[str, str]:
                    true AS invariant_ok
             FROM range(500) t(i)
             ORDER BY image_id
+        """,
+        "image_patch_verify": """
+            SELECT 'img' || i AS image_id,
+                   CAST(((32 + (i % 4) * 16) // 8)
+                        * ((24 + (i % 3) * 16) // 8) AS INT) AS n_patches,
+                   true AS ok
+            FROM range(500) t(i)
+            ORDER BY image_id
+        """,
+        "watermark_detect": """
+            WITH planted AS (
+                SELECT i FROM range(500) t(i)
+                WHERE i % 7 = 6 AND i % 10 != 9
+            )
+            SELECT 'img' || i AS image_id, 1 AS py, 1 AS px,
+                   CAST((SELECT count(*) FROM planted) AS INT) AS n_images
+            FROM planted
+            ORDER BY image_id
+        """,
+        "image_augment_verify": """
+            SELECT 'img' || i AS image_id, a.aug,
+                   CAST(CASE WHEN a.aug = 'rot90' THEN 24 + (i % 3) * 16
+                             ELSE 32 + (i % 4) * 16 END AS INT) AS out_w,
+                   CAST(CASE WHEN a.aug = 'rot90' THEN 32 + (i % 4) * 16
+                             ELSE 24 + (i % 3) * 16 END AS INT) AS out_h,
+                   true AS ok
+            FROM range(500) t(i),
+                 (VALUES ('hflip'), ('rot90')) a(aug)
+            ORDER BY image_id, aug
         """,
         "video_frame_sample": """
             SELECT 'vid' || v AS video_id, CAST(f AS INT) AS frame_no,

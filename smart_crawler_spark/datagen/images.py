@@ -54,6 +54,17 @@ def image_caption(idx: int) -> str:
     return f"Image {idx}: " + " ".join(words)
 
 
+# Fixed 8x8 RGB logo tile, closed-form so any run agrees byte-for-byte.
+_LOGO = (
+    (
+        np.arange(8)[:, None, None] * 32
+        + np.arange(8)[None, :, None] * 8
+        + np.array([3, 5, 7])[None, None, :] * 11
+    )
+    % 256
+).astype(np.uint8)
+
+
 def image_row(
     idx: int,
     jpeg_every: int = 0,
@@ -61,6 +72,7 @@ def image_row(
     dup_every: int = 0,
     short_caption_every: int = 0,
     bomb_every: int = 0,
+    logo_every: int = 0,
 ) -> dict:
     """One deterministic corpus row. Optional planted rows for the
     filter/dedup oracles (all OFF by default, so every existing corpus
@@ -76,7 +88,14 @@ def image_row(
     - ``bomb_every``: every k-th image is a 1024x768 solid-color PNG —
       a decompression bomb (hundreds of decoded pixels per payload
       byte); the decode-bomb guard must flag exactly these. Takes
-      precedence over the other plant rules."""
+      precedence over the other plant rules.
+    - ``logo_every``: every k-th PNG image gets the fixed 8x8 ``_LOGO``
+      tile stamped at pixel block (8:16, 8:16) — patch grid cell
+      (py=1, px=1), present at every corpus dimension — the planted
+      watermark for the repeated-patch miner. PNG rows only: the miner
+      keys on EXACT tile bytes, and a lossy JPEG roundtrip would not
+      preserve them (the docstring on ``watermark_patches`` carries the
+      same caveat)."""
     content_idx = idx
     if dup_every and idx % dup_every == dup_every - 1:
         content_idx = idx - 1
@@ -103,6 +122,13 @@ def image_row(
         px = np.full((h, w, 3), (17 * content_idx) % 256, dtype=np.uint8)
     else:
         px = image_pixels(content_idx, w, h)
+    if (
+        logo_every
+        and fmt == "png"
+        and content_idx % logo_every == logo_every - 1
+    ):
+        px = px.copy()
+        px[8:16, 8:16] = _LOGO
     if fmt == "png":
         data = encode_png(px)
     else:
@@ -133,6 +159,7 @@ def generate_images(
     dup_every: int = 0,
     short_caption_every: int = 0,
     bomb_every: int = 0,
+    logo_every: int = 0,
 ) -> DataFrame:
     # ceil-divide into ~16-image tasks: the pure-Python JPEG encode is
     # the slowest per-row work in the suite, and floor division
@@ -145,7 +172,7 @@ def generate_images(
                 [
                     image_row(
                         int(i), jpeg_every, flat_every, dup_every,
-                        short_caption_every, bomb_every,
+                        short_caption_every, bomb_every, logo_every,
                     )
                     for i in pdf["id"]
                 ]

@@ -763,3 +763,288 @@ def shard_pack(
             "overflows"
         ),
     )
+
+
+# ------------------------------------------------------------- patches
+
+_PATCH_SCHEMA = (
+    "image_id string, py int, px int, patch int, data binary, "
+    "patch_hash string"
+)
+
+
+def extract_patches(
+    images: DataFrame, patch: int = 8, with_bytes: bool = True
+) -> DataFrame:
+    """Tile each decoded image into non-overlapping ``patch``×``patch``
+    tiles (ViT-style preprocessing; partial edge tiles are dropped, so
+    the grid is floor(h/p) × floor(w/p)). One output row per tile:
+    (image_id, py, px, patch, data, patch_hash) with ``data`` the raw
+    row-major RGB bytes of the tile and ``patch_hash`` its md5.
+
+    Scale shape: pixels decode ONCE per image inside the Arrow batch
+    and leave it already cut into tiles — a 192-byte payload per row at
+    patch=8, or NO payload at all under ``with_bytes=False`` (the
+    mining path: downstream dedup/watermark aggregations need only the
+    hash, so the shuffle ships (id, py, px, 32-hex) per tile). Map-only;
+    no shuffle happens here."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px_arr = _decode(bytes(data), fmt)
+                h, w = px_arr.shape[:2]
+                for py in range(h // patch):
+                    for qx in range(w // patch):
+                        tile = px_arr[
+                            py * patch : (py + 1) * patch,
+                            qx * patch : (qx + 1) * patch,
+                        ]
+                        raw = tile.tobytes()
+                        rows.append(
+                            {
+                                "image_id": img_id,
+                                "py": py,
+                                "px": qx,
+                                "patch": patch,
+                                "data": raw if with_bytes else None,
+                                "patch_hash": hashlib.md5(raw).hexdigest(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=list(_PATCH_COLS))
+
+    return images.mapInPandas(gen, _PATCH_SCHEMA)
+
+
+_PATCH_COLS = ("image_id", "py", "px", "patch", "data", "patch_hash")
+
+
+def rebuild_patches(patches: DataFrame) -> DataFrame:
+    """Inverse of ``extract_patches``: shuffle tiles by image_id and
+    reassemble the full pixel array per group (grid dims come from the
+    tile maxima — no metadata trust). Output per image:
+    (image_id, n_patches, rebuilt_hash) with ``rebuilt_hash`` the md5
+    of the row-major RGB bytes — the fingerprint a downstream
+    patches-as-sequence consumer can audit against the source. One
+    shuffle, keyed by image_id."""
+    import hashlib
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["patch"].iloc[0])
+        ny, nx = int(pdf["py"].max()) + 1, int(pdf["px"].max()) + 1
+        full = np.zeros((ny * p, nx * p, 3), dtype=np.uint8)
+        for py, qx, raw in zip(pdf["py"], pdf["px"], pdf["data"]):
+            full[py * p : (py + 1) * p, qx * p : (qx + 1) * p] = (
+                np.frombuffer(bytes(raw), dtype=np.uint8).reshape(p, p, 3)
+            )
+        return pd.DataFrame(
+            {
+                "image_id": [pdf["image_id"].iloc[0]],
+                "n_patches": [len(pdf)],
+                "rebuilt_hash": [hashlib.md5(full.tobytes()).hexdigest()],
+            }
+        )
+
+    return patches.groupBy("image_id").applyInPandas(
+        rebuild,
+        "image_id string, n_patches int, rebuilt_hash string",
+    )
+
+
+def reassemble_verify(images: DataFrame, patch: int = 8) -> DataFrame:
+    """Round-trip the patch pipeline: ``extract_patches`` → shuffle →
+    ``rebuild_patches``, then compare each rebuilt md5 against a fresh
+    decode of the original payload. Output per image:
+    (image_id, n_patches, ok).
+
+    The comparison hash is computed independently on both sides — the
+    rebuild side never sees the original bytes — so a dropped, reordered
+    or corrupted tile flips ``ok`` (tamper cases pinned in
+    tests/test_images.py)."""
+    import hashlib
+
+    rebuilt = rebuild_patches(
+        extract_patches(images, patch=patch, with_bytes=True)
+    )
+
+    def grid_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px_arr = _decode(bytes(data), fmt)
+                h, w = px_arr.shape[:2]
+                crop = px_arr[: h // patch * patch, : w // patch * patch]
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "orig_hash": hashlib.md5(crop.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "orig_hash"])
+
+    orig = images.mapInPandas(grid_hash, "image_id string, orig_hash string")
+    return rebuilt.join(orig, "image_id").select(
+        "image_id",
+        "n_patches",
+        (F.col("rebuilt_hash") == F.col("orig_hash")).alias("ok"),
+    )
+
+
+def watermark_patches(
+    images: DataFrame, patch: int = 8, min_images: int = 10
+) -> DataFrame:
+    """Watermark/logo mining: find tiles whose EXACT pixel content
+    recurs across at least ``min_images`` distinct images — the
+    repeated-overlay signature of watermarks, logos, and UI chrome in a
+    scraped image corpus (a standard vision-training-data filter).
+    Exact-byte keying detects overlays that survive the payload's own
+    codec losslessly (PNG, or JPEG copies of one encode); an overlay
+    re-compressed through DIFFERENT lossy encodes needs a perceptual
+    tile key instead — swap ``patch_hash`` for a quantized tile hash,
+    same plan shape.
+
+    Scale shape: tiles leave the decode UDF as hashes only
+    (``with_bytes=False`` — no pixels in the shuffle); the hot-tile set
+    comes from one map-side-partial distinct-count aggregation on
+    patch_hash, is tiny by construction (a watermark is one hash, not
+    millions), and joins back by broadcast. Output one row per stamped
+    tile: (image_id, py, px, patch_hash, n_images)."""
+    tiles = extract_patches(images, patch=patch, with_bytes=False)
+    hot = (
+        tiles.groupBy("patch_hash")
+        .agg(F.countDistinct("image_id").cast("int").alias("n_images"))
+        .filter(F.col("n_images") >= min_images)
+    )
+    return tiles.join(F.broadcast(hot), "patch_hash").select(
+        "image_id", "py", "px", "patch_hash", "n_images"
+    )
+
+
+# -------------------------------------------------------- augmentation
+
+_AUG_SCHEMA = "image_id string, aug string, out_w int, out_h int, bytes binary"
+
+
+def _apply_aug(px_arr: np.ndarray, aug: str) -> np.ndarray:
+    if aug == "hflip":
+        return px_arr[:, ::-1]
+    if aug == "vflip":
+        return px_arr[::-1]
+    if aug == "rot90":
+        # 90° counter-clockwise in array space; (h, w) -> (w, h)
+        return np.rot90(px_arr, k=1)
+    if aug == "rot180":
+        return np.rot90(px_arr, k=2)
+    raise NotImplementedError(f"no augmentation {aug!r}")
+
+
+def _invert_aug(px_arr: np.ndarray, aug: str) -> np.ndarray:
+    if aug == "rot90":
+        return np.rot90(px_arr, k=-1)
+    # hflip / vflip / rot180 are involutions
+    return _apply_aug(px_arr, aug)
+
+
+def augment_images(
+    images: DataFrame, augs: tuple[str, ...] = ("hflip", "rot90")
+) -> DataFrame:
+    """Deterministic geometric augmentation: decode once, emit one
+    losslessly re-encoded PNG per (image, aug). hflip/vflip/rot180 keep
+    (w, h); rot90 swaps to (h, w). Exactness: every transform is a pure
+    index permutation and PNG is lossless, so the round trip through
+    ``augment_verify`` is byte-exact even for JPEG sources (whose decode
+    is itself deterministic). Map-only — each Arrow batch fans out
+    len(augs) rows per input with no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px_arr = _decode(bytes(data), fmt)
+                for aug in augs:
+                    out = np.ascontiguousarray(_apply_aug(px_arr, aug))
+                    rows.append(
+                        {
+                            "image_id": img_id,
+                            "aug": aug,
+                            "out_w": out.shape[1],
+                            "out_h": out.shape[0],
+                            "bytes": encode_png(out),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "aug", "out_w", "out_h", "bytes"]
+            )
+
+    return images.mapInPandas(gen, _AUG_SCHEMA)
+
+
+def augment_verify(
+    images: DataFrame, augs: tuple[str, ...] = ("hflip", "rot90")
+) -> DataFrame:
+    """Invariant check for ``augment_images``: decode each augmented
+    PNG, apply the INVERSE transform, and compare byte-exactly against
+    an independent decode of the original payload (hash equi-join on
+    image_id — augmented pixels and original pixels never meet in one
+    task). Output: (image_id, aug, out_w, out_h, ok)."""
+    import hashlib
+
+    def inv_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, aug, ow, oh, data in zip(
+                pdf["image_id"], pdf["aug"], pdf["out_w"], pdf["out_h"],
+                pdf["bytes"],
+            ):
+                back = np.ascontiguousarray(
+                    _invert_aug(decode_png(bytes(data)), aug)
+                )
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "aug": aug,
+                        "out_w": int(ow),
+                        "out_h": int(oh),
+                        "inv_hash": hashlib.md5(back.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "aug", "out_w", "out_h", "inv_hash"],
+            )
+
+    def orig_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px_arr = np.ascontiguousarray(_decode(bytes(data), fmt))
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "orig_hash": hashlib.md5(px_arr.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "orig_hash"])
+
+    inv = augment_images(images, augs=augs).mapInPandas(
+        inv_hash,
+        "image_id string, aug string, out_w int, out_h int, inv_hash string",
+    )
+    orig = images.mapInPandas(orig_hash, "image_id string, orig_hash string")
+    return inv.join(orig, "image_id").select(
+        "image_id",
+        "aug",
+        "out_w",
+        "out_h",
+        (F.col("inv_hash") == F.col("orig_hash")).alias("ok"),
+    )

@@ -513,3 +513,127 @@ def test_decode_bomb_guard_fails_closed(spark):
     )
     (r,) = decode_bomb_guard(df).collect()
     assert r["keep"] is False and r["oversize"] and r["ratio_bomb"]
+
+
+def test_extract_patches_grid_and_content(spark):
+    from smart_crawler_spark.operators.images import extract_patches
+
+    corpus = generate_images(spark, 12, jpeg_every=5)
+    rows = extract_patches(corpus, patch=8).collect()
+    # grid size per image follows the dims rule exactly (no partials)
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r["image_id"], []).append(r)
+    for i in range(12):
+        w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
+        tiles = by_img[f"img{i}"]
+        assert len(tiles) == (w // 8) * (h // 8)
+        assert {(t["py"], t["px"]) for t in tiles} == {
+            (y, x) for y in range(h // 8) for x in range(w // 8)
+        }
+        assert all(len(t["data"]) == 8 * 8 * 3 for t in tiles)
+    # a PNG tile's bytes equal the source pixels at that grid cell
+    t = next(
+        t for t in by_img["img0"] if (t["py"], t["px"]) == (1, 2)
+    )
+    want = image_pixels(0, 32, 24)[8:16, 16:24].tobytes()
+    assert bytes(t["data"]) == want
+
+
+def test_reassemble_verify_catches_corruption(spark):
+    from smart_crawler_spark.operators.images import (
+        extract_patches,
+        reassemble_verify,
+        rebuild_patches,
+    )
+
+    corpus = generate_images(spark, 10, jpeg_every=4)
+    ok = reassemble_verify(corpus, patch=8)
+    assert ok.count() == 10 and ok.filter(~F.col("ok")).count() == 0
+    # tamper between the stages: the rebuilt fingerprint must move
+    patches = extract_patches(corpus, patch=8)
+    clean = {
+        r["image_id"]: r["rebuilt_hash"]
+        for r in rebuild_patches(patches).collect()
+    }
+    zeroed = patches.withColumn(
+        "data",
+        F.when(
+            (F.col("image_id") == "img3")
+            & (F.col("py") == 0) & (F.col("px") == 0),
+            F.lit(bytes(8 * 8 * 3)),
+        ).otherwise(F.col("data")),
+    )
+    tampered = {
+        r["image_id"]: r["rebuilt_hash"]
+        for r in rebuild_patches(zeroed).collect()
+    }
+    assert tampered["img3"] != clean["img3"]
+    assert {k: v for k, v in tampered.items() if k != "img3"} == {
+        k: v for k, v in clean.items() if k != "img3"
+    }
+    # a DROPPED tile changes the fingerprint too (and the count)
+    dropped = rebuild_patches(
+        patches.filter(
+            ~((F.col("image_id") == "img5") & (F.col("py") == 1))
+        )
+    ).collect()
+    r5 = next(r for r in dropped if r["image_id"] == "img5")
+    assert r5["rebuilt_hash"] != clean["img5"]
+
+
+def test_watermark_patches_exact_plant(spark):
+    from smart_crawler_spark.operators.images import watermark_patches
+
+    corpus = generate_images(spark, 70, jpeg_every=10, logo_every=7)
+    got = watermark_patches(corpus, patch=8, min_images=4).collect()
+    want_ids = {
+        f"img{i}" for i in range(70) if i % 7 == 6 and i % 10 != 9
+    }
+    assert {r["image_id"] for r in got} == want_ids
+    assert all((r["py"], r["px"]) == (1, 1) for r in got)
+    assert all(r["n_images"] == len(want_ids) for r in got)
+    # jpeg rows at the logo cadence are NOT stamped (lossy roundtrip
+    # would break exact-byte keying): i=69 is i%7==6 AND i%10==9
+    assert "img69" not in want_ids
+
+
+def test_augment_verify_all_ops_exact(spark):
+    from smart_crawler_spark.operators.images import (
+        augment_images,
+        augment_verify,
+    )
+
+    corpus = generate_images(spark, 8, jpeg_every=3)
+    augs = ("hflip", "vflip", "rot90", "rot180")
+    av = augment_verify(corpus, augs=augs).collect()
+    assert len(av) == 8 * 4 and all(r["ok"] for r in av)
+    # dim rule: rot90 swaps, others keep
+    for r in av:
+        i = int(r["image_id"][3:])
+        w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
+        if r["aug"] == "rot90":
+            assert (r["out_w"], r["out_h"]) == (h, w)
+        else:
+            assert (r["out_w"], r["out_h"]) == (w, h)
+    # the augmented payload really is the permuted pixels (not a
+    # re-verification of the same code path): check one row directly
+    from smart_crawler_spark.functions.png import decode_png
+
+    row = (
+        augment_images(corpus, augs=("hflip",))
+        .filter(F.col("image_id") == "img0")
+        .collect()[0]
+    )
+    import numpy as np
+
+    got = decode_png(bytes(row["bytes"]))
+    assert np.array_equal(got, image_pixels(0, 32, 24)[:, ::-1])
+
+
+def test_augment_unknown_op_gates(spark):
+    from smart_crawler_spark.operators.images import augment_images
+
+    corpus = generate_images(spark, 2)
+    with pytest.raises(Exception, match="augmentation"):
+        augment_images(corpus, augs=("sepia",)).collect()
