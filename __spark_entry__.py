@@ -1366,20 +1366,22 @@ def image_patch_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def watermark_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark/logo mining (operators/images.py watermark_patches):
-    every 7th PNG image carries the fixed 8x8 _LOGO tile at patch cell
+    every 7th image carries the fixed 8x8 _LOGO tile at patch cell
     (1,1); the miner hashes every tile (no pixel bytes in the shuffle),
-    finds hashes recurring across >=10 distinct images via one
+    finds hashes recurring across >=5 distinct images via one
     map-side-partial distinct-count agg, and broadcast-joins the hot
-    set back. The oracle enumerates the planted rule (i%7==6 PNG rows;
-    i%10==9 rows are JPEG and unstamped) and predicts n_images as the
-    planted count — any false-positive noise tile or missed plant
-    breaks row count or hash."""
+    set back. The plant survives BOTH formats: PNG rows keep exact logo
+    bytes, and all JPEG plants decode the block-aligned tile to one
+    other byte pattern (4:4:4, per-block DCT) — so the miner finds two
+    hot hash groups and the oracle predicts per-format n_images from
+    the plant rule (i%7==6; fmt by i%10==9). Any false-positive noise
+    tile or missed plant breaks row count or hash."""
     from smart_crawler_spark.datagen.images import generate_images
     from smart_crawler_spark.operators.images import watermark_patches
 
     corpus = generate_images(spark, 500, jpeg_every=10, logo_every=7)
     return (
-        watermark_patches(corpus, patch=8, min_images=10)
+        watermark_patches(corpus, patch=8, min_images=5)
         .select("image_id", "py", "px", "n_images")
         .orderBy("image_id")
     )
@@ -3909,11 +3911,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "watermark_detect": """
             WITH planted AS (
-                SELECT i FROM range(500) t(i)
-                WHERE i % 7 = 6 AND i % 10 != 9
+                SELECT i,
+                       CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt
+                FROM range(500) t(i)
+                WHERE i % 7 = 6
             )
             SELECT 'img' || i AS image_id, 1 AS py, 1 AS px,
-                   CAST((SELECT count(*) FROM planted) AS INT) AS n_images
+                   CAST(count(*) OVER (PARTITION BY fmt) AS INT) AS n_images
             FROM planted
             ORDER BY image_id
         """,

@@ -89,13 +89,16 @@ def image_row(
       a decompression bomb (hundreds of decoded pixels per payload
       byte); the decode-bomb guard must flag exactly these. Takes
       precedence over the other plant rules.
-    - ``logo_every``: every k-th PNG image gets the fixed 8x8 ``_LOGO``
+    - ``logo_every``: every k-th image gets the fixed 8x8 ``_LOGO``
       tile stamped at pixel block (8:16, 8:16) — patch grid cell
       (py=1, px=1), present at every corpus dimension — the planted
-      watermark for the repeated-patch miner. PNG rows only: the miner
-      keys on EXACT tile bytes, and a lossy JPEG roundtrip would not
-      preserve them (the docstring on ``watermark_patches`` carries the
-      same caveat)."""
+      watermark for the repeated-patch miner. The stamp lands on BOTH
+      formats: PNG rows keep the exact logo bytes, and JPEG rows all
+      decode the logo block to ONE other byte pattern (the tile is
+      8x8-block-aligned and the codec is 4:4:4, so its DCT roundtrip
+      is independent of the surrounding image — measured: one distinct
+      decoded tile across all JPEG plants). The miner therefore sees
+      two hot hash groups, one per format."""
     content_idx = idx
     if dup_every and idx % dup_every == dup_every - 1:
         content_idx = idx - 1
@@ -122,11 +125,7 @@ def image_row(
         px = np.full((h, w, 3), (17 * content_idx) % 256, dtype=np.uint8)
     else:
         px = image_pixels(content_idx, w, h)
-    if (
-        logo_every
-        and fmt == "png"
-        and content_idx % logo_every == logo_every - 1
-    ):
+    if logo_every and content_idx % logo_every == logo_every - 1:
         px = px.copy()
         px[8:16, 8:16] = _LOGO
     if fmt == "png":

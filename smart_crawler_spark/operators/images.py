@@ -903,11 +903,14 @@ def watermark_patches(
     recurs across at least ``min_images`` distinct images — the
     repeated-overlay signature of watermarks, logos, and UI chrome in a
     scraped image corpus (a standard vision-training-data filter).
-    Exact-byte keying detects overlays that survive the payload's own
-    codec losslessly (PNG, or JPEG copies of one encode); an overlay
-    re-compressed through DIFFERENT lossy encodes needs a perceptual
-    tile key instead — swap ``patch_hash`` for a quantized tile hash,
-    same plan shape.
+    Exact-byte keying detects more than lossless payloads: a
+    block-aligned overlay stamped before a 4:4:4 JPEG encode decodes to
+    ONE byte pattern regardless of the surrounding image (per-8x8-block
+    DCT), so same-encoder lossy plants collapse into their own hot hash
+    group (pinned in tests + the `watermark_detect` oracle). Only an
+    overlay re-compressed through DIFFERENT encoders/settings needs a
+    perceptual tile key — swap ``patch_hash`` for a quantized tile
+    hash, same plan shape.
 
     Scale shape: tiles leave the decode UDF as hashes only
     (``with_bytes=False`` — no pixels in the shuffle); the hot-tile set

@@ -587,15 +587,27 @@ def test_watermark_patches_exact_plant(spark):
 
     corpus = generate_images(spark, 70, jpeg_every=10, logo_every=7)
     got = watermark_patches(corpus, patch=8, min_images=4).collect()
-    want_ids = {
+    png_ids = {
         f"img{i}" for i in range(70) if i % 7 == 6 and i % 10 != 9
     }
-    assert {r["image_id"] for r in got} == want_ids
+    # the single jpeg plant (img69) is its own hash group of size 1 —
+    # below min_images, so only the png group is hot
+    assert {r["image_id"] for r in got} == png_ids
     assert all((r["py"], r["px"]) == (1, 1) for r in got)
-    assert all(r["n_images"] == len(want_ids) for r in got)
-    # jpeg rows at the logo cadence are NOT stamped (lossy roundtrip
-    # would break exact-byte keying): i=69 is i%7==6 AND i%10==9
-    assert "img69" not in want_ids
+    assert all(r["n_images"] == len(png_ids) for r in got)
+    # with two jpeg plants in range (69, 139) the jpeg group becomes
+    # hot too — in a DIFFERENT hash group than the png plants
+    # (block-aligned 4:4:4 decode: one byte pattern per format)
+    wide = generate_images(spark, 140, jpeg_every=10, logo_every=7)
+    hot = watermark_patches(wide, patch=8, min_images=2).collect()
+    by_id = {r["image_id"]: r for r in hot}
+    jpeg_ids = {"img69", "img139"}
+    assert set(by_id) == {
+        f"img{i}" for i in range(140) if i % 7 == 6
+    }
+    assert all(by_id[i]["n_images"] == 2 for i in jpeg_ids)
+    assert by_id["img69"]["patch_hash"] == by_id["img139"]["patch_hash"]
+    assert by_id["img69"]["patch_hash"] != by_id["img6"]["patch_hash"]
 
 
 def test_augment_verify_all_ops_exact(spark):
