@@ -1387,6 +1387,27 @@ def watermark_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def watermark_detect_perceptual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-key watermark mining (operators/images.py
+    _perceptual_tiles): same plan as watermark_detect but tiles are
+    keyed by the 48-bit sign pattern (per-channel 4x4 block means vs
+    tile mean), which is invariant to the q98 JPEG decode noise — so
+    the png and jpeg plants of the one _LOGO overlay merge into a
+    SINGLE hot group and the oracle predicts n_images as the TOTAL
+    plant count (the cross-encoder case exact-byte keying cannot
+    reach; the logo's >=10 block-mean margin vs <=3 decode noise makes
+    the merge deterministic)."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import watermark_patches
+
+    corpus = generate_images(spark, 500, jpeg_every=10, logo_every=7)
+    return (
+        watermark_patches(corpus, patch=8, min_images=5, key="perceptual")
+        .select("image_id", "py", "px", "n_images")
+        .orderBy("image_id")
+    )
+
+
 def image_augment_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic augmentation with an exact inverse check
     (operators/images.py augment_images + augment_verify): hflip and
@@ -2890,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_verify": image_decode_verify,
         "image_patch_verify": image_patch_verify_q,
         "watermark_detect": watermark_detect_q,
+        "watermark_detect_perceptual": watermark_detect_perceptual_q,
         "image_augment_verify": image_augment_verify_q,
         "video_frame_sample": video_frame_sample,
         "video_frame_sample_mjpeg": video_frame_sample_mjpeg,
@@ -3918,6 +3940,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'img' || i AS image_id, 1 AS py, 1 AS px,
                    CAST(count(*) OVER (PARTITION BY fmt) AS INT) AS n_images
+            FROM planted
+            ORDER BY image_id
+        """,
+        "watermark_detect_perceptual": """
+            WITH planted AS (
+                SELECT i FROM range(500) t(i) WHERE i % 7 = 6
+            )
+            SELECT 'img' || i AS image_id, 1 AS py, 1 AS px,
+                   CAST((SELECT count(*) FROM planted) AS INT) AS n_images
             FROM planted
             ORDER BY image_id
         """,

@@ -41,6 +41,8 @@ HEADLINE = [
     "embedding_near_dup",
     "phash_near_dup",
     "image_decode_verify",
+    "watermark_detect",
+    "image_patch_verify",
     "video_frame_sample",
 ]
 

@@ -14,6 +14,9 @@ bias. Jobs (the crawl hot path, sized so executor work dominates):
   crawl_skew — end-to-end drain with ~90% of URLs on host 0
   ingest     — incremental batch-vs-corpus near-dup (Arrow signature
                UDF + band-bucket probe join)
+  vision     — image-payload kernels: watermark tile mining and the
+               patch round trip (decode-bound Arrow UDFs + hash-only
+               shuffle), untimed corpus generation
 
 Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
                                        [--jobs dedup,topk,links,crawl]
@@ -206,6 +209,39 @@ if "ingest" in jobs:
     out["ingest"] = {{"rows": N_DOCS + M, "sec": round(dt, 3),
                       "rows_per_sec": round((N_DOCS + M) / dt),
                       "dups": nd}}
+
+# --- vision: the image-payload hot path (graft cell pyspark x image).
+# Corpus generation (pure-numpy PNG/JPEG encode) runs ONCE untimed;
+# the timed kernels are (a) watermark tile mining — decode + 8x8 tile
+# + md5 inside the Arrow batch, hash-only shuffle, distinct-count agg,
+# broadcast join-back — and (b) the patch round trip — decode + tile,
+# shuffle tiles by image_id, rebuild, independent re-decode + compare.
+# Both are decode-bound (measured ~1.5 ms/img), i.e. exactly the work
+# that must scale linearly with executors over a 10^10-image corpus --
+if "vision" in jobs:
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import (
+        reassemble_verify, watermark_patches)
+
+    N_IMG = int(48_000 * scale)
+    imgs = generate_images(
+        spark, N_IMG, jpeg_every=10, logo_every=7,
+        partitions=min(N_IMG // 16, 512),
+    ).localCheckpoint()
+    n_planted = imgs.count() and sum(
+        1 for i in range(N_IMG) if i % 7 == 6)
+    nm, dt_m = timed(lambda: watermark_patches(imgs, min_images=5))
+    assert nm == n_planted, (nm, n_planted)
+    nr, dt_r = timed(lambda: reassemble_verify(imgs).filter("ok"))
+    assert nr == N_IMG, (nr, N_IMG)
+    out["vision"] = {{
+        "rows": N_IMG,
+        "sec": round(dt_m, 3),
+        "rows_per_sec": round(N_IMG / dt_m),
+        "patch_rt_sec": round(dt_r, 3),
+        "patch_rt_rows_per_sec": round(N_IMG / dt_r),
+        "planted": nm,
+    }}
 
 # --- crawl: end-to-end engine drain of a deterministic synthetic site ----
 # (the north-rule metric itself: fetched URLs/sec at both parallelism

@@ -55,13 +55,16 @@ def image_caption(idx: int) -> str:
 
 
 # Fixed 8x8 RGB logo tile, closed-form so any run agrees byte-for-byte.
+# Wrap-free ramp (max 7*28 + 7*6 + 22 = 238 <= 255): a mod-256 wrap
+# would park a 2x2-block mean exactly ON the tile mean and make the
+# perceptual sign-pattern key fragile under JPEG decode noise; with the
+# 28/6 slope pair every 2x2-block mean clears the tile mean by >= 10
+# (min |28a + 6b| over block offsets a, b in {-3, -1, 1, 3}) —
+# comfortably above the ±3 q98 decode noise.
 _LOGO = (
-    (
-        np.arange(8)[:, None, None] * 32
-        + np.arange(8)[None, :, None] * 8
-        + np.array([3, 5, 7])[None, None, :] * 11
-    )
-    % 256
+    np.arange(8)[:, None, None] * 28
+    + np.arange(8)[None, :, None] * 6
+    + np.array([0, 11, 22])[None, None, :]
 ).astype(np.uint8)
 
 

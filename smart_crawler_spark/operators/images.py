@@ -896,36 +896,163 @@ def reassemble_verify(images: DataFrame, patch: int = 8) -> DataFrame:
     )
 
 
-def watermark_patches(
-    images: DataFrame, patch: int = 8, min_images: int = 10
-) -> DataFrame:
-    """Watermark/logo mining: find tiles whose EXACT pixel content
-    recurs across at least ``min_images`` distinct images — the
-    repeated-overlay signature of watermarks, logos, and UI chrome in a
-    scraped image corpus (a standard vision-training-data filter).
-    Exact-byte keying detects more than lossless payloads: a
-    block-aligned overlay stamped before a 4:4:4 JPEG encode decodes to
-    ONE byte pattern regardless of the surrounding image (per-8x8-block
-    DCT), so same-encoder lossy plants collapse into their own hot hash
-    group (pinned in tests + the `watermark_detect` oracle). Only an
-    overlay re-compressed through DIFFERENT encoders/settings needs a
-    perceptual tile key — swap ``patch_hash`` for a quantized tile
-    hash, same plan shape.
+def _perceptual_tiles(images: DataFrame, patch: int) -> DataFrame:
+    """Hash-only tile rows keyed by the PERCEPTUAL sign pattern: per
+    channel, a 4x4 grid of block means compared against the tile mean
+    (phash-style), packed into one 48-bit hex key. Invariant to any
+    noise that moves a block mean by less than its margin — in
+    particular a lossy re-encode — while random-content tiles spread
+    over the full 2^48 key space. Requires ``patch % 4 == 0`` (fixed
+    4x4 grid, so the key width is patch-size independent)."""
+    if patch % 4 != 0:
+        raise ValueError("perceptual tile key needs patch % 4 == 0")
+    bs = patch // 4
 
-    Scale shape: tiles leave the decode UDF as hashes only
-    (``with_bytes=False`` — no pixels in the shuffle); the hot-tile set
-    comes from one map-side-partial distinct-count aggregation on
-    patch_hash, is tiny by construction (a watermark is one hash, not
-    millions), and joins back by broadcast. Output one row per stamped
-    tile: (image_id, py, px, patch_hash, n_images)."""
-    tiles = extract_patches(images, patch=patch, with_bytes=False)
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px_arr = _decode(bytes(data), fmt).astype(np.float64)
+                h, w = px_arr.shape[:2]
+                ny, nx = h // patch, w // patch
+                grid = px_arr[: ny * patch, : nx * patch].reshape(
+                    ny, 4, bs, nx, 4, bs, 3
+                )
+                blocks = grid.mean(axis=(2, 5))        # ny,4,nx,4,3
+                tmean = blocks.mean(axis=(1, 3))       # ny,nx,3
+                bits = blocks > tmean[:, None, :, None, :]
+                # pack channel-major, then block-row, then block-col —
+                # (ny, nx, 48); 48-bit ints are exact in float64
+                flat = (
+                    bits.transpose(0, 2, 4, 1, 3).reshape(ny, nx, 48)
+                )
+                key_int = flat.astype(np.float64) @ (
+                    2.0 ** np.arange(47, -1, -1)
+                )
+                for yy in range(ny):
+                    for xx in range(nx):
+                        rows.append(
+                            {
+                                "image_id": img_id,
+                                "py": yy,
+                                "px": xx,
+                                "patch": patch,
+                                "data": None,
+                                "patch_hash": format(
+                                    int(key_int[yy, xx]), "012x"
+                                ),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=list(_PATCH_COLS))
+
+    return images.mapInPandas(gen, _PATCH_SCHEMA)
+
+
+def watermark_patches(
+    images: DataFrame,
+    patch: int = 8,
+    min_images: int = 10,
+    key: str = "exact",
+) -> DataFrame:
+    """Watermark/logo mining: find tiles whose content recurs across at
+    least ``min_images`` distinct images — the repeated-overlay
+    signature of watermarks, logos, and UI chrome in a scraped image
+    corpus (a standard vision-training-data filter).
+
+    ``key='exact'`` (md5 of raw tile bytes) detects more than lossless
+    payloads: a block-aligned overlay stamped before a 4:4:4 JPEG
+    encode decodes to ONE byte pattern regardless of the surrounding
+    image (per-8x8-block DCT), so same-encoder lossy plants collapse
+    into their own hot hash group (pinned in tests + the
+    `watermark_detect` oracle). ``key='perceptual'`` switches to the
+    48-bit sign-pattern key (``_perceptual_tiles``), which additionally
+    merges copies of one overlay ACROSS encoders/settings — the png and
+    jpeg plants land in one group (oracle
+    `watermark_detect_perceptual`). Same plan shape either way.
+
+    Scale shape: tiles leave the decode UDF as hashes only (no pixels
+    in the shuffle); the hot-tile set comes from one map-side-partial
+    distinct-count aggregation on patch_hash, is tiny by construction
+    (a watermark is one hash, not millions), and joins back by
+    broadcast. Output one row per stamped tile:
+    (image_id, py, px, patch_hash, n_images)."""
+    if key not in ("exact", "perceptual"):
+        raise ValueError(f"unknown tile key {key!r}")
+    # the tile table feeds BOTH the hot-set aggregation and the
+    # join-back; without materializing it the decode UDF (the dominant
+    # cost) would run twice. The hash-only rows are ~60 B per tile —
+    # at 10^10 images that's a per-executor-partition spill-friendly
+    # footprint, and on a cluster this localCheckpoint maps to writing
+    # the patch-hash table once (which a real pipeline persists anyway)
+    tiles = (
+        extract_patches(images, patch=patch, with_bytes=False)
+        if key == "exact"
+        else _perceptual_tiles(images, patch)
+    ).localCheckpoint(eager=False)
     hot = (
         tiles.groupBy("patch_hash")
         .agg(F.countDistinct("image_id").cast("int").alias("n_images"))
         .filter(F.col("n_images") >= min_images)
     )
-    return tiles.join(F.broadcast(hot), "patch_hash").select(
+    cand = tiles.join(F.broadcast(hot), "patch_hash").select(
         "image_id", "py", "px", "patch_hash", "n_images"
+    )
+    if key == "exact":
+        return cand  # byte-identical content: self-verifying
+    return _verify_tile_buckets(images, cand, patch, min_images)
+
+
+def _verify_tile_buckets(
+    images: DataFrame,
+    cand: DataFrame,
+    patch: int,
+    min_images: int,
+    tol: int = 6,
+) -> DataFrame:
+    """Exact-verify stage for perceptual candidate buckets — the same
+    candidate→verify shape as the MinHash/LSH operators. A sign-pattern
+    key is deliberately lossy, and smooth-gradient tiles (skies,
+    vignettes, this corpus' synthetic gradient term) collide on
+    structured patterns; a real overlay's members are near-IDENTICAL
+    pixels, a gradient bucket's are unrelated ramps. So: fetch pixel
+    bytes for the CANDIDATE tiles only (decode restricted to candidate
+    images — a vanishing fraction of the corpus), group by bucket, and
+    confirm members within L_inf ``tol`` of the bucket's elementwise
+    median tile (tol=6 covers two independent ±3 lossy decodes);
+    recount n_images over confirmed members. Gradient impostors differ
+    by the full noise amplitude and drop out."""
+    cand_ids = cand.select("image_id").distinct()
+    tile_bytes = extract_patches(
+        images.join(F.broadcast(cand_ids), "image_id"),
+        patch=patch,
+        with_bytes=True,
+    ).select("image_id", "py", "px", "data")
+    with_bytes = cand.join(tile_bytes, ["image_id", "py", "px"])
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack(
+            [
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                for b in pdf["data"]
+            ]
+        ).astype(np.int16)
+        med = np.median(stack, axis=0)
+        keep = np.abs(stack - med).max(axis=1) <= tol
+        out = pdf.loc[keep, ["image_id", "py", "px", "patch_hash"]]
+        out = out.assign(n_images=out["image_id"].nunique())
+        return out
+
+    return (
+        with_bytes.groupBy("patch_hash")
+        .applyInPandas(
+            verify,
+            "image_id string, py int, px int, patch_hash string, "
+            "n_images int",
+        )
+        .filter(F.col("n_images") >= min_images)
+        .select("image_id", "py", "px", "patch_hash", "n_images")
     )
 
 

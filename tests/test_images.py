@@ -649,3 +649,26 @@ def test_augment_unknown_op_gates(spark):
     corpus = generate_images(spark, 2)
     with pytest.raises(Exception, match="augmentation"):
         augment_images(corpus, augs=("sepia",)).collect()
+
+
+def test_watermark_perceptual_merges_across_encoders(spark):
+    from smart_crawler_spark.operators.images import watermark_patches
+
+    corpus = generate_images(spark, 140, jpeg_every=10, logo_every=7)
+    planted = {f"img{i}" for i in range(140) if i % 7 == 6}
+    got = watermark_patches(
+        corpus, patch=8, min_images=5, key="perceptual"
+    ).collect()
+    assert {r["image_id"] for r in got} == planted
+    # ONE merged group: every plant reports the total count and the
+    # png/jpeg members share the sign-pattern key
+    assert all(r["n_images"] == len(planted) for r in got)
+    assert len({r["patch_hash"] for r in got}) == 1
+    assert all((r["py"], r["px"]) == (1, 1) for r in got)
+    # bad key name gates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown tile key"):
+        watermark_patches(corpus, key="phash")
+    with _pytest.raises(ValueError, match="patch % 4"):
+        watermark_patches(corpus, patch=6, key="perceptual")

@@ -442,3 +442,35 @@ def test_domain_mix_broadcasts_acceptance_no_corpus_shuffle(spark):
     # no shuffle keyed by the row identity (only tiny lang-keyed aggs)
     assert "hashpartitioning(doc_id" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_watermark_hot_set_broadcast_and_single_decode(spark):
+    """The watermark miner's join-back must broadcast the (tiny) hot
+    set, and the tile table must be materialized so the decode UDF
+    (the dominant cost) runs once, not once per reference."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import watermark_patches
+
+    corpus = generate_images(spark, 30, jpeg_every=10, logo_every=7)
+    df = watermark_patches(corpus, patch=8, min_images=2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # localCheckpoint replaces both tile-scan legs with the cached RDD:
+    # exactly one decode (mapInPandas source) may remain in the plan
+    assert plan.count("MapInPandas") <= 1, plan
+
+
+def test_extract_patches_and_augment_are_map_only(spark):
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import (
+        augment_images,
+        extract_patches,
+    )
+
+    corpus = generate_images(spark, 20, jpeg_every=10)
+    for df in (
+        extract_patches(corpus, patch=8, with_bytes=False),
+        augment_images(corpus, augs=("hflip", "rot90")),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
