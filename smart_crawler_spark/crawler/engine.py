@@ -76,6 +76,12 @@ class EngineConfig:
     use_bloom: bool | str = False
     bloom: BloomConfig = field(default_factory=BloomConfig)
     checkpoint_every: int = 0  # 0 = no checkpointing
+    # snapshot retention: K > 0 expires committed rounds older than the
+    # newest K after every snapshot commit (Iceberg expireSnapshots
+    # parity — resume reads only the newest, so older rounds are pure
+    # storage debt at a 10^10-URL crawl's round cadence). 0 = keep all
+    # (exact-parity / debugging runs).
+    keep_snapshots: int = 0
     crash_at_round: int | None = None  # stop right after that round's snapshot
     # politeness (F4): when wait_ms > 0, the per-host budget is derived
     # from the round duration instead of budget_per_host — the reference
@@ -831,6 +837,10 @@ class CrawlEngine:
             host_stats,
             recrawl_pool=rc_pool,
         )
+        if self.cfg.keep_snapshots:
+            self.checkpoint.expire_snapshots(
+                keep_last=self.cfg.keep_snapshots
+            )
 
     def _result(self, rnd, frontier, seen_filter, metrics) -> CrawlResult:
         empty_order = self.spark.createDataFrame(

@@ -135,6 +135,61 @@ class CrawlCheckpoint:
                 out.append(int(name.split("=", 1)[1]))
         return sorted(out)
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expireSnapshots`` parity for the snapshot store:
+        drop committed rounds older than the newest ``keep_last``
+        (resume only ever reads the newest, so older rounds are pure
+        storage debt — unbounded at a 10^10-URL crawl's round cadence),
+        and remove ORPHANS in the retained rounds: version dirs the
+        manifest does not name (a crash between the parquet writes and
+        the manifest commit leaves one — write() only GCs superseded
+        versions after a successful commit) plus stale ``.tmp``
+        manifests. The newest committed round is never touched, and an
+        uncommitted round dir NEWER than it is also kept (it may be a
+        concurrent writer mid-commit). Returns counts:
+        {rounds_expired, orphans_removed}."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        committed = self.committed_rounds()
+        expired = orphans = 0
+        if committed:
+            newest = committed[-1]
+            cutoff = (
+                committed[-keep_last]
+                if len(committed) >= keep_last
+                else committed[0]
+            )
+            for name in os.listdir(self.root):
+                if not name.startswith("round="):
+                    continue
+                rnd = int(name.split("=", 1)[1])
+                d = os.path.join(self.root, name)
+                is_committed = os.path.exists(
+                    os.path.join(d, "_MANIFEST.json")
+                )
+                if rnd < cutoff or (not is_committed and rnd < newest):
+                    shutil.rmtree(d, ignore_errors=True)
+                    expired += 1
+                    continue
+                if not is_committed:
+                    continue
+                with open(os.path.join(d, "_MANIFEST.json")) as f:
+                    live = f"v={json.load(f).get('version')}"
+                for entry in os.listdir(d):
+                    if (
+                        entry.startswith("v=") and entry != live
+                    ) or entry.endswith(".tmp"):
+                        p = os.path.join(d, entry)
+                        (
+                            shutil.rmtree(p, ignore_errors=True)
+                            if os.path.isdir(p)
+                            else os.remove(p)
+                        )
+                        orphans += 1
+        return {"rounds_expired": expired, "orphans_removed": orphans}
+
     def latest(self) -> Snapshot | None:
         rounds = self.committed_rounds()
         if not rounds:

@@ -337,3 +337,76 @@ def test_canonically_equal_seeds_collapse(spark, site, tmp_path):
         EngineConfig(budget_per_host=1),
     ).run([seeds[0], seeds[0].rstrip("/")])
     assert _summary(dup) == _summary(base)
+
+
+def test_expire_snapshots_semantics(spark, tmp_path):
+    """Iceberg expireSnapshots parity: old committed rounds drop, the
+    newest keep_last survive, orphan version dirs / tmp manifests in
+    retained rounds are GC'd, and an uncommitted round NEWER than the
+    newest commit is left alone (concurrent writer mid-commit)."""
+    import json
+    import os
+
+    ck = CrawlCheckpoint(spark, str(tmp_path / "ck"))
+    df = spark.range(3).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+        F.lit(None).cast("string").alias("form_params"),
+    )
+    m = df.select(F.lit(0).alias("partition_id"), F.lit(1).alias("rows"))
+    hs = spark.createDataFrame([("h", 1, 1)], "host string, seq long, fetched long")
+    seen = df.select(F.xxhash64("url").alias("url_hash"))
+    for rnd in (1, 2, 3, 4):
+        ck.write(rnd, df, seen, df.limit(0), m, hs)
+    # plant crash debris in a retained round: an orphan version dir
+    # (parquet written, manifest never flipped) + a stale tmp manifest
+    orphan = tmp_path / "ck" / "round=4" / "v=9"
+    orphan.mkdir()
+    (tmp_path / "ck" / "round=4" / "_MANIFEST.json.tmp").write_text("{}")
+    # and an uncommitted round NEWER than the newest commit
+    (tmp_path / "ck" / "round=5" / "v=1").mkdir(parents=True)
+
+    stats = ck.expire_snapshots(keep_last=2)
+    assert stats == {"rounds_expired": 2, "orphans_removed": 2}
+    assert ck.committed_rounds() == [3, 4]
+    assert not orphan.exists()
+    assert not (tmp_path / "ck" / "round=4" / "_MANIFEST.json.tmp").exists()
+    assert (tmp_path / "ck" / "round=5").exists()  # mid-commit writer
+    # the live version is untouched and still loads
+    snap = ck.latest()
+    assert snap.round == 4 and snap.frontier.count() == 3
+    # idempotent + guards
+    assert ck.expire_snapshots(keep_last=2) == {
+        "rounds_expired": 0, "orphans_removed": 0,
+    }
+    with pytest.raises(ValueError, match="keep_last"):
+        ck.expire_snapshots(keep_last=0)
+
+
+def test_resume_after_retention(spark, site, tmp_path):
+    """keep_snapshots=1 retains only the newest committed round at
+    every commit — and the crawl still resumes losslessly from it."""
+    import os
+
+    model, pages, seeds = site
+    base = CrawlEngine(
+        spark, pages, model, str(tmp_path / "base"),
+        EngineConfig(budget_per_host=1),
+    ).run(seeds)
+    want = _summary(base)
+
+    crash_cfg = EngineConfig(
+        budget_per_host=1, checkpoint_every=1, crash_at_round=4,
+        keep_snapshots=1,
+    )
+    CrawlEngine(spark, pages, model, str(tmp_path / "ret"), crash_cfg).run(
+        seeds
+    )
+    ck_root = tmp_path / "ret" / "checkpoints"
+    rounds = [n for n in os.listdir(ck_root) if n.startswith("round=")]
+    assert len(rounds) == 1, rounds  # retention held at every commit
+
+    resumed = CrawlEngine(
+        spark, pages, model, str(tmp_path / "ret"),
+        EngineConfig(budget_per_host=1, checkpoint_every=1, keep_snapshots=1),
+    ).run(resume=True)
+    assert _summary(resumed) == want
