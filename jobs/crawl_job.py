@@ -40,6 +40,17 @@ def main() -> None:
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--use-bloom", action="store_true")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument(
+        "--keep-snapshots", type=int, default=0,
+        help="retain only the newest K committed checkpoint rounds "
+        "(0 = keep all)",
+    )
+    p.add_argument(
+        "--compact-sinks", action="store_true",
+        help="after the run, rewrite the crawl_order/records sinks "
+        "into size-targeted parquet files (rewrite_data_files parity; "
+        "row-identical, crash-safe swap)",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--workdir", required=True)
     p.add_argument("--master", default=None, help="only for local runs; "
@@ -74,6 +85,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         use_bloom=args.use_bloom,
         checkpoint_every=args.checkpoint_every,
+        keep_snapshots=args.keep_snapshots,
     )
     if args.conf:
         from smart_crawler_spark.sources.config import load_settings_file
@@ -102,12 +114,26 @@ def main() -> None:
     res = engine.run(seeds=None if args.resume else seeds, resume=args.resume)
     wall = time.monotonic() - t0
     fetched = res.order.filter("fetched").count()
-    print(json.dumps({
+    report = {
         "fetched": fetched,
         "rounds": res.rounds,
         "wall_sec": round(wall, 2),
         "fetched_urls_per_sec": round(fetched / wall) if wall > 0 else None,
-    }))
+    }
+    if args.compact_sinks:
+        import os
+
+        from smart_crawler_spark.sources.maintenance import (
+            compact_parquet_dir,
+        )
+
+        report["compaction"] = {
+            name: compact_parquet_dir(
+                spark, os.path.join(args.workdir, name)
+            )
+            for name in ("crawl_order", "records")
+        }
+    print(json.dumps(report))
     spark.stop()
 
 
