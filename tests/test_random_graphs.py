@@ -377,13 +377,17 @@ def test_random_graph_resume_equals_uninterrupted(spark, tmp_path, seed):
     model, rows, seed_url = make_random_site(seed)
     pages_df = spark.createDataFrame(rows, SITE_PAGES_SCHEMA)
     wd = str(tmp_path / f"res{seed}")
+    # keep_snapshots=1: snapshot retention must never lose the resume
+    # point — sweep it on the same random shapes as the resume itself
     CrawlEngine(
         spark, pages_df, model, wd,
-        EngineConfig(budget_per_host=1, checkpoint_every=1, crash_at_round=2),
+        EngineConfig(budget_per_host=1, checkpoint_every=1,
+                     crash_at_round=2, keep_snapshots=1),
     ).run([seed_url])
     resumed = CrawlEngine(
         spark, pages_df, model, wd,
-        EngineConfig(budget_per_host=1, checkpoint_every=1),
+        EngineConfig(budget_per_host=1, checkpoint_every=1,
+                     keep_snapshots=1),
     ).run(resume=True)
     want = crawl_all(rows, model, [seed_url])
     host = next(iter(want))
