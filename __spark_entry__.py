@@ -832,6 +832,25 @@ def ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def pq_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (ADC scan + exact rescore), oracle-checked vs brute
+    force: deterministic per-subspace Lloyd codebooks (m=8 subspaces x
+    32 codes over dim 64 = 8 B/vector, 32x compression), corpus scanned
+    as codes only with per-query (m x k) lookup tables, per-partition
+    top-k, exact cosine rerank of the winners
+    (operators/simsearch.py:pq_topk). Queries are the same planted
+    near-neighbor probes as the IVF/LSH gates; the oracle is the exact
+    brute-force top-1, so a quantizer too coarse to rank the planted
+    neighbor first fails the gate."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = _planted_query_vecs(spark, sf_dir)
+    return simsearch.pq_topk(
+        queries, emb, k=1, m=8, n_codes=32
+    ).orderBy("query_id")
+
+
 def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (EXISTS): orders with >=1 deep-discount lineitem,
     counted per priority — the seen-set membership shape (§2.6 anti/semi
@@ -2896,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": simhash_near_dup,
         "lsh_embedding_topk": lsh_embedding_topk,
         "ivf_embedding_topk": ivf_embedding_topk,
+        "pq_embedding_topk": pq_embedding_topk,
         "q4_priority_semijoin": q4_priority_semijoin,
         "table_set_ops": table_set_ops,
         "outlink_classify": outlink_classify,
@@ -4386,6 +4406,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
         "ivf_embedding_topk": f"""
+            WITH flat AS ({cos_flat}),
+            q AS (
+                SELECT a.vec_id + 100000 AS vec_id, a.i, a.v + 0.18 * b.v AS v
+                FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+                WHERE a.vec_id < 5
+            ),
+            dots AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       sum(q.v * c.v)
+                         / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+                FROM q JOIN flat c ON q.i = c.i
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(sim, 6) DESC, neighbor_id ASC
+                       ) AS rank
+                FROM dots
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 1
+            ORDER BY query_id
+        """,
+        "pq_embedding_topk": f"""
             WITH flat AS ({cos_flat}),
             q AS (
                 SELECT a.vec_id + 100000 AS vec_id, a.i, a.v + 0.18 * b.v AS v

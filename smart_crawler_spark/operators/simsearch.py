@@ -588,3 +588,211 @@ def quantize_embeddings(
         q.alias("q"),
         err.alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------- product quantization
+
+
+def _pq_assign_udf(codebooks: np.ndarray):
+    """Vectorized pandas UDF: embedding -> array<int> of m subspace
+    codes (argmin L2 to the subspace codebook, on the L2-normalized
+    vector). ``codebooks`` is (m, k, d/m). One batched einsum per
+    subspace per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            x = mat[:, s * sub : (s + 1) * sub]
+            d2 = (
+                (x**2).sum(1, keepdims=True)
+                - 2.0 * x @ codebooks[s].T
+                + (codebooks[s] ** 2).sum(1)
+            )
+            codes[:, s] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return assign
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic product-quantizer training: split the (normalized)
+    vector into ``m`` subspaces and run a few Lloyd iterations per
+    subspace — ALL subspaces updated in one corpus scan per iteration
+    (assign via one batched UDF, update via a single groupBy
+    (subspace, code, component) mean whose result is m*k*(d/m) driver
+    rows). Seeds are the same stride-sampled, id-ordered rows as
+    ``ivf_centroids_kmeans``, sliced per subspace — deterministic, not
+    partition-order dependent. Returns (m, n_codes, d/m)."""
+    corpus = corpus.select(id_col, vec_col).persist()
+    try:
+        n = corpus.count()
+        stride = max(n // n_codes, 1)
+        seed_rows = (
+            corpus.filter(
+                (F.col(id_col) % stride == 0)
+                & (F.col(id_col) < stride * n_codes)
+            )
+            .orderBy(id_col)
+            .select(vec_col)
+            .collect()
+        )
+        seeds = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+        if seeds.shape[0] < n_codes:
+            raise ValueError(
+                f"stride seeding found {seeds.shape[0]} < {n_codes} rows:"
+                f" pq_codebooks requires dense integer ids from 0"
+                f" (remap with row_number first)"
+            )
+        d = seeds.shape[1]
+        if d % m != 0:
+            raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+        sub = d // m
+        seeds = seeds / np.maximum(
+            np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12
+        )
+        cb = seeds.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+        for _ in range(iters):
+            assign = _pq_assign_udf(cb)
+            norm = F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: x / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)),
+            )
+            comp = (
+                corpus.select(
+                    assign(F.col(vec_col)).alias("codes"),
+                    F.posexplode(norm).alias("j", "x"),
+                )
+                .select(
+                    (F.col("j") / sub).cast("int").alias("s"),
+                    (F.col("j") % sub).alias("i"),
+                    F.element_at(
+                        "codes", (F.col("j") / sub).cast("int") + 1
+                    ).alias("code"),
+                    "x",
+                )
+                .groupBy("s", "code", "i")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            for r in comp:
+                cb[r["s"], r["code"], r["i"]] = r["mu"]
+        return cb
+    finally:
+        corpus.unpersist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m uint8 subspace codes — at (m=8, k=32,
+    dim=64 float32) a 32x storage shrink; the decoded approximation
+    lives entirely in the (m*k*(d/m))-float codebook every executor
+    holds as a broadcast closure."""
+    assign = _pq_assign_udf(codebooks)
+    return corpus.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    m: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ ANN with ADC scan + exact rescore — the classic IVF-free PQ
+    pipeline (Jegou et al. 2011, "Product quantization for nearest
+    neighbor search"): corpus vectors are m uint8 codes; each query
+    builds an (m x n_codes) inner-product lookup table once, scores
+    every code row by m TABLE LOOKUPS (no d-dim arithmetic), keeps the
+    per-partition top-k (correct for a global top-k), and the k global
+    winners are rescored with the EXACT cosine against the full vectors
+    (rank and reported sim come from the rescore — the standard
+    candidate-generation / rerank split).
+
+    Scale shape: the scan side carries only (id, m bytes); queries +
+    codebooks + LUTs are broadcast numpy in the Arrow UDF closure; the
+    shuffle sees at most (partitions x Q x k) candidate rows; the
+    rescore joins k ids back to the corpus by equi-join."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    m, _, sub = codebooks.shape
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+    # (Q, m, k) inner-product tables: est_dot(q, c) = sum_s lut[q, s, code_s]
+    lut = np.einsum(
+        "qsd,skd->qsk", q_mat.reshape(len(q_ids), m, sub), codebooks
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            # (Q, n): gather per subspace and sum
+            est = lut[:, np.arange(m), codes].sum(axis=2)
+            top = min(k, est.shape[1])
+            idx = np.argpartition(-est, top - 1, axis=1)[:, :top]
+            rows = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": ids[idx].ravel(),
+                "adc": np.take_along_axis(est, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    codes_df = pq_encode(corpus, codebooks, id_col, vec_col)
+    cand = codes_df.mapInPandas(
+        scan, f"query_id long, neighbor_id long, adc double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    winners = (
+        cand.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= k)
+        .drop("rk", "adc")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    rescored = (
+        winners.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w_exact))

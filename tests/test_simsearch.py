@@ -188,3 +188,73 @@ def test_quantize_embeddings(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "ArrowEval" not in plan, plan
+
+
+@needs_testdata
+def test_pq_codebooks_shape_and_determinism(spark, emb):
+    cb1 = simsearch.pq_codebooks(emb, m=8, n_codes=16)
+    cb2 = simsearch.pq_codebooks(emb, m=8, n_codes=16)
+    dim = len(emb.first()["embedding"])
+    assert cb1.shape == (8, 16, dim // 8)
+    assert np.allclose(cb1, cb2)
+    # codes cover the range and stay in [0, k)
+    codes = simsearch.pq_encode(emb, cb1).collect()
+    flat = [c for r in codes for c in r["codes"]]
+    assert min(flat) >= 0 and max(flat) < 16
+    assert len({tuple(r["codes"]) for r in codes}) > len(codes) // 2
+
+
+@needs_testdata
+def test_pq_planted_top1_exact_and_rescore(spark, emb):
+    """The gate semantics: a planted near-copy query (w = v_i +
+    0.18*v_{i+1}, true sim ~0.98 vs ~0 noise background) must come back
+    with the exact brute-force top-1 — ADC distortion is bounded far
+    below that margin. (Top-5 over PURE-NOISE neighbors is deliberately
+    NOT asserted: with all true sims ~0 the ranking is tie-breaking
+    noise, which lossy codes cannot and need not preserve — that case
+    is what the exact rescore/IVF paths are for.) Reported sims must be
+    the exact cosine, not the ADC estimate."""
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("_e2"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("_e2").cast("array<double>"),
+                lambda a, b: a + 0.18 * b,
+            ).alias("embedding"),
+        )
+    )
+    bf = simsearch.cosine_topk(queries, emb, k=1)
+    pq = simsearch.pq_topk(queries, emb, k=1, m=8, n_codes=16)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in bf.collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in pq.collect()
+    }
+    assert got == want  # same neighbor AND the exact (rescored) sim
+    # ranks in a k=5 output come from the exact rescore: descending sims
+    out = simsearch.pq_topk(queries, emb, k=5, m=8, n_codes=16).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for sims in by_q.values():
+        ordered = [s for _, s in sorted(sims)]
+        assert ordered == sorted(ordered, reverse=True)
+
+
+@needs_testdata
+def test_pq_guards(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        simsearch.pq_codebooks(emb, m=7, n_codes=8)
+    with pytest.raises(ValueError, match="dense integer ids"):
+        simsearch.pq_codebooks(
+            emb.withColumn("vec_id", F.col("vec_id") + 10_000_000),
+            m=8, n_codes=16,
+        )
