@@ -38,6 +38,7 @@ HEADLINE = [
     "embedding_topk",
     "lsh_embedding_topk",
     "ivf_embedding_topk",
+    "pq_embedding_topk",
     "embedding_near_dup",
     "phash_near_dup",
     "image_decode_verify",
