@@ -851,6 +851,25 @@ def pq_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def ivfpq_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS composition), oracle-checked vs brute
+    force: coarse cells from the deterministic stride-seeded Lloyd,
+    sphere residuals product-quantized (m=8 x 32 codes,
+    normalize=False), queries probe 4/16 cells, ADC = q-dot-centroid +
+    residual lookup tables, ADC top-8 rescored with the exact cosine
+    and cut to k=1 (operators/simsearch.py:ivfpq_topk). Same planted
+    near-neighbor probes and brute-force oracle as the IVF/PQ gates —
+    a coarse-or-distorted quantizer that loses the planted neighbor
+    fails the gate."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = _planted_query_vecs(spark, sf_dir)
+    return simsearch.ivfpq_topk(
+        queries, emb, k=1, n_cells=16, n_probe=4, m=8, n_codes=32
+    ).orderBy("query_id")
+
+
 def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (EXISTS): orders with >=1 deep-discount lineitem,
     counted per priority — the seen-set membership shape (§2.6 anti/semi
@@ -2916,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_topk": lsh_embedding_topk,
         "ivf_embedding_topk": ivf_embedding_topk,
         "pq_embedding_topk": pq_embedding_topk,
+        "ivfpq_embedding_topk": ivfpq_embedding_topk,
         "q4_priority_semijoin": q4_priority_semijoin,
         "table_set_ops": table_set_ops,
         "outlink_classify": outlink_classify,
@@ -4432,6 +4452,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id
         """,
         "pq_embedding_topk": f"""
+            WITH flat AS ({cos_flat}),
+            q AS (
+                SELECT a.vec_id + 100000 AS vec_id, a.i, a.v + 0.18 * b.v AS v
+                FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+                WHERE a.vec_id < 5
+            ),
+            dots AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       sum(q.v * c.v)
+                         / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+                FROM q JOIN flat c ON q.i = c.i
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(sim, 6) DESC, neighbor_id ASC
+                       ) AS rank
+                FROM dots
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 1
+            ORDER BY query_id
+        """,
+        "ivfpq_embedding_topk": f"""
             WITH flat AS ({cos_flat}),
             q AS (
                 SELECT a.vec_id + 100000 AS vec_id, a.i, a.v + 0.18 * b.v AS v

@@ -258,3 +258,47 @@ def test_pq_guards(spark, emb):
             emb.withColumn("vec_id", F.col("vec_id") + 10_000_000),
             m=8, n_codes=16,
         )
+
+
+@needs_testdata
+def test_ivfpq_planted_top1_exact(spark, emb):
+    """IVF-PQ recovers the exact brute-force top-1 for planted
+    near-copy queries, with the exact rescored sim — and the rerank
+    window is what makes it robust (the true neighbor can sit at ADC
+    rank 2 on this corpus; rerank=8k rescores past it)."""
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("_e2"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("_e2").cast("array<double>"),
+                lambda a, b: a + 0.18 * b,
+            ).alias("embedding"),
+        )
+    )
+    bf = simsearch.cosine_topk(queries, emb, k=1)
+    ivfpq = simsearch.ivfpq_topk(
+        queries, emb, k=1, n_cells=8, n_probe=4, m=8, n_codes=16
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in bf.collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivfpq.collect()
+    }
+    assert got == want
+    # output honors k: at k=3 each query returns exactly 3 ranked rows
+    out = simsearch.ivfpq_topk(
+        queries, emb, k=3, n_cells=8, n_probe=4, m=8, n_codes=16
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
