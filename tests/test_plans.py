@@ -474,3 +474,25 @@ def test_extract_patches_and_augment_are_map_only(spark):
     ):
         plan = _plan(df)
         assert "Exchange" not in plan, plan
+
+
+@needs_testdata
+def test_pq_scan_no_cartesian_bounded_shuffle(spark):
+    """The PQ/IVF-PQ ADC scans must never plan a cartesian product:
+    candidates come out of the mapInPandas scan already top-k-pruned
+    per partition, and the only joins are the id equi-joins of the
+    exact rerank (query side broadcast)."""
+    from smart_crawler_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    for df in (
+        simsearch.pq_topk(queries, emb, k=2, m=8, n_codes=16),
+        simsearch.ivfpq_topk(
+            queries, emb, k=2, n_cells=8, n_probe=2, m=8, n_codes=16
+        ),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan  # the rerank query side
