@@ -7,8 +7,10 @@ agree byte-for-byte. fmt='png' rows carry a real PNG (this repo's pure
 numpy codec; lossless → decode allclose is exact). fmt='jpeg' rows carry
 a real baseline JPEG (functions/jpeg.py) at quality 98 — chosen so the
 lossy roundtrip stays above the PSNR>=40dB invariant even on this
-corpus' half-noise pixels (measured worst case 43.5 dB, and the 8x8
-average-phash survives bit-identically).
+corpus' half-noise pixels (measured worst case 43.5 dB); the stored
+phash of a JPEG row is the POST-ROUNDTRIP hash, so the decode-verify
+invariant (recomputed == stored) holds by construction, stamped logos
+and all (see image_row).
 
 Generation is distributed: ``spark.range(n)`` → ``mapInPandas`` — no
 driver-side materialization, scales to any corpus size.
@@ -141,6 +143,19 @@ def image_row(
         and content_idx % short_caption_every == short_caption_every - 1
     ):
         caption = "thumb"
+    # the stored phash describes the PAYLOAD AS DECODED: identical to
+    # phash(px) for lossless PNG, and the post-roundtrip hash for JPEG —
+    # making the decode-verify invariant (recomputed phash == stored)
+    # true BY CONSTRUCTION rather than "measured on this corpus" (a
+    # stamped logo block can park one avg-hash block exactly on the
+    # luma-mean threshold, where q98 noise flips a bit — seen at
+    # img209 under logo_every=7)
+    if fmt == "jpeg":
+        from smart_crawler_spark.functions.jpeg import decode_jpeg
+
+        ph = perceptual_hash(decode_jpeg(data))
+    else:
+        ph = perceptual_hash(px)
     return {
         "image_id": f"img{idx}",
         "bytes": data,
@@ -148,7 +163,7 @@ def image_row(
         "h": h,
         "fmt": fmt,
         "caption": caption,
-        "phash": perceptual_hash(px),
+        "phash": ph,
     }
 
 
