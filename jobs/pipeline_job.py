@@ -265,6 +265,28 @@ def main() -> None:
 
         run("ann_topk", _ann)
 
+        # the compressed-corpus legs of the ANN ladder: PQ codes +
+        # ADC scan + exact rerank, and the FAISS-style IVF-PQ
+        def _ann_pq(which):
+            from smart_crawler_spark.operators.simsearch import (
+                ivfpq_topk,
+                pq_topk,
+            )
+
+            emb = spark.read.parquet(
+                os.path.join(args.input, "embeddings.parquet")
+            )
+            queries = (
+                emb.filter(F.col("vec_id") % 200 == 0)
+                .orderBy("vec_id").limit(8).localCheckpoint()
+            )
+            if which == "pq":
+                return pq_topk(queries, emb, k=args.topk)
+            return ivfpq_topk(queries, emb, k=args.topk)
+
+        run("ann_pq_topk", lambda: _ann_pq("pq"))
+        run("ann_ivfpq_topk", lambda: _ann_pq("ivfpq"))
+
     print(json.dumps(report))
     spark.stop()
 

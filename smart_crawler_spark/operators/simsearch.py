@@ -766,7 +766,11 @@ def pq_topk(
             ids = pdf[id_col].to_numpy()
             # (Q, n): gather per subspace and sum
             est = lut[:, np.arange(m), codes].sum(axis=2)
-            top = min(k, est.shape[1])
+            # k+1: a query that IS a corpus row always tops its own
+            # partition's ADC list, and the self-match is filtered
+            # after the scan — without the +1 that query would come
+            # back one neighbor short
+            top = min(k + 1, est.shape[1])
             idx = np.argpartition(-est, top - 1, axis=1)[:, :top]
             rows = {
                 "query_id": np.repeat(q_ids, top),
