@@ -36,7 +36,8 @@ line of per-stage row counts and wall seconds. Stages:
   export   corpus -> deterministic WARC shard blobs (archive sink)
   ingest   incremental batch-vs-corpus dedup: the corpus LSH band index
            persisted bucketed on (band, bucket), probed by the batch
-  ann      LSH-bucketed cosine top-k of each planted query vector
+  ann      ANN ladder over the embedding table: LSH-bucketed,
+           PQ (ADC scan + exact rerank) and IVF-PQ cosine top-k
 """
 
 from __future__ import annotations
