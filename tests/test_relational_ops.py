@@ -495,3 +495,48 @@ def test_scd2_history(spark):
         (2, None, 0, 1), (2, "x", 1, None),
         (3, "c", 0, None),
     ]
+
+
+def test_scd2_history_random_sweep(spark):
+    """Differential sweep: random per-key value histories vs a
+    pure-Python gaps-and-islands spec (null-safe change detection,
+    open-ended last interval)."""
+    import random
+
+    from smart_crawler_spark.operators.relational import scd2_history
+
+    rng = random.Random(1234)
+    rows = []
+    for key in range(40):
+        vals = [
+            rng.choice([None, "a", "b", "c"])
+            for _ in range(rng.randint(1, 9))
+        ]
+        rows.extend((key, ver, v) for ver, v in enumerate(vals))
+
+    def spec(rows):
+        out = []
+        by_key = {}
+        for k, ver, v in sorted(rows):
+            by_key.setdefault(k, []).append(v)
+        for k, vals in by_key.items():
+            start = 0
+            for i in range(1, len(vals) + 1):
+                if i == len(vals) or vals[i] != vals[i - 1]:
+                    out.append(
+                        (k, vals[start], start,
+                         None if i == len(vals) else i)
+                    )
+                    if i < len(vals):
+                        start = i
+        return sorted(out, key=lambda t: (t[0], t[2]))
+
+    df = spark.createDataFrame(rows, "k long, ver long, v string")
+    got = sorted(
+        (
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(df, ["k"], "ver", ["v"]).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == spec(rows)
