@@ -762,6 +762,8 @@ def pq_topk(
 
     def scan(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
             ids = pdf[id_col].to_numpy()
             # (Q, n): gather per subspace and sum
