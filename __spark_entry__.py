@@ -1614,6 +1614,33 @@ def image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(corpus).orderBy("image_id")
 
 
+def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination for the image+caption corpus
+    (operators/images.py benchmark_image_contamination) — the image
+    twin of the 13-gram text `decontaminate`. The benchmark is every
+    25th content index (c % 25 == 24) re-encoded as PNG
+    (datagen/images.py benchmark_row), so a PNG corpus row leaks
+    byte-exactly (md5 equi-join) while a JPEG row of the same content
+    leaks only perceptually and must come out of the
+    caption-md5 + phash-block LSH path; planted byte-duplicates
+    (dup_every=7) of benchmark content are contaminated too. Both
+    probes broadcast the bounded benchmark side; corpus pixels never
+    shuffle. The oracle states the plant rule arithmetically."""
+    from smart_crawler_spark.datagen.images import (
+        generate_benchmark_images,
+        generate_images,
+    )
+    from smart_crawler_spark.operators.images import (
+        benchmark_image_contamination,
+    )
+
+    corpus = generate_images(spark, 400, jpeg_every=10, dup_every=7)
+    bench = generate_benchmark_images(spark, 400, every=25, offset=24)
+    return benchmark_image_contamination(
+        corpus, bench, max_hamming=4
+    ).orderBy("image_id")
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (training-corpus scrub): emails, NANP phones, IPv4s
     replaced by typed placeholders + per-doc counts, all in native
@@ -2975,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_filter": image_quality_filter,
         "image_bomb_guard": image_bomb_guard,
         "image_exact_dedup": image_exact_dedup,
+        "image_decontaminate": image_decontaminate,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
@@ -4574,6 +4602,23 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN i % 7 = 6 OR (i % 7 = 5 AND i + 1 < 400)
                          THEN 2 ELSE 1 END)::INT AS group_size
             FROM range(400) t(i)
+            ORDER BY image_id
+        """,
+        # the contamination plant rule, stated arithmetically: content
+        # index c (dup rows i%7==6 copy i-1) leaks iff c%25==24; PNG
+        # rows (c%10!=9, jpeg_every=10) match the benchmark PNG bytes
+        # exactly, JPEG rows only perceptually (caption+phash path)
+        "image_decontaminate": """
+            WITH rows AS (
+                SELECT i, CASE WHEN i % 7 = 6 THEN i - 1 ELSE i END AS c
+                FROM range(400) t(i)
+            )
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   'bench' || c::VARCHAR AS bench_id,
+                   CASE WHEN c % 10 = 9 THEN 'phash' ELSE 'exact'
+                   END AS method
+            FROM rows
+            WHERE c % 25 = 24
             ORDER BY image_id
         """,
         # identical plant arithmetic + identical regexes (the pattern

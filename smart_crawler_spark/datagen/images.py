@@ -198,6 +198,44 @@ def generate_images(
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def benchmark_row(c: int) -> dict:
+    """One eval-benchmark row: the EXACT pixels of corpus content index
+    ``c``, always PNG-encoded — so a PNG corpus row leaks byte-exactly
+    while a JPEG corpus row of the same content leaks only perceptually
+    (same pixels, different codec) and must be caught by the phash
+    path of ``benchmark_image_contamination``."""
+    w = 32 + (c % 4) * 16
+    h = 24 + (c % 3) * 16
+    px = image_pixels(c, w, h)
+    return {
+        "image_id": f"bench{c}",
+        "bytes": encode_png(px),
+        "w": w,
+        "h": h,
+        "fmt": "png",
+        "caption": image_caption(c),
+        "phash": perceptual_hash(px),
+    }
+
+
+def generate_benchmark_images(
+    spark: SparkSession, n: int, every: int = 25, offset: int = 24
+) -> DataFrame:
+    """Deterministic eval-benchmark set: corpus content indices
+    ``c < n`` with ``c % every == offset`` (so contamination is a pure
+    arithmetic rule the DuckDB oracle can state)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                benchmark_row(int(i)) for i in pdf["id"] if i % every == offset
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 # ---------------------------------------------------------------- video
 
 VIDEOS_SCHEMA = (

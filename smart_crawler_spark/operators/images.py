@@ -697,6 +697,97 @@ def joint_dup_groups(
     ).select(F.col("id").alias("image_id"), F.col("comp").alias("component"))
 
 
+def benchmark_image_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Eval-set decontamination for an image+caption corpus: flag every
+    corpus row whose content leaks a benchmark image — the image-side
+    twin of the 13-gram text ``benchmark_contamination``
+    (operators/textops.py). Two match paths:
+
+    - ``exact``  — md5 over the raw payload bytes equi-joins the
+      benchmark's md5 set: byte-identical leaks (same file re-crawled).
+    - ``phash``  — re-encoded leaks (same pixels through a different
+      codec/quality, so the bytes differ): phash hamming-block LSH with
+      pigeonhole-guaranteed recall (``_hamming_blocks``) JOINTLY keyed
+      on the normalized caption's md5, exactly as ``joint_dup_pairs``
+      does — an 8x8 avg-hash alone collides across genuinely different
+      images, and a leaked (image, caption) pair keeps its caption, so
+      caption equality is part of the leak definition (the DataComp /
+      LAION eval-dedup rule) and of the bucket key (a hot phash never
+      concentrates into one bucket).
+
+    Scale shape: the benchmark side is the bounded dimension table
+    (eval sets are 1e4..1e6 rows vs 1e10 corpus rows) — both its md5
+    set and its exploded block table broadcast; the corpus never
+    shuffles pixel bytes, only (image_id, md5 / block-key) columns
+    move, and both probes are map-side broadcast hash joins.
+
+    Output: one row per contaminated corpus image —
+    (image_id, bench_id, method) with method 'exact' preferred over
+    'phash' and ties broken on the smallest bench_id."""
+    cap_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("caption")), r"\s+", " "))
+    ).alias("cap_hash")
+    c = corpus.select(
+        "image_id", F.md5("bytes").alias("img_hash"), "phash", cap_hash
+    )
+    b = benchmark.select(
+        F.col("image_id").alias("bench_id"),
+        F.md5("bytes").alias("bench_hash"),
+        F.col("phash").alias("bench_phash"),
+        cap_hash,
+    )
+    exact = c.join(
+        F.broadcast(b.select("bench_id", "bench_hash")),
+        c.img_hash == F.col("bench_hash"),
+    ).select("image_id", "bench_id", F.lit("exact").alias("method"))
+
+    cb = c.select(
+        "image_id",
+        "phash",
+        "cap_hash",
+        F.explode(F.array(*_hamming_blocks("phash", max_hamming))).alias("bk"),
+    ).select("image_id", "phash", "cap_hash", "bk.block", "bk.key")
+    bb = b.select(
+        "bench_id",
+        "bench_phash",
+        "cap_hash",
+        F.explode(
+            F.array(*_hamming_blocks("bench_phash", max_hamming))
+        ).alias("bk"),
+    ).select("bench_id", "bench_phash", "cap_hash", "bk.block", "bk.key")
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("bench_phash")))
+    perceptual = (
+        cb.join(F.broadcast(bb), ["cap_hash", "block", "key"])
+        .filter(ham <= max_hamming)
+        .select("image_id", "bench_id")
+        .distinct()
+        .select("image_id", "bench_id", F.lit("phash").alias("method"))
+    )
+    best = (
+        exact.unionByName(perceptual)
+        .groupBy("image_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.when(F.col("method") == "exact", 0)
+                    .otherwise(1)
+                    .alias("rank"),
+                    F.col("bench_id").alias("bench_id"),
+                    F.col("method").alias("method"),
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        "image_id", F.col("m.bench_id").alias("bench_id"),
+        F.col("m.method").alias("method"),
+    )
+
+
 def shard_pack(
     assets: DataFrame,
     shard_bytes: int,

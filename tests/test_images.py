@@ -672,3 +672,49 @@ def test_watermark_perceptual_merges_across_encoders(spark):
         watermark_patches(corpus, key="phash")
     with _pytest.raises(ValueError, match="patch % 4"):
         watermark_patches(corpus, patch=6, key="perceptual")
+
+
+def test_benchmark_image_contamination_exact_and_phash_paths(spark):
+    from smart_crawler_spark.datagen.images import generate_benchmark_images
+    from smart_crawler_spark.operators.images import (
+        benchmark_image_contamination,
+    )
+
+    corpus = generate_images(spark, 400, jpeg_every=10, dup_every=7)
+    bench = generate_benchmark_images(spark, 400, every=25, offset=24)
+    got = {
+        r["image_id"]: (r["bench_id"], r["method"])
+        for r in benchmark_image_contamination(corpus, bench).collect()
+    }
+    expected = {}
+    for i in range(400):
+        c = i - 1 if i % 7 == 6 else i
+        if c % 25 == 24:
+            expected[f"img{i}"] = (
+                f"bench{c}",
+                "phash" if c % 10 == 9 else "exact",
+            )
+    assert got == expected
+    # both paths fired: JPEG leaks are perceptual-only, PNG byte-exact
+    methods = {m for _, m in got.values()}
+    assert methods == {"exact", "phash"}
+
+
+def test_benchmark_image_contamination_plan(spark):
+    from smart_crawler_spark.datagen.images import generate_benchmark_images
+    from smart_crawler_spark.operators.images import (
+        benchmark_image_contamination,
+    )
+
+    corpus = generate_images(spark, 40, jpeg_every=10)
+    bench = generate_benchmark_images(spark, 40, every=25, offset=24)
+    plan = (
+        benchmark_image_contamination(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # benchmark side broadcasts on both probes; never a cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
