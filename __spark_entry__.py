@@ -2555,6 +2555,36 @@ def warc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_revisit_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record resolution (sources/warc.py
+    resolve_revisits): the CommonCrawl storage-dedup layout — every
+    5th record whose block anchor is a 200 is stored as a payload-free
+    `revisit` record carrying the anchor's payload digest
+    (datagen/warc.py warc_revisit_rule) — resolved back to the
+    deduplicated payload by ONE digest equi-join against the
+    response-digest table (min-locator canonical original; only the
+    rare revisit rows enter the join, the response bulk unions back
+    map-side). Some revisits cross shard boundaries, so resolution is
+    genuinely global. The oracle restates record + resolution rule
+    arithmetically over range()."""
+    from smart_crawler_spark.datagen.warc import generate_warc_shards
+    from smart_crawler_spark.sources.warc import (
+        resolve_revisits,
+        warc_records,
+    )
+
+    shards = generate_warc_shards(spark, 40, 25, revisit_every=5)
+    return (
+        resolve_revisits(warc_records(shards))
+        .select(
+            "shard_id", "rec_idx", "url", "warc_type", "status",
+            "resolved_md5", "resolved_bytes", "orig_shard_id",
+            "orig_rec_idx", "resolved",
+        )
+        .orderBy("shard_id", "rec_idx")
+    )
+
+
 def surt_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT canonicalization (frontier/canonical.py surt_key): the
     CDX-index sort key — reversed host labels, port reattached, path +
@@ -3028,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": html_text_extract_docs,
         "streaming_image_ingest": streaming_image_ingest,
         "warc_source": warc_source_q,
+        "warc_revisit_resolve": warc_revisit_resolve_q,
         "surt_index": surt_index_q,
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
@@ -5327,6 +5358,39 @@ def oracle_sql() -> dict[str, str]:
                md5(repeat('page ' || i::VARCHAR || ' body ',
                           i % 4 + 1)) AS payload_md5
         FROM range(1000) t(i)
+        ORDER BY shard_id, rec_idx
+    """
+    # revisit resolution restated arithmetically: index i is a revisit
+    # iff i%5==4 and its block anchor b=i-4 is a 200 (b%11!=3); the
+    # resolved payload is the ANCHOR's payload rule, and the original
+    # locator is the anchor's (shard, rec) position — cross-shard when
+    # i%25 < 4
+    out["warc_revisit_resolve"] = """
+        WITH r AS (
+            SELECT i,
+                   (i % 5 = 4 AND (i - 4) % 11 != 3) AS is_rev,
+                   CASE WHEN i % 5 = 4 AND (i - 4) % 11 != 3
+                        THEN i - 4 ELSE i END AS src
+            FROM range(1000) t(i)
+        )
+        SELECT 's' || (i // 25)::VARCHAR AS shard_id,
+               (i % 25)::INT AS rec_idx,
+               'http://h' || (src % 7)::VARCHAR || '.test/p/'
+                   || src::VARCHAR AS url,
+               CASE WHEN is_rev THEN 'revisit' ELSE 'response'
+                   END AS warc_type,
+               (CASE WHEN is_rev THEN 200
+                     WHEN i % 11 = 3 THEN 404 ELSE 200 END)::INT
+                   AS status,
+               md5(repeat('page ' || src::VARCHAR || ' body ',
+                          src % 4 + 1)) AS resolved_md5,
+               length(repeat('page ' || src::VARCHAR || ' body ',
+                             src % 4 + 1))::BIGINT AS resolved_bytes,
+               CASE WHEN is_rev THEN 's' || (src // 25)::VARCHAR
+                   END AS orig_shard_id,
+               (CASE WHEN is_rev THEN src % 25 END)::INT AS orig_rec_idx,
+               TRUE AS resolved
+        FROM r
         ORDER BY shard_id, rec_idx
     """
     # SURT from the construction rule, never by re-parsing: reversed

@@ -26,11 +26,37 @@ def warc_record_rule(i: int) -> dict:
     }
 
 
+def warc_revisit_rule(i: int, revisit_every: int) -> dict:
+    """Record rule with planted revisit records (WARC 1.1 §6.7, the
+    CommonCrawl storage-dedup layout): every ``revisit_every``-th index
+    is a RE-FETCH of its block anchor ``b = i - i % revisit_every``
+    that found unchanged content — stored payload-free, carrying the
+    anchor's payload digest and a WARC-Refers-To-Target-URI pointing at
+    the original capture. A 404 anchor produces no revisit (there is
+    no stored content to deduplicate against), so that index stays a
+    plain response row."""
+    import hashlib
+
+    b = i - i % revisit_every
+    if i % revisit_every == revisit_every - 1 and b != i and b % 11 != 3:
+        orig = warc_record_rule(b)
+        return {
+            "url": orig["url"],
+            "status": 200,
+            "payload": b"",
+            "warc_type": "revisit",
+            "digest": "md5:" + hashlib.md5(orig["payload"]).hexdigest(),
+            "refers_to": orig["url"],
+        }
+    return warc_record_rule(i)
+
+
 def generate_warc_shards(
     spark: SparkSession,
     n_shards: int,
     recs_per_shard: int,
     compress: bool = True,
+    revisit_every: int = 0,
 ) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -38,7 +64,11 @@ def generate_warc_shards(
             for s in pdf["id"]:
                 s = int(s)
                 recs = [
-                    warc_record_rule(s * recs_per_shard + j)
+                    warc_revisit_rule(
+                        s * recs_per_shard + j, revisit_every
+                    )
+                    if revisit_every
+                    else warc_record_rule(s * recs_per_shard + j)
                     for j in range(recs_per_shard)
                 ]
                 rows.append(

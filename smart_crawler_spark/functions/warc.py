@@ -42,6 +42,12 @@ def encode_warc_records(
         ]
         if "status" in rec:
             headers.append(("WARC-Status", str(rec["status"])))
+        # revisit-record headers (WARC 1.1 §6.7): the declared digest of
+        # the duplicate content and the URI of the original capture
+        if "digest" in rec:
+            headers.append(("WARC-Payload-Digest", rec["digest"]))
+        if "refers_to" in rec:
+            headers.append(("WARC-Refers-To-Target-URI", rec["refers_to"]))
         block = b"WARC/1.0\r\n"
         block += b"".join(
             f"{k}: {v}\r\n".encode() for k, v in headers
@@ -115,6 +121,8 @@ def decode_warc(data: bytes) -> list[dict]:
                 "status": int(headers["warc-status"])
                 if "warc-status" in headers
                 else None,
+                "digest": headers.get("warc-payload-digest"),
+                "refers_to": headers.get("warc-refers-to-target-uri"),
                 "payload": raw[body_start:body_end],
             }
         )

@@ -22,7 +22,8 @@ from smart_crawler_spark.functions.warc import decode_warc
 
 RECORDS_SCHEMA = (
     "shard_id string, rec_idx int, url string, warc_type string, "
-    "status int, n_bytes long, payload_md5 string, err string"
+    "status int, n_bytes long, payload_md5 string, digest string, "
+    "refers_to string, err string"
 )
 
 
@@ -42,7 +43,7 @@ def warc_records(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "shard_id", "rec_idx", "url", "warc_type", "status",
-            "n_bytes", "payload_md5", "err",
+            "n_bytes", "payload_md5", "digest", "refers_to", "err",
         ]
         for pdf in batches:
             rows = []
@@ -55,7 +56,8 @@ def warc_records(
                             "shard_id": sid, "rec_idx": None,
                             "url": None, "warc_type": None,
                             "status": None, "n_bytes": None,
-                            "payload_md5": None, "err": str(e),
+                            "payload_md5": None, "digest": None,
+                            "refers_to": None, "err": str(e),
                         }
                     )
                     continue
@@ -71,6 +73,8 @@ def warc_records(
                             "payload_md5": hashlib.md5(
                                 r["payload"]
                             ).hexdigest(),
+                            "digest": r.get("digest"),
+                            "refers_to": r.get("refers_to"),
                             "err": None,
                         }
                     )
@@ -83,6 +87,80 @@ def warc_records(
     return shards.select(
         shards[shard_col].alias(shard_col), shards[bytes_col]
     ).mapInPandas(gen, RECORDS_SCHEMA)
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Resolve WARC ``revisit`` records (WARC 1.1 §6.7 — the
+    CommonCrawl storage-dedup layout: a re-fetch that found unchanged
+    content stores NO payload, only the original capture's payload
+    digest) back to the payload they deduplicated away.
+
+    One equi-join on the digest: the response side aggregates to a
+    (digest → canonical original) table first — min (shard_id,
+    rec_idx) wins, so resolution is deterministic even when the same
+    content was captured at several URLs — and revisits probe it by
+    their declared ``WARC-Payload-Digest``. No broadcast assumption
+    (both sides are archive-scale); AQE picks the strategy. Payload
+    bytes never move — the output carries the original's locator +
+    md5, and a consumer that needs bodies re-reads exactly those
+    shards (same contract as ``warc_records``).
+
+    Output: every input record row with
+    - resolved_md5    : its own payload md5 (responses) or the
+                        original's (revisits)
+    - resolved_bytes  : payload length after resolution
+    - orig_shard_id / orig_rec_idx : the original capture's locator
+                        (null for responses and unresolved revisits)
+    - resolved        : false only for a revisit whose digest matches
+                        no response (a dangling revisit — surfaced,
+                        not dropped, so the ingest can quarantine it).
+    Error rows (err != null) pass through with resolved null."""
+    import pyspark.sql.functions as F
+
+    originals = (
+        records.filter(
+            (F.col("err").isNull()) & (F.col("warc_type") == "response")
+        )
+        .groupBy(
+            F.concat(F.lit("md5:"), F.col("payload_md5")).alias("digest")
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("shard_id").alias("orig_shard_id"),
+                    F.col("rec_idx").alias("orig_rec_idx"),
+                    F.col("payload_md5").alias("orig_md5"),
+                    F.col("n_bytes").alias("orig_bytes"),
+                )
+            ).alias("o")
+        )
+        .select("digest", "o.*")
+    )
+    # only the (rare) revisit rows go through the digest join; the
+    # response/error bulk keeps its own columns map-side and unions back
+    is_revisit = (F.col("err").isNull()) & (F.col("warc_type") == "revisit")
+    keep = ["shard_id", "rec_idx", "url", "warc_type", "status", "err"]
+    resolved_rev = (
+        records.filter(is_revisit)
+        .join(originals, ["digest"], "left")
+        .select(
+            *keep,
+            F.col("orig_md5").alias("resolved_md5"),
+            F.col("orig_bytes").alias("resolved_bytes"),
+            "orig_shard_id",
+            "orig_rec_idx",
+            F.col("orig_md5").isNotNull().alias("resolved"),
+        )
+    )
+    rest = records.filter(~is_revisit | F.col("err").isNotNull()).select(
+        *keep,
+        F.col("payload_md5").alias("resolved_md5"),
+        F.col("n_bytes").alias("resolved_bytes"),
+        F.lit(None).cast("string").alias("orig_shard_id"),
+        F.lit(None).cast("int").alias("orig_rec_idx"),
+        F.when(F.col("err").isNull(), F.lit(True)).alias("resolved"),
+    )
+    return rest.unionByName(resolved_rev)
 
 
 def write_warc_shards(

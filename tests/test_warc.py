@@ -142,3 +142,88 @@ def test_write_warc_shards_roundtrip_and_layout_independence(spark):
     }
     want = {(u, hashlib.md5(p).hexdigest()) for _, u, p in rows}
     assert got == want
+
+
+def test_revisit_headers_roundtrip():
+    """WARC-Payload-Digest / WARC-Refers-To-Target-URI survive the
+    codec; revisit records are payload-free."""
+    recs = [
+        {"url": "http://a.test/x", "status": 200, "payload": b"body"},
+        {
+            "url": "http://a.test/x",
+            "status": 200,
+            "payload": b"",
+            "warc_type": "revisit",
+            "digest": "md5:abc123",
+            "refers_to": "http://a.test/x",
+        },
+    ]
+    got = decode_warc(encode_warc_records(recs))
+    assert got[0]["digest"] is None and got[0]["refers_to"] is None
+    assert got[1]["warc_type"] == "revisit"
+    assert got[1]["digest"] == "md5:abc123"
+    assert got[1]["refers_to"] == "http://a.test/x"
+    assert got[1]["payload"] == b""
+
+
+def test_resolve_revisits_cross_shard_dangling_and_err(spark):
+    """Revisits resolve across shards via the digest join; a dangling
+    revisit (digest matching no response) surfaces resolved=false; a
+    damaged shard's err row passes through with resolved null."""
+    import hashlib
+
+    from smart_crawler_spark.sources.warc import (
+        resolve_revisits,
+        warc_records,
+    )
+
+    orig_payload = b"original body"
+    shard_a = encode_warc_records(
+        [{"url": "http://a.test/1", "status": 200, "payload": orig_payload}]
+    )
+    shard_b = encode_warc_records(
+        [
+            {
+                "url": "http://a.test/1",
+                "status": 200,
+                "payload": b"",
+                "warc_type": "revisit",
+                "digest": "md5:" + hashlib.md5(orig_payload).hexdigest(),
+                "refers_to": "http://a.test/1",
+            },
+            {
+                "url": "http://b.test/2",
+                "status": 200,
+                "payload": b"",
+                "warc_type": "revisit",
+                "digest": "md5:" + "0" * 32,
+                "refers_to": "http://b.test/2",
+            },
+        ]
+    )
+    dmg = shard_a[: len(shard_a) - 9]
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(shard_a)),
+            ("b", bytearray(shard_b)),
+            ("dmg", bytearray(dmg)),
+        ],
+        "shard_id string, bytes binary",
+    )
+    out = {
+        (r["shard_id"], r["rec_idx"]): r
+        for r in resolve_revisits(warc_records(df)).collect()
+    }
+    ok = out[("b", 0)]
+    assert ok["resolved"] is True
+    assert ok["resolved_md5"] == hashlib.md5(orig_payload).hexdigest()
+    assert ok["resolved_bytes"] == len(orig_payload)
+    assert (ok["orig_shard_id"], ok["orig_rec_idx"]) == ("a", 0)
+    dangling = out[("b", 1)]
+    assert dangling["resolved"] is False
+    assert dangling["resolved_md5"] is None
+    resp = out[("a", 0)]
+    assert resp["resolved"] is True and resp["orig_shard_id"] is None
+    assert resp["resolved_md5"] == hashlib.md5(orig_payload).hexdigest()
+    err = out[("dmg", None)]
+    assert err["err"] and err["resolved"] is None
