@@ -1641,6 +1641,25 @@ def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def image_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution pyramid (operators/images.py image_pyramid):
+    one decode per image fans out exact box-average levels 1/2/4 —
+    map-only, no shuffle. Corpus dims follow the content-index rule
+    (w = 32 + c%4*16, h = 24 + c%3*16 — both divisible by 4, so no
+    crop), level dims are w/f x h/f, and the mean-preservation bound
+    of equal-block box averaging makes mean_ok TRUE everywhere; the
+    oracle states all of it arithmetically."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import image_pyramid
+
+    corpus = generate_images(spark, 300, jpeg_every=10, dup_every=7)
+    return (
+        image_pyramid(corpus, factors=(1, 2, 4))
+        .select("image_id", "level", "w", "h", "mean_ok")
+        .orderBy("image_id", "level")
+    )
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (training-corpus scrub): emails, NANP phones, IPv4s
     replaced by typed placeholders + per-doc counts, all in native
@@ -3033,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bomb_guard": image_bomb_guard,
         "image_exact_dedup": image_exact_dedup,
         "image_decontaminate": image_decontaminate,
+        "image_pyramid": image_pyramid_q,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
@@ -4634,6 +4654,23 @@ def oracle_sql() -> dict[str, str]:
                          THEN 2 ELSE 1 END)::INT AS group_size
             FROM range(400) t(i)
             ORDER BY image_id
+        """,
+        # pyramid levels from the dims rule: content index c (dup rows
+        # copy i-1), w = 32 + c%4*16, h = 24 + c%3*16, three levels
+        # f in (1,2,4) divide both dims, mean preservation exact-to-
+        # rounding so mean_ok is TRUE on every row
+        "image_pyramid": """
+            WITH rows AS (
+                SELECT i, CASE WHEN i % 7 = 6 THEN i - 1 ELSE i END AS c
+                FROM range(300) t(i)
+            )
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   f::INT AS level,
+                   ((32 + (c % 4) * 16) // f)::INT AS w,
+                   ((24 + (c % 3) * 16) // f)::INT AS h,
+                   TRUE AS mean_ok
+            FROM rows, (VALUES (1), (2), (4)) lv(f)
+            ORDER BY image_id, level
         """,
         # the contamination plant rule, stated arithmetically: content
         # index c (dup rows i%7==6 copy i-1) leaks iff c%25==24; PNG

@@ -195,6 +195,73 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def image_pyramid(
+    images: DataFrame, factors: tuple[int, ...] = (1, 2, 4)
+) -> DataFrame:
+    """Multi-resolution pyramid — the storage layout multi-res vision
+    training reads (each sample served at several scales without
+    re-decoding the original): one output row per (image, factor) with
+    an exact f x f box-average (area) downscale, re-encoded PNG.
+
+    Map-only fanout: decode once per image inside the Arrow batch, emit
+    all levels from the same pixel array — no shuffle, no joins, output
+    size bounded by sum(1/f^2) ~ 1.3x the input. Undecodable formats
+    are skipped (same contract as resize_images).
+
+    Box averaging preserves global mean luminance to within the 0.5
+    per-block rounding bound (levels crop to a multiple of f first, so
+    blocks are equal-sized and the global mean is the mean of block
+    means) — emitted as ``mean_ok`` so the invariant is checkable in
+    SQL without decoding."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "level", "bytes", "w", "h", "mean_ok"]
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    px = _decode(bytes(data), fmt)
+                except NotImplementedError:
+                    continue
+                h, w = px.shape[:2]
+                base_mean = float(px.mean())
+                for f in factors:
+                    ch, cw = h - h % f, w - w % f
+                    if ch == 0 or cw == 0:
+                        continue
+                    block = (
+                        px[:ch, :cw]
+                        .reshape(ch // f, f, cw // f, f, 3)
+                        .astype(np.float64)
+                        .mean(axis=(1, 3))
+                    )
+                    out = np.round(block).astype(np.uint8)
+                    rows.append(
+                        {
+                            "image_id": img_id,
+                            "level": f,
+                            "bytes": encode_png(out),
+                            "w": cw // f,
+                            "h": ch // f,
+                            "mean_ok": bool(
+                                abs(float(out.mean()) - base_mean)
+                                <= 0.5 + 1e-6
+                            )
+                            if (ch == h and cw == w)
+                            else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen,
+        "image_id string, level int, bytes binary, w int, h int, "
+        "mean_ok boolean",
+    )
+
+
 def _hamming_blocks(col: str, max_hamming: int) -> list:
     """Block decomposition for exact-recall hamming LSH: with B >
     max_hamming blocks, any pair within the distance differs in at most

@@ -718,3 +718,39 @@ def test_benchmark_image_contamination_plan(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_image_pyramid_exact_box_average_and_plan(spark):
+    import numpy as np
+
+    from smart_crawler_spark.datagen.images import image_pixels
+    from smart_crawler_spark.functions.png import decode_png
+    from smart_crawler_spark.operators.images import image_pyramid
+
+    corpus = generate_images(spark, 12, jpeg_every=0)
+    out = image_pyramid(corpus, factors=(1, 2, 4)).collect()
+    assert len(out) == 36
+    rows = {(r["image_id"], r["level"]): r for r in out}
+    for i in range(12):
+        w = 32 + (i % 4) * 16
+        h = 24 + (i % 3) * 16
+        px = image_pixels(i, w, h)
+        for f in (1, 2, 4):
+            r = rows[(f"img{i}", f)]
+            assert (r["w"], r["h"]) == (w // f, h // f)
+            assert r["mean_ok"] is True
+            got = decode_png(bytes(r["bytes"]))
+            ref = np.round(
+                px.reshape(h // f, f, w // f, f, 3)
+                .astype(np.float64)
+                .mean(axis=(1, 3))
+            ).astype(np.uint8)
+            assert np.array_equal(got, ref)
+            if f == 1:
+                assert np.array_equal(got, px)
+    # map-only: no Exchange anywhere in the plan
+    plan = (
+        image_pyramid(corpus)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
