@@ -1660,6 +1660,25 @@ def image_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def webdataset_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard export + re-read (sources/webdataset.py):
+    the corpus packs into deterministic tar shards (shard assignment =
+    shard_pack's two-phase prefix-sum layout; tar metadata pinned, so
+    shard bytes are partitioning-independent), the reader explodes
+    them back shard-parallel, and every sample must return with
+    byte-identical image payload and caption — the oracle states the
+    TRUE/TRUE invariant per image id."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.sources.webdataset import (
+        webdataset_roundtrip_check,
+    )
+
+    corpus = generate_images(spark, 300, jpeg_every=10, dup_every=7)
+    return webdataset_roundtrip_check(
+        corpus, shard_bytes=64 * 1024
+    ).orderBy("image_id")
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (training-corpus scrub): emails, NANP phones, IPv4s
     replaced by typed placeholders + per-doc counts, all in native
@@ -3053,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exact_dedup": image_exact_dedup,
         "image_decontaminate": image_decontaminate,
         "image_pyramid": image_pyramid_q,
+        "webdataset_roundtrip": webdataset_roundtrip_q,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
@@ -4671,6 +4691,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS mean_ok
             FROM rows, (VALUES (1), (2), (4)) lv(f)
             ORDER BY image_id, level
+        """,
+        # tar roundtrip: the invariant is total — every image id comes
+        # back byte-identical from its shard
+        "webdataset_roundtrip": """
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   TRUE AS img_ok,
+                   TRUE AS caption_ok
+            FROM range(300) t(i)
+            ORDER BY image_id
         """,
         # the contamination plant rule, stated arithmetically: content
         # index c (dup rows i%7==6 copy i-1) leaks iff c%25==24; PNG

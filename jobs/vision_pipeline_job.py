@@ -34,6 +34,8 @@ counts + wall seconds. Stages:
   resize    32x24 nearest-neighbor thumbnails (re-encoded PNG)
   shard     byte-budget shard layout over the gate+dedup survivors
             (webdataset-style; survivors only, so the funnel composes)
+  export    materialize the survivors as webdataset tar shards
+            (sources/webdataset.py; deterministic shard bytes)
 
 Every stage is Arrow-batched mapInPandas / DataFrame aggregation —
 no per-row Python UDFs, no driver-side pixel loops; pixels never
@@ -177,6 +179,28 @@ def main() -> None:
             )
 
         run("shards", _shard)
+
+    if "export" in stages:
+        # materialize the survivors as webdataset tar shards — the
+        # format vision loaders stream; shard bytes are deterministic
+        # (layout + tar metadata pinned), so re-runs are idempotent
+        from smart_crawler_spark.sources.webdataset import (
+            write_webdataset_shards,
+        )
+
+        def _export():
+            kept = gated().filter("keep").select("image_id")
+            reps = (
+                ops.exact_dup_groups(corpus)
+                .filter(F.col("image_id") == F.col("group_rep"))
+                .select("image_id")
+            )
+            survivors = corpus.join(kept, "image_id").join(reps, "image_id")
+            return write_webdataset_shards(
+                survivors, shard_bytes=args.shard_bytes
+            )
+
+        run("export", _export)
 
     report["sec"] = round(
         sum(s["sec"] for s in report["stages"].values()), 3

@@ -82,7 +82,7 @@ def test_vision_pipeline_job(tmp_path):
             os.path.join(REPO, "jobs", "vision_pipeline_job.py"),
             "--generate", str(N),
             "--output", out_dir,
-            "--stages", "verify,gate,dedup,watermark,shard",
+            "--stages", "verify,gate,dedup,watermark,shard,export",
         ],
         capture_output=True, text=True, cwd=REPO, timeout=900,
         env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
@@ -146,3 +146,9 @@ def test_vision_pipeline_job(tmp_path):
     ).fetchall())
     assert set(placed) == survivors
     assert st["shards"]["rows"] == len(survivors)
+
+    # export: the tar shards hold exactly one sample per survivor
+    n_exported = con.execute(
+        f"SELECT sum(n_samples) FROM '{out_dir}/export/*.parquet'"
+    ).fetchone()[0]
+    assert n_exported == len(survivors)
