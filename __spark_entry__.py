@@ -1660,6 +1660,22 @@ def image_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def caption_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency caption boilerplate filter (operators/images.py
+    caption_boilerplate): captions shared by >=3 images flag their
+    rows. The 'thumb' plant (short_caption_every=5, ~100 rows) is the
+    only caption above threshold — planted byte-dup pairs (dup_every=7)
+    share a caption at count 2 and must stay clean, pinning the
+    threshold boundary; the oracle restates both plant rules."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import caption_boilerplate
+
+    corpus = generate_images(
+        spark, 500, jpeg_every=10, dup_every=7, short_caption_every=5
+    )
+    return caption_boilerplate(corpus, min_images=3).orderBy("image_id")
+
+
 def webdataset_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard export + re-read (sources/webdataset.py):
     the corpus packs into deterministic tar shards (shard assignment =
@@ -3073,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decontaminate": image_decontaminate,
         "image_pyramid": image_pyramid_q,
         "webdataset_roundtrip": webdataset_roundtrip_q,
+        "caption_boilerplate": caption_boilerplate_q,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
@@ -4691,6 +4708,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS mean_ok
             FROM rows, (VALUES (1), (2), (4)) lv(f)
             ORDER BY image_id, level
+        """,
+        # boilerplate iff the row carries the planted 'thumb' caption:
+        # content index c (dup rows copy i-1) with c%5==4; dup pairs
+        # share non-thumb captions at count 2 < threshold 3
+        "caption_boilerplate": """
+            WITH rows AS (
+                SELECT i, CASE WHEN i % 7 = 6 THEN i - 1 ELSE i END AS c
+                FROM range(500) t(i)
+            )
+            SELECT 'img' || i::VARCHAR AS image_id,
+                   (c % 5 = 4) AS boilerplate
+            FROM rows
+            ORDER BY image_id
         """,
         # tar roundtrip: the invariant is total — every image id comes
         # back byte-identical from its shard

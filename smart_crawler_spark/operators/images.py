@@ -764,6 +764,38 @@ def joint_dup_groups(
     ).select(F.col("id").alias("image_id"), F.col("comp").alias("component"))
 
 
+def caption_boilerplate(
+    images: DataFrame, min_images: int = 3
+) -> DataFrame:
+    """Corpus-frequency caption filter (the LAION/DataComp boilerplate
+    rule): a caption shared by >= ``min_images`` images is alt-text
+    boilerplate ("stock photo", "thumb", theme defaults) — it carries
+    no supervision signal and poisons contrastive training, so flag
+    every image carrying one. Complements the per-row ``caption_gate``
+    (length/size rules), which can't see corpus-wide repetition.
+
+    Scale shape: one map-side-partial hash agg on the normalized
+    caption's md5, the tiny >=threshold hot set broadcasts back (the
+    watermark hot-set shape) — pixels and caption text never shuffle.
+
+    Output: (image_id, boilerplate)."""
+    cap_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("caption")), r"\s+", " "))
+    ).alias("cap_hash")
+    keyed = images.select("image_id", cap_hash)
+    hot = (
+        keyed.groupBy("cap_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_images)
+        .select("cap_hash", F.lit(True).alias("_hot"))
+    )
+    return keyed.join(F.broadcast(hot), "cap_hash", "left").select(
+        "image_id", F.coalesce(F.col("_hot"), F.lit(False)).alias(
+            "boilerplate"
+        )
+    )
+
+
 def benchmark_image_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -754,3 +754,32 @@ def test_image_pyramid_exact_box_average_and_plan(spark):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_caption_boilerplate_threshold_boundary(spark):
+    from smart_crawler_spark.operators.images import caption_boilerplate
+
+    corpus = generate_images(
+        spark, 70, jpeg_every=10, dup_every=7, short_caption_every=5
+    )
+    got = {
+        r["image_id"]: r["boilerplate"]
+        for r in caption_boilerplate(corpus, min_images=3).collect()
+    }
+    for i in range(70):
+        c = i - 1 if i % 7 == 6 else i
+        assert got[f"img{i}"] is (c % 5 == 4), i
+    # dup pairs (count 2) flip to flagged at min_images=2
+    got2 = {
+        r["image_id"]: r["boilerplate"]
+        for r in caption_boilerplate(corpus, min_images=2).collect()
+    }
+    assert got2["img6"] and got2["img5"]  # the first dup pair
+    # hot set broadcasts; corpus side never sort-merge-joins
+    plan = (
+        caption_boilerplate(corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
