@@ -1660,6 +1660,30 @@ def image_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image-ingest dedup (operators/images.py
+    incremental_image_dedup): a 120-row batch probes the 300-image
+    corpus' joint (caption-md5 x phash-block) index — per-batch cost,
+    never corpus x corpus. The batch cycles exact re-crawls (byte
+    copies), cross-codec re-encodes (same pixels through the other
+    codec — perceptual-only matches), and novel content
+    (datagen/images.py ingest_batch_row); the oracle restates the
+    cycle arithmetically."""
+    from smart_crawler_spark.datagen.images import (
+        generate_images,
+        generate_ingest_batch,
+    )
+    from smart_crawler_spark.operators.images import (
+        incremental_image_dedup,
+    )
+
+    corpus = generate_images(spark, 300, jpeg_every=10)
+    batch = generate_ingest_batch(spark, 120, jpeg_every=10)
+    return incremental_image_dedup(
+        corpus, batch, max_hamming=4
+    ).orderBy("image_id")
+
+
 def caption_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency caption boilerplate filter (operators/images.py
     caption_boilerplate): captions shared by >=3 images flag their
@@ -3090,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pyramid": image_pyramid_q,
         "webdataset_roundtrip": webdataset_roundtrip_q,
         "caption_boilerplate": caption_boilerplate_q,
+        "image_ingest_dedup": image_ingest_dedup_q,
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
@@ -4708,6 +4733,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS mean_ok
             FROM rows, (VALUES (1), (2), (4)) lv(f)
             ORDER BY image_id, level
+        """,
+        # the ingest cycle: j%3 in (0,1) duplicates corpus content j
+        # (byte copy / cross-codec re-encode), j%3==2 is novel
+        "image_ingest_dedup": """
+            SELECT 'new' || j::VARCHAR AS image_id,
+                   (j % 3 < 2) AS is_dup,
+                   CASE WHEN j % 3 < 2 THEN 'img' || j::VARCHAR
+                   END AS dup_of
+            FROM range(120) t(j)
+            ORDER BY image_id
         """,
         # boilerplate iff the row carries the planted 'thumb' caption:
         # content index c (dup rows copy i-1) with c%5==4; dup pairs

@@ -198,6 +198,57 @@ def generate_images(
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def ingest_batch_row(j: int, jpeg_every: int = 10) -> dict:
+    """One row of an incoming ingest batch (id ``new{j}``), cycling the
+    three cases an image ingest meets: j%3==0 an exact re-crawl of
+    corpus content j (byte-identical payload); j%3==1 the same content
+    re-encoded in the OTHER codec (decode the corpus payload, encode
+    the decoded pixels — what a mirror site serving recompressed copies
+    produces; dedupable only perceptually); j%3==2 novel content
+    (index 1_000_000+j, never in any corpus)."""
+    from smart_crawler_spark.functions.jpeg import decode_jpeg
+    from smart_crawler_spark.functions.png import decode_png
+
+    if j % 3 == 2:
+        r = image_row(1_000_000 + j, jpeg_every)
+    else:
+        r = image_row(j, jpeg_every)
+        if j % 3 == 1:
+            if r["fmt"] == "png":
+                px = decode_png(r["bytes"])
+                data = encode_jpeg(px, quality=JPEG_QUALITY)
+                r.update(
+                    bytes=data,
+                    fmt="jpeg",
+                    phash=perceptual_hash(decode_jpeg(data)),
+                )
+            else:
+                px = decode_jpeg(r["bytes"])
+                r.update(
+                    bytes=encode_png(px),
+                    fmt="png",
+                    phash=perceptual_hash(px),
+                )
+    r["image_id"] = f"new{j}"
+    return r
+
+
+def generate_ingest_batch(
+    spark: SparkSession, n: int, jpeg_every: int = 10
+) -> DataFrame:
+    parts = min(max(1, -(-n // 16)), 64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [ingest_batch_row(int(i), jpeg_every) for i in pdf["id"]]
+            )
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, IMAGES_SCHEMA
+    )
+
+
 def benchmark_row(c: int) -> dict:
     """One eval-benchmark row: the EXACT pixels of corpus content index
     ``c``, always PNG-encoded — so a PNG corpus row leaks byte-exactly

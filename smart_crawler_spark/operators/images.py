@@ -764,6 +764,96 @@ def joint_dup_groups(
     ).select(F.col("id").alias("image_id"), F.col("comp").alias("component"))
 
 
+def joint_block_index(
+    images: DataFrame, max_hamming: int = 6, decode: bool = False
+) -> DataFrame:
+    """The storable LSH index behind joint image+caption dedup: one row
+    per (image, hamming block) keyed on (cap_hash, block, key) — the
+    same bucket construction as ``joint_dup_pairs``. A continuously-
+    ingesting pipeline materializes this per corpus snapshot (bucketed
+    by the join key, sources/bucketed.py) and probes it per batch.
+    Output: (image_id, ph, cap_hash, block, key)."""
+    cap_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("caption")), r"\s+", " "))
+    ).alias("cap_hash")
+    if decode:
+        feats = decode_features(images, on_unsupported="skip").filter(
+            "ok"
+        ).select("image_id", F.col("dec_phash").alias("ph"))
+        keyed = images.select("image_id", cap_hash).join(feats, "image_id")
+    else:
+        keyed = images.select(
+            "image_id", cap_hash, F.col("phash").alias("ph")
+        )
+    return keyed.select(
+        "image_id",
+        "ph",
+        "cap_hash",
+        F.explode(F.array(*_hamming_blocks("ph", max_hamming))).alias("bk"),
+    ).select("image_id", "ph", "cap_hash", "bk.block", "bk.key")
+
+
+def incremental_image_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    max_hamming: int = 4,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an incoming image+caption batch AGAINST an existing corpus
+    — the image twin of minhash.incremental_near_dup, and the shape an
+    ingesting vision pipeline actually runs: per-batch cost scales with
+    the batch (probe of a stored index), never corpus x corpus. The
+    duplicate rule is the joint one (caption equality via cap_hash in
+    the bucket key + phash hamming <= max_hamming), so exact re-crawls
+    AND re-encoded copies both collapse while boilerplate captions on
+    different images survive.
+
+    Candidates: batch blocks equi-join the corpus index on (cap_hash,
+    block, key) — ids only through the shuffle; each side's phash
+    re-joins once for the exact popcount verify. Best match is a
+    groupBy min(struct(hamming, dup_of)) — map-side combinable.
+
+    Output: EVERY batch row — (image_id, is_dup, dup_of)."""
+    if corpus_index is None:
+        corpus_index = joint_block_index(corpus, max_hamming)
+    batch_index = joint_block_index(batch, max_hamming)
+    cand = (
+        batch_index.select(
+            F.col("image_id").alias("_bid"), F.col("ph").alias("ph_b"),
+            "block", "key", "cap_hash",
+        )
+        .join(
+            corpus_index.select(
+                F.col("image_id").alias("dup_of"),
+                F.col("ph").alias("ph_c"),
+                "block", "key", "cap_hash",
+            ),
+            ["cap_hash", "block", "key"],
+        )
+        .select(
+            "_bid",
+            "dup_of",
+            F.bit_count(
+                F.col("ph_b").bitwiseXOR(F.col("ph_c"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    best = cand.groupBy("_bid").agg(
+        F.min(F.struct("hamming", "dup_of")).alias("m")
+    )
+    return (
+        batch.select(F.col("image_id"))
+        .join(best, F.col("image_id") == F.col("_bid"), "left")
+        .select(
+            "image_id",
+            F.col("m").isNotNull().alias("is_dup"),
+            F.col("m.dup_of").alias("dup_of"),
+        )
+    )
+
+
 def caption_boilerplate(
     images: DataFrame, min_images: int = 3
 ) -> DataFrame:

@@ -193,3 +193,60 @@ def test_stored_index_matches_inline(spark, stored_index):
     assert sorted(inline.collect(), key=key) == sorted(
         stored.collect(), key=key
     )
+
+
+# ---------------------------------------------------------------- images
+
+
+def test_incremental_image_dedup_cycle_and_stored_index(spark):
+    """The image twin (operators/images.py incremental_image_dedup):
+    exact re-crawls and cross-codec re-encodes flag against their
+    corpus original, novel rows stay clean; probing a precomputed
+    index returns identical verdicts."""
+    from smart_crawler_spark.datagen.images import (
+        generate_images,
+        generate_ingest_batch,
+    )
+    from smart_crawler_spark.operators.images import (
+        incremental_image_dedup,
+        joint_block_index,
+    )
+
+    corpus = generate_images(spark, 60, jpeg_every=10)
+    batch = generate_ingest_batch(spark, 30, jpeg_every=10)
+    got = {
+        r["image_id"]: (r["is_dup"], r["dup_of"])
+        for r in incremental_image_dedup(corpus, batch).collect()
+    }
+    assert len(got) == 30
+    for j in range(30):
+        want = (True, f"img{j}") if j % 3 < 2 else (False, None)
+        assert got[f"new{j}"] == want, j
+    # cross-codec rows really did change format (perceptual-only match)
+    fmts = {
+        r["image_id"]: r["fmt"]
+        for r in batch.select("image_id", "fmt").collect()
+    }
+    corpus_fmts = {
+        r["image_id"]: r["fmt"]
+        for r in corpus.select("image_id", "fmt").collect()
+    }
+    recoded = [j for j in range(30) if j % 3 == 1]
+    assert all(fmts[f"new{j}"] != corpus_fmts[f"img{j}"] for j in recoded)
+
+    stored = joint_block_index(corpus, max_hamming=4)
+    got2 = {
+        r["image_id"]: (r["is_dup"], r["dup_of"])
+        for r in incremental_image_dedup(
+            corpus, batch, corpus_index=stored
+        ).collect()
+    }
+    assert got2 == got
+    # candidate join ships ids+hashes only, never payload bytes
+    plan = (
+        incremental_image_dedup(corpus, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
