@@ -45,6 +45,8 @@ HEADLINE = [
     "watermark_detect",
     "image_patch_verify",
     "video_frame_sample",
+    "image_ingest_dedup",
+    "webdataset_roundtrip",
 ]
 
 

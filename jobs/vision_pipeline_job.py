@@ -27,6 +27,8 @@ counts + wall seconds. Stages:
             the per-leg verdicts (audit columns, FineWeb-style)
   dedup     exact byte-identical groups + joint image+caption near-dup
             components (phash LSH x caption hash -> survivors)
+  boilerplate corpus-frequency caption filter (>=3x repeated captions)
+  decon     eval-set decontamination vs a benchmark slice of the corpus
   watermark repeated cross-image tile mining (hash-only shuffle)
   patch     8x8 ViT patch table (hash-only rows) + the rebuild
             fingerprint audit per image (shuffle-and-reassemble check)
@@ -145,6 +147,27 @@ def main() -> None:
     if "dedup" in stages:
         run("exact_groups", lambda: ops.exact_dup_groups(corpus))
         run("joint_components", lambda: ops.joint_dup_groups(corpus))
+
+    if "boilerplate" in stages:
+        # corpus-frequency caption filter: the planted 'thumb' captions
+        # are the only >=3x repeats in the generated corpus
+        run("boilerplate", lambda: ops.caption_boilerplate(
+            corpus, min_images=3))
+
+    if "decon" in stages:
+        # eval-set decontamination: the benchmark here is a slice of
+        # the corpus itself (every 25th content index, offset 3 — a
+        # residue no other plant cadence hits), so the flagged set is
+        # exactly the slice via the byte-exact path
+        def _decon():
+            bench = corpus.filter(
+                F.expr("CAST(substring(image_id, 4) AS INT) % 25 = 3")
+            )
+            return ops.benchmark_image_contamination(
+                corpus, bench, max_hamming=4
+            )
+
+        run("decon", _decon)
 
     if "watermark" in stages:
         run("watermark", lambda: ops.watermark_patches(

@@ -82,7 +82,7 @@ def test_vision_pipeline_job(tmp_path):
             os.path.join(REPO, "jobs", "vision_pipeline_job.py"),
             "--generate", str(N),
             "--output", out_dir,
-            "--stages", "verify,gate,dedup,watermark,shard,export",
+            "--stages", "verify,gate,dedup,watermark,shard,export,boilerplate,decon",
         ],
         capture_output=True, text=True, cwd=REPO, timeout=900,
         env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
@@ -152,3 +152,23 @@ def test_vision_pipeline_job(tmp_path):
         f"SELECT sum(n_samples) FROM '{out_dir}/export/*.parquet'"
     ).fetchone()[0]
     assert n_exported == len(survivors)
+
+    # boilerplate: exactly the rows carrying the planted 'thumb'
+    # caption (content rule; dup rows copy content i-1)
+    bp = dict(con.execute(
+        f"SELECT image_id, boilerplate FROM '{out_dir}/boilerplate/*.parquet'"
+    ).fetchall())
+    for i in range(N):
+        c = i - 1 if i % DUP == DUP - 1 else i
+        # bombs return early in image_row and keep a normal caption
+        is_thumb = c % SHORTCAP == SHORTCAP - 1 and c % BOMB != BOMB - 1
+        assert bp[f"img{i}"] is is_thumb, i
+
+    # decon: exactly the benchmark slice, all via the byte-exact path
+    dec = con.execute(
+        f"SELECT image_id, method FROM '{out_dir}/decon/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in dec} == {
+        f"img{i}" for i in range(N) if i % 25 == 3
+    }
+    assert all(r[1] == "exact" for r in dec)
