@@ -1666,9 +1666,11 @@ def image_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' joint (caption-md5 x phash-block) index — per-batch cost,
     never corpus x corpus. The batch cycles exact re-crawls (byte
     copies), cross-codec re-encodes (same pixels through the other
-    codec — perceptual-only matches), and novel content
-    (datagen/images.py ingest_batch_row); the oracle restates the
-    cycle arithmetically."""
+    codec), 2x box-downscale thumbnails (the avg-phash survives exact
+    area downscale to hamming <= 8, so max_hamming=9 catches them; the
+    caption in the bucket key makes false positives impossible across
+    different content), and novel content (datagen/images.py
+    ingest_batch_row); the oracle restates the cycle arithmetically."""
     from smart_crawler_spark.datagen.images import (
         generate_images,
         generate_ingest_batch,
@@ -1680,7 +1682,7 @@ def image_ingest_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = generate_images(spark, 300, jpeg_every=10)
     batch = generate_ingest_batch(spark, 120, jpeg_every=10)
     return incremental_image_dedup(
-        corpus, batch, max_hamming=4
+        corpus, batch, max_hamming=9
     ).orderBy("image_id")
 
 
@@ -4734,12 +4736,13 @@ def oracle_sql() -> dict[str, str]:
             FROM rows, (VALUES (1), (2), (4)) lv(f)
             ORDER BY image_id, level
         """,
-        # the ingest cycle: j%3 in (0,1) duplicates corpus content j
-        # (byte copy / cross-codec re-encode), j%3==2 is novel
+        # the ingest cycle: j%4 in (0,1,2) duplicates corpus content j
+        # (byte copy / cross-codec re-encode / 2x thumbnail), j%4==3
+        # is novel
         "image_ingest_dedup": """
             SELECT 'new' || j::VARCHAR AS image_id,
-                   (j % 3 < 2) AS is_dup,
-                   CASE WHEN j % 3 < 2 THEN 'img' || j::VARCHAR
+                   (j % 4 < 3) AS is_dup,
+                   CASE WHEN j % 4 < 3 THEN 'img' || j::VARCHAR
                    END AS dup_of
             FROM range(120) t(j)
             ORDER BY image_id

@@ -262,17 +262,17 @@ if "imgingest" in jobs:
     corp.count()
     # the stored-index production path: index build untimed (once per
     # corpus snapshot), the probe is the recurring per-batch cost
-    idx = joint_block_index(corp, max_hamming=4).localCheckpoint()
+    idx = joint_block_index(corp, max_hamming=9).localCheckpoint()
     idx.count()
     batch = generate_ingest_batch(spark, M_BATCH, jpeg_every=10)
     batch = batch.localCheckpoint()
     batch.count()
     def _probe():
         return incremental_image_dedup(
-            corp, batch, max_hamming=4, corpus_index=idx
+            corp, batch, max_hamming=9, corpus_index=idx
         ).filter("is_dup")
     nd, dt_i = timed(_probe)
-    want_dups = sum(1 for j in range(M_BATCH) if j % 3 < 2)
+    want_dups = sum(1 for j in range(M_BATCH) if j % 4 < 3)
     assert nd == want_dups, (nd, want_dups)
     out["imgingest"] = {{
         "corpus": N_CORP, "batch": M_BATCH, "sec": round(dt_i, 3),

@@ -200,34 +200,58 @@ def generate_images(
 
 def ingest_batch_row(j: int, jpeg_every: int = 10) -> dict:
     """One row of an incoming ingest batch (id ``new{j}``), cycling the
-    three cases an image ingest meets: j%3==0 an exact re-crawl of
-    corpus content j (byte-identical payload); j%3==1 the same content
+    four cases an image ingest meets: j%4==0 an exact re-crawl of
+    corpus content j (byte-identical payload); j%4==1 the same content
     re-encoded in the OTHER codec (decode the corpus payload, encode
     the decoded pixels — what a mirror site serving recompressed copies
-    produces; dedupable only perceptually); j%3==2 novel content
-    (index 1_000_000+j, never in any corpus)."""
+    produces); j%4==2 a 2x box-downscaled THUMBNAIL of the corpus
+    payload (same caption — the gallery-page case; the 8x8 avg-phash
+    survives exact area downscale to within hamming 8, measured on the
+    full corpus); j%4==3 novel content (index 1_000_000+j, never in
+    any corpus). Cases 1 and 2 are dedupable only perceptually."""
+    import numpy as np
+
     from smart_crawler_spark.functions.jpeg import decode_jpeg
     from smart_crawler_spark.functions.png import decode_png
 
-    if j % 3 == 2:
+    if j % 4 == 3:
         r = image_row(1_000_000 + j, jpeg_every)
     else:
         r = image_row(j, jpeg_every)
-        if j % 3 == 1:
-            if r["fmt"] == "png":
-                px = decode_png(r["bytes"])
-                data = encode_jpeg(px, quality=JPEG_QUALITY)
-                r.update(
-                    bytes=data,
-                    fmt="jpeg",
-                    phash=perceptual_hash(decode_jpeg(data)),
-                )
+        if j % 4 in (1, 2):
+            px = (
+                decode_jpeg(r["bytes"])
+                if r["fmt"] == "jpeg"
+                else decode_png(r["bytes"])
+            )
+            if j % 4 == 1:
+                if r["fmt"] == "png":
+                    data = encode_jpeg(px, quality=JPEG_QUALITY)
+                    r.update(
+                        bytes=data,
+                        fmt="jpeg",
+                        phash=perceptual_hash(decode_jpeg(data)),
+                    )
+                else:
+                    r.update(
+                        bytes=encode_png(px),
+                        fmt="png",
+                        phash=perceptual_hash(px),
+                    )
             else:
-                px = decode_jpeg(r["bytes"])
+                h, w = px.shape[:2]
+                th = np.round(
+                    px[: h // 2 * 2, : w // 2 * 2]
+                    .reshape(h // 2, 2, w // 2, 2, 3)
+                    .astype(np.float64)
+                    .mean(axis=(1, 3))
+                ).astype(np.uint8)
                 r.update(
-                    bytes=encode_png(px),
+                    bytes=encode_png(th),
                     fmt="png",
-                    phash=perceptual_hash(px),
+                    w=w // 2,
+                    h=h // 2,
+                    phash=perceptual_hash(th),
                 )
     r["image_id"] = f"new{j}"
     return r

@@ -216,11 +216,13 @@ def test_incremental_image_dedup_cycle_and_stored_index(spark):
     batch = generate_ingest_batch(spark, 30, jpeg_every=10)
     got = {
         r["image_id"]: (r["is_dup"], r["dup_of"])
-        for r in incremental_image_dedup(corpus, batch).collect()
+        for r in incremental_image_dedup(
+            corpus, batch, max_hamming=9
+        ).collect()
     }
     assert len(got) == 30
     for j in range(30):
-        want = (True, f"img{j}") if j % 3 < 2 else (False, None)
+        want = (True, f"img{j}") if j % 4 < 3 else (False, None)
         assert got[f"new{j}"] == want, j
     # cross-codec rows really did change format (perceptual-only match)
     fmts = {
@@ -231,14 +233,27 @@ def test_incremental_image_dedup_cycle_and_stored_index(spark):
         r["image_id"]: r["fmt"]
         for r in corpus.select("image_id", "fmt").collect()
     }
-    recoded = [j for j in range(30) if j % 3 == 1]
+    recoded = [j for j in range(30) if j % 4 == 1]
     assert all(fmts[f"new{j}"] != corpus_fmts[f"img{j}"] for j in recoded)
+    # thumbnail rows really are half-size (perceptual-only matches)
+    dims = {
+        r["image_id"]: (r["w"], r["h"])
+        for r in batch.select("image_id", "w", "h").collect()
+    }
+    corpus_dims = {
+        r["image_id"]: (r["w"], r["h"])
+        for r in corpus.select("image_id", "w", "h").collect()
+    }
+    for j in range(30):
+        if j % 4 == 2:
+            cw, ch = corpus_dims[f"img{j}"]
+            assert dims[f"new{j}"] == (cw // 2, ch // 2), j
 
-    stored = joint_block_index(corpus, max_hamming=4)
+    stored = joint_block_index(corpus, max_hamming=9)
     got2 = {
         r["image_id"]: (r["is_dup"], r["dup_of"])
         for r in incremental_image_dedup(
-            corpus, batch, corpus_index=stored
+            corpus, batch, max_hamming=9, corpus_index=stored
         ).collect()
     }
     assert got2 == got
