@@ -2122,6 +2122,22 @@ def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def fasttext_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram classifier inference
+    (operators/textops.py hashed_ngram_classifier; Joulin et al. 2016):
+    unigram+bigram features md5-hashed into 4096 buckets, a broadcast
+    bucket-bounded weight vector, mean pooling, sigmoid — the exact
+    plumbing of a production quality-classifier scoring pass. Weights
+    are md5-derived so DuckDB replays inference bit-for-bit; the oracle
+    rebuilds the same features, hash, weight table, and sigmoid."""
+    from smart_crawler_spark.operators.textops import (
+        hashed_ngram_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_ngram_classifier(docs).orderBy("doc_id")
+
+
 def jpeg_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG encode-quality forensics from the header alone
     (operators/images.py jpeg_quality_estimates): the DQT luma table is
@@ -3132,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_verify": image_resize_verify,
         "heavy_hitters": heavy_hitters_q,
         "quality_gate": quality_gate_docs,
+        "fasttext_quality": fasttext_quality_docs,
         "jpeg_quality_est": jpeg_quality_q,
         "domain_mix": domain_mix_docs,
         "shuffle_shard": shuffle_shard_docs,
@@ -5191,6 +5208,43 @@ def oracle_sql() -> dict[str, str]:
                    (pred_lang IN ('en') AND quality >= 0.75
                     AND dup_trigram_frac <= 0.2
                     AND n_words >= 20 AND n_words <= 100000) AS keep
+            FROM s ORDER BY doc_id
+        """,
+        # fastText inference replay: identical unigram+bigram features,
+        # md5 bucket hash, md5-derived weight vector, mean-pool sigmoid
+        "fasttext_quality": """
+            WITH wl AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id,
+                       unnest(list_concat(w, CASE WHEN len(w) >= 2
+                           THEN list_transform(generate_series(1, len(w)-1),
+                                i -> w[i] || '_' || w[i+1])
+                           ELSE []::VARCHAR[] END)) AS f
+                FROM wl
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bkt
+                FROM feats
+            ),
+            wt AS (
+                SELECT i AS bkt,
+                       (('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT
+                        % 2001 - 1000) / 1000.0 AS w
+                FROM range(4096) t(i)
+            ),
+            s AS (
+                SELECT doc_id, count(*)::BIGINT AS n_feats,
+                       round(1.0 / (1.0 + exp(-avg(w))), 4) AS score
+                FROM b JOIN wt USING (bkt)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_feats, score, score >= 0.5 AS label
             FROM s ORDER BY doc_id
         """,
         # generation rule: jpeg rows (i%10==9) are encoded at exactly

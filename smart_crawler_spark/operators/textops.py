@@ -1169,3 +1169,66 @@ def bpe_encode(
     return flat.select(
         id_col, (F.row_number().over(w) - 1).alias("pos"), "token"
     )
+
+
+def hashed_ngram_classifier(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text classifier INFERENCE (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification") — the
+    shape every production quality/toxicity filter takes: word unigram
+    + bigram features hashed into ``n_buckets`` buckets, mean-pooled,
+    one linear layer, sigmoid. Here the weight vector is a
+    deterministic md5-derived stand-in (w[b] uniform in [-1, 1]) so the
+    DuckDB oracle can replay inference bit-for-bit; in production you'd
+    broadcast the trained vector the same way — the PLUMBING, not the
+    weights, is what has to scale.
+
+    Scale shape: tokenization and bigram construction are JVM array
+    expressions (no Python); the weight table is generated column-side
+    (``sequence`` over bucket ids — n_buckets rows, corpus-independent)
+    and joins back as a broadcast; scoring is explode → broadcast join
+    → per-doc partial agg. The only corpus-keyed shuffle is the final
+    groupBy(id). Mean pooling makes the score length-invariant, exactly
+    as fastText averages input vectors before the linear layer.
+
+    Output: (id, n_feats, score, label) — score = sigmoid rounded 4 dp,
+    label = score >= 0.5; docs with zero tokens are dropped."""
+    wl = _word_list(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(wl) - 1),
+        lambda i: F.concat(
+            F.element_at(wl, i), F.lit("_"), F.element_at(wl, i + 1)
+        ),
+    )
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(wl, F.when(F.size(wl) >= 2, bigrams).otherwise(F.array()))
+        ).alias("f"),
+    ).select(id_col, (md5_hash32(F.col("f")) % n_buckets).alias("bkt"))
+    spark = docs.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bkt"),
+        ((md5_hash32(F.col("id")) % 2001 - 1000) / 1000.0).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(
+                1.0 / (1.0 + F.exp(-(F.lit(bias) + F.avg("w")))), 4
+            ).alias("score"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "score",
+            (F.col("score") >= 0.5).alias("label"),
+        )
+    )
