@@ -1289,6 +1289,114 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming session windows (streaming/ingest.py session_stats:
+    5-minute-gap session_window, 2-minute watermark, append mode) with
+    cross-batch session MERGE, oracle-checked. Two availableNow waves
+    share one checkpoint:
+
+    - wave 1 plants one event per (host, k<40) at minute
+      (k%4) + 10*(k//4) — ten 4-event bursts per host separated by
+      7-minute silences, so the session operator must cut ten sessions.
+      Max event = minute 93 => committed watermark 91; the last burst
+      (90..93, session end 98) stays OPEN in the state store, the other
+      nine flush.
+    - wave 2 plants on-time events at minutes 94/95 (they must merge
+      into the restored open session — the cross-batch state path),
+      LATE events at minute 0 (below watermark 91: dropped; re-emission
+      would duplicate the first flushed session and hash-mismatch), and
+      one closer per host at minute 240 that pushes the watermark past
+      every real session. The closers' own session stays open and never
+      appears.
+
+    The oracle recomputes the sessions in SQL: the identical planted
+    multiset minus late rows and closers, gaps-and-islands with the
+    same >= 5-minute break rule, min/max+gap bounds, per-session
+    counts."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        read_candidate_stream,
+        session_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    cand_dir = f"{base}/candidates"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/out"
+    base_epoch = 1709251200  # 2024-03-01 00:00:00 UTC, as late_drop
+    try:
+        ev = _t(spark, sf_dir, "events")
+
+        def cand_frame(df: DataFrame, minute) -> DataFrame:
+            return df.select(
+                F.concat(
+                    F.lit("http://h"),
+                    (F.col("event_id") % 3).cast("string"),
+                    F.lit(".test/p/"),
+                    F.col("event_id").cast("string"),
+                ).alias("url"),
+                F.lit("dir").alias("page_class"),
+                F.lit(0).cast("int").alias("class_depth"),
+                F.lit(None).cast("string").alias("form_params"),
+                F.timestamp_seconds(
+                    F.lit(base_epoch) + minute.cast("long") * 60
+                ).alias("event_ts"),
+            )
+
+        def run_wave() -> None:
+            q = (
+                session_stats(read_candidate_stream(spark, cand_dir))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # wave 1: k = event_id // 3 in 0..39, minute (k%4) + 10*(k//4)
+        k = F.floor(F.col("event_id") / 3)
+        w1 = cand_frame(
+            ev.filter(F.col("event_id") < 120),
+            (k % 4) + 10 * F.floor(k / 4),
+        )
+        w1.coalesce(1).write.mode("overwrite").json(cand_dir)
+        run_wave()
+        # wave 2: ids 120..125 on-time (minutes 94/95 — merge into the
+        # open 90..93 sessions), ids 126..131 late (minute 0 — dropped),
+        # ids 132..134 closers (minute 240)
+        w2src = ev.filter(
+            (F.col("event_id") >= 120) & (F.col("event_id") < 135)
+        )
+        minute2 = (
+            F.when(F.col("event_id") < 123, F.lit(94))
+            .when(F.col("event_id") < 126, F.lit(95))
+            .when(F.col("event_id") < 132, F.lit(0))
+            .otherwise(F.lit(240))
+        )
+        cand_frame(w2src, minute2).coalesce(1).write.mode("append").json(
+            cand_dir
+        )
+        run_wave()
+
+        out = (
+            spark.read.parquet(out_dir)
+            .select("host", "sess_start_s", "sess_end_s", "n_events")
+            .orderBy("host", "sess_start_s")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "host", "sess_start_s"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimation (§2.6: approx_count_distinct at
     10^10 scale, where exact countDistinct would shuffle every key).
@@ -3099,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_dedup": streaming_ingest_dedup,
         "streaming_host_rate": streaming_host_rate,
         "streaming_late_drop": streaming_late_drop,
+        "streaming_session_window": streaming_session_window,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -4059,6 +4168,41 @@ def oracle_sql() -> dict[str, str]:
                    host, count(*) AS n_urls
             FROM ontime GROUP BY host, m
             ORDER BY start, host
+        """,
+        # streaming session windows: the identical planted multiset
+        # minus late rows and closers, gaps-and-islands with the same
+        # >= 5-minute break rule (Spark session_window end is exclusive,
+        # so a gap of exactly 5 minutes starts a new session), session
+        # end = last event + gap
+        "streaming_session_window": """
+            WITH ev AS (
+                SELECT 'h' || (i % 3)::VARCHAR || '.test' AS host,
+                       ((i // 3) % 4) + 10 * ((i // 3) // 4) AS m
+                FROM range(120) t(i)
+                UNION ALL
+                SELECT 'h' || (h)::VARCHAR || '.test', 94 + j
+                FROM range(3) a(h), range(2) b(j)
+            ),
+            s AS (
+                SELECT host, m,
+                       CASE WHEN lag(m) OVER w IS NULL
+                            OR m - lag(m) OVER w >= 5 THEN 1 ELSE 0
+                       END AS brk
+                FROM ev
+                WINDOW w AS (PARTITION BY host ORDER BY m)
+            ),
+            g AS (
+                SELECT host, m,
+                       sum(brk) OVER (PARTITION BY host ORDER BY m
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s
+            )
+            SELECT host,
+                   1709251200 + min(m) * 60 AS sess_start_s,
+                   1709251200 + max(m) * 60 + 300 AS sess_end_s,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY host, sid
+            ORDER BY host, sess_start_s
         """,
         "streaming_host_rate": """
             WITH e AS (

@@ -164,6 +164,34 @@ def url_arrival_stats(candidates: DataFrame, window: str = "1 minute") -> DataFr
     )
 
 
+def session_stats(
+    candidates: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming SESSION windows per host (session_window: dynamic-gap
+    event-time sessions, the stateful operator behind per-host crawl
+    burst detection). Sessions merge across micro-batches through the
+    state store — an event within ``gap`` of a still-open session
+    extends it — and append mode emits a session only once the
+    watermark passes its end, so each (host, session) row is final.
+    Late events below the watermark are dropped, same contract as
+    ``url_arrival_stats``. Epoch-second columns keep the gate
+    timezone-proof."""
+    return (
+        candidates.withColumn("host", url_host(F.col("url")))
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("sw"), "host")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "host",
+            F.col("sw.start").cast("long").alias("sess_start_s"),
+            F.col("sw.end").cast("long").alias("sess_end_s"),
+            "n_events",
+        )
+    )
+
+
 def start_image_ingest(
     images: DataFrame,
     ledger_dir: str,
