@@ -2246,6 +2246,47 @@ def fasttext_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_ngram_classifier(docs).orderBy("doc_id")
 
 
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit (operators/relational.py
+    zorder_key / zorder_tile_stats): interleave 12 bits of
+    (user_id % 4096, event_id % 4096), bucket rows into the 256
+    quadtree tiles given by the top 8 Morton bits, and report each
+    tile's per-dimension min/max footprint — the footer stats a
+    two-dimensional pruning scan would read. The x_span/y_span columns
+    make the clustering property part of the gate: every tile must
+    cover only a narrow slice of BOTH dimensions. Oracle = the same
+    static bit-interleave expansion in SQL."""
+    from smart_crawler_spark.operators.relational import zorder_tile_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4096).alias("x"),
+        (F.col("event_id") % 4096).alias("y"),
+    )
+    stats = zorder_tile_stats(ev, "x", "y", bits=12, tile_bits=8)
+    return stats.select(
+        "tile",
+        "n_rows",
+        "min_x",
+        "max_x",
+        "min_y",
+        "max_y",
+        (F.col("max_x") - F.col("min_x")).alias("x_span"),
+        (F.col("max_y") - F.col("min_y")).alias("y_span"),
+    ).orderBy("tile")
+
+
+def chunk_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (operators/textops.py
+    chunk_documents): 500-char chunks, 100-char overlap — the RAG /
+    encoder prep split, map-only. The oracle replays the identical
+    start rule (generate_series with the same stride and tail guard)
+    and substr bounds."""
+    from smart_crawler_spark.operators.textops import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs).orderBy("doc_id", "chunk_id")
+
+
 def jpeg_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG encode-quality forensics from the header alone
     (operators/images.py jpeg_quality_estimates): the DQT luma table is
@@ -3258,6 +3299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": heavy_hitters_q,
         "quality_gate": quality_gate_docs,
         "fasttext_quality": fasttext_quality_docs,
+        "chunk_split": chunk_split_docs,
+        "zorder_layout": zorder_layout_events,
         "jpeg_quality_est": jpeg_quality_q,
         "domain_mix": domain_mix_docs,
         "shuffle_shard": shuffle_shard_docs,
@@ -3469,6 +3512,11 @@ def oracle_sql() -> dict[str, str]:
     cos_flat = (
         "SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
         " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+    )
+    # Morton-key bit interleave, same static expansion as zorder_key
+    zkey = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i + 1}) + (((y >> {i}) & 1) << {2 * i})"
+        for i in range(12)
     )
     out = {
         "q1_pricing_summary": """
@@ -5353,6 +5401,38 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_trigram_frac <= 0.2
                     AND n_words >= 20 AND n_words <= 100000) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # z-order layout replay: the identical bit-interleave expansion
+        # over the same (x, y) projection, tile = top 8 Morton bits
+        "zorder_layout": f"""
+            WITH pts AS (
+                SELECT user_id % 4096 AS x, event_id % 4096 AS y
+                FROM events
+            ),
+            keyed AS (
+                SELECT x, y, ({zkey}) >> 16 AS tile FROM pts
+            )
+            SELECT tile, count(*)::BIGINT AS n_rows,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   max(x) - min(x) AS x_span,
+                   max(y) - min(y) AS y_span
+            FROM keyed GROUP BY tile ORDER BY tile
+        """,
+        # chunking replay: identical stride/tail-guard start rule;
+        # chunk_id recovered arithmetically from the start (s = 1 +
+        # chunk_id * step)
+        "chunk_split": """
+            SELECT doc_id,
+                   (s - 1) // 400 AS chunk_id,
+                   (s - 1)::BIGINT AS char_start,
+                   length(substr(text, s::INT, 500))::BIGINT AS n_chars,
+                   substr(text, s::INT, 500) AS chunk
+            FROM documents,
+                 unnest(generate_series(1,
+                     greatest(length(text) - 100, 1), 400)) u(s)
+            WHERE length(text) > 0
+            ORDER BY doc_id, chunk_id
         """,
         # fastText inference replay: identical unigram+bigram features,
         # md5 bucket hash, md5-derived weight vector, mean-pool sigmoid

@@ -1232,3 +1232,52 @@ def hashed_ngram_classifier(
             (F.col("score") >= 0.5).alias("label"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 500,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlapping character chunking (the RAG /
+    context-window prep op: split every document into ``size``-char
+    chunks whose starts advance by ``size - overlap``). Chunk starts
+    run while ``start <= len - overlap`` (at least one), which covers
+    every character and — because the stride exceeds the tail guard —
+    can never emit a chunk fully contained in its predecessor.
+
+    Scale shape: one map-only projection — ``sequence`` over chunk
+    starts, ``posexplode``, ``substr`` — zero shuffles, zero Python;
+    output partitioning inherits the input's, so a downstream
+    embed/encode stage streams chunk batches without a repartition.
+
+    Output: (id, chunk_id, char_start, n_chars, chunk); empty texts
+    produce no chunks."""
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than size")
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        docs.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.posexplode(starts).alias("chunk_id", "_s"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("_s") - 1).cast("long").alias("char_start"),
+            F.length(F.col("_t").substr(F.col("_s"), F.lit(size)))
+            .cast("long")
+            .alias("n_chars"),
+            F.col("_t").substr(F.col("_s"), F.lit(size)).alias("chunk"),
+        )
+    )
