@@ -47,6 +47,9 @@ HEADLINE = [
     "video_frame_sample",
     "image_ingest_dedup",
     "webdataset_roundtrip",
+    "fasttext_quality",
+    "chunk_split",
+    "zorder_layout",
 ]
 
 
