@@ -515,6 +515,29 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
+def clip_align_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score alignment gate (operators/simsearch.py
+    paired_cosine_filter): per-row cosine between an example's two
+    embedding towers, keep iff >= 0.2 — the LAION/DataComp curation
+    rule. The text tower is stood in by the next row's vector (an
+    id-shift join builds the pairs; the GATE itself is one map-only
+    zip_with projection, which is the part that must ride the scan at
+    100 TB). Oracle: index-join dot/norms over the unnested arrays."""
+    from smart_crawler_spark.operators.simsearch import (
+        paired_cosine_filter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    txt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("txt_v")
+    )
+    pairs = emb.join(txt, "vec_id")
+    out = paired_cosine_filter(pairs, "v", "txt_v", threshold=0.2)
+    return out.select("vec_id", "align_cos", "keep").orderBy("vec_id")
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the scale plan (no cross join, no input
     cap): hyperplane-LSH band buckets generate candidates, exact cosine
@@ -2595,6 +2618,23 @@ def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain resampling (operators/relational.py
+    temperature_mix; XLM-R/mT5 alpha-sampling, alpha = 0.5): the target
+    shares derive from the corpus's own lang counts (n_d^0.5
+    normalized), flattening the en-heavy skew toward uniform,
+    downsampling-only on the shared md5 draw. Same single-map-filter
+    plan as domain_mix; the oracle replays counts, powered-count
+    normalizer, cap and draw with the identical expression order."""
+    from smart_crawler_spark.operators.relational import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + shard assignment
     (operators/relational.py deterministic_shuffle): the reproducible
@@ -2897,6 +2937,33 @@ def _cust_supp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/
+    graphops.py label_propagation; Raghavan et al. 2007 with min-label
+    tie-break): 4 rounds over a planted block graph — 20-node chorded
+    paths bridged every 100 ids — the site-family community signal.
+    Oracle = the identical 4 rounds unrolled as chained CTEs with the
+    same (count desc, label asc) argmax."""
+    from smart_crawler_spark.operators.graphops import label_propagation
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(F.col("event_id").alias("i"))
+    )
+    e1 = ev.filter(F.col("i") % 20 != 19).select(
+        F.col("i").alias("src"), (F.col("i") + 1).alias("dst")
+    )
+    e2 = ev.filter(F.col("i") % 20 < 18).select(
+        F.col("i").alias("src"), (F.col("i") + 2).alias("dst")
+    )
+    e3 = ev.filter(
+        (F.col("i") % 100 == 7) & (F.col("i") + 20 < 2000)
+    ).select(F.col("i").alias("src"), (F.col("i") + 20).alias("dst"))
+    edges = e1.unionAll(e2).unionAll(e3)
+    return label_propagation(edges, iters=4).orderBy("node")
 
 
 def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3303,6 +3370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": zorder_layout_events,
         "jpeg_quality_est": jpeg_quality_q,
         "domain_mix": domain_mix_docs,
+        "temperature_mix": temperature_mix_docs,
+        "clip_align_filter": clip_align_filter_q,
         "shuffle_shard": shuffle_shard_docs,
         "dedup_keep_best": dedup_keep_best_docs,
         "caption_filter": caption_filter_images,
@@ -3315,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": surt_index_q,
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
+        "label_propagation": label_propagation_q,
         "triangle_count": triangle_count_q,
         "anchor_text": anchor_text_q,
         "hits": hits_graph,
@@ -3391,6 +3461,58 @@ _TRADE_GRAPH_SQL = """
             SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         )"""
+
+
+def _lpa_oracle_sql(iters: int = 4) -> str:
+    """Synchronous label propagation unrolled as chained CTEs — per
+    round a neighbor-label count and the (count desc, label asc)
+    argmax, with the node-universe left join + own-id coalesce exactly
+    as the operator's update."""
+    parts = [
+        """
+        WITH base AS (SELECT event_id AS i FROM events
+                      WHERE event_id < 2000),
+        ed AS MATERIALIZED (
+            SELECT i AS src, i + 1 AS dst FROM base WHERE i % 20 <> 19
+            UNION ALL
+            SELECT i, i + 2 FROM base WHERE i % 20 < 18
+            UNION ALL
+            SELECT i, i + 20 FROM base
+            WHERE i % 100 = 7 AND i + 20 < 2000
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM ed
+                UNION ALL SELECT dst, src FROM ed)
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+        l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        c{k} AS (
+            SELECT u.a AS node, l.label, count(*) AS c
+            FROM und u JOIN l{k - 1} l ON l.node = u.b
+            GROUP BY 1, 2
+        ),
+        w{k} AS (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM c{k})
+            WHERE rn = 1
+        ),
+        l{k} AS MATERIALIZED (
+            SELECT n.node, coalesce(w.label, n.node) AS label
+            FROM nodes n LEFT JOIN w{k} w USING (node)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, label FROM l{iters} ORDER BY node"""
+    )
+    return "".join(parts)
 
 
 def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
@@ -5402,6 +5524,24 @@ def oracle_sql() -> dict[str, str]:
                     AND n_words >= 20 AND n_words <= 100000) AS keep
             FROM s ORDER BY doc_id
         """,
+        # paired-cosine alignment replay: index-join dot/norms over the
+        # unnested arrays, same rounding and threshold
+        "clip_align_filter": f"""
+            WITH flat AS ({cos_flat}),
+            d AS (
+                SELECT a.vec_id,
+                       sum(a.v * b.v) AS dot,
+                       sqrt(sum(a.v * a.v)) AS na,
+                       sqrt(sum(b.v * b.v)) AS nb
+                FROM flat a
+                JOIN flat b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+                GROUP BY a.vec_id
+            )
+            SELECT vec_id,
+                   round(dot / (na * nb), 6) AS align_cos,
+                   round(dot / (na * nb), 6) >= 0.2 AS keep
+            FROM d ORDER BY vec_id
+        """,
         # z-order layout replay: the identical bit-interleave expansion
         # over the same (x, y) projection, tile = top 8 Morton bits
         "zorder_layout": f"""
@@ -5552,6 +5692,28 @@ def oracle_sql() -> dict[str, str]:
         p AS (
             SELECT c.lang, t.w * cap.cap / c.n AS p
             FROM c JOIN t USING (lang) CROSS JOIN cap
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN p USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT / 4294967296.0 < p.p
+        ORDER BY d.doc_id
+    """
+    # temperature mixing: identical powered-count normalizer, cap and
+    # draw, expression order mirrored for IEEE equality
+    out["temperature_mix"] = """
+        WITH c AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang
+        ),
+        z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+        t AS (
+            SELECT lang, n, pow(n, 0.5) / z.z AS t
+            FROM c CROSS JOIN z
+        ),
+        cap AS (SELECT min(n / t) AS cap FROM t),
+        p AS (
+            SELECT lang, t * cap.cap / n AS p FROM t CROSS JOIN cap
         )
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d JOIN p USING (lang)
@@ -5861,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY w.doc_id, w.pos
     """
     out["pagerank"] = _pagerank_oracle_sql(iters=8, damping=0.85)
+    out["label_propagation"] = _lpa_oracle_sql(iters=4)
     out["anchor_text"] = """
         WITH links AS (
             SELECT 'http://h' || (l_suppkey % 50)

@@ -355,3 +355,65 @@ def toppages_by_rank(ranks: DataFrame, k: int, col: str = "pr") -> DataFrame:
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the undirected view of an edge list, made fully
+    DETERMINISTIC: every node starts labeled with its own id, and each
+    round adopts the most frequent label among its distinct neighbors
+    with ties broken toward the SMALLEST label (classic LPA breaks ties
+    randomly; a crawl pipeline needs replayable communities). Host-link
+    communities are the coarse "site family" signal the scheduler uses
+    above page classes.
+
+    Scale shape: the deduped undirected edge table is laid out by the
+    neighbor key ONCE (repartition + localCheckpoint, same pattern as
+    pagerank); every iteration joins only the (node, label) frame into
+    that layout, aggregates label counts per node, and takes the
+    argmax as one `max_by(label, struct(count, -label))` hash agg — no
+    window, no per-round driver collect. Label frames stay O(nodes).
+
+    Returns ``(node, label)`` after ``iters`` synchronous rounds."""
+    e = _edges(edges, src, dst)
+    nparts = int(
+        partitions
+        or e.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    und = (
+        e.select(F.col("_src").alias("a"), F.col("_dst").alias("b"))
+        .unionAll(
+            e.select(F.col("_dst").alias("a"), F.col("_src").alias("b"))
+        )
+        .distinct()
+        .repartition(nparts, "b")
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        cnt = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = cnt.groupBy("n2").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("t"))
+            ).alias("newl")
+        )
+        labels = (
+            nodes.join(new, nodes.node == new.n2, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("newl"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

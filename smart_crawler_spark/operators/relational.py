@@ -562,3 +562,48 @@ def zorder_tile_stats(
             F.max("_y").alias("max_y"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain resampling (the multilingual-LM
+    alpha-sampling rule, Conneau et al. XLM-R / mT5): target share
+    t_d = n_d^alpha / sum_e n_e^alpha, flattening the natural domain
+    distribution toward uniform as alpha -> 0. Unlike ``domain_mix``
+    the targets are DERIVED FROM THE DATA, so no caller dictionary —
+    the one extra step is normalizing the powered counts. Downsampling-
+    only: cap = min n_d/t_d sizes the output by the binding domain and
+    acceptance p_d = t_d * cap / n_d, on the shared md5 uniform draw so
+    the same rows survive on every engine and partitioning.
+
+    Scale shape: identical to domain_mix — one tiny domain-count agg,
+    1-row broadcast normalizer + cap, one broadcast join back, one
+    map-side filter; the corpus never shuffles."""
+    from smart_crawler_spark.operators.textops import md5_hash32
+
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    norm = counts.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(alpha))).alias("_z")
+    )
+    tgt = counts.crossJoin(F.broadcast(norm)).select(
+        domain_col,
+        F.col("_n"),
+        (F.pow(F.col("_n"), F.lit(alpha)) / F.col("_z")).alias("_t"),
+    )
+    cap = tgt.agg(F.min(F.col("_n") / F.col("_t")).alias("_cap"))
+    accept = tgt.crossJoin(F.broadcast(cap)).select(
+        domain_col,
+        (F.col("_t") * F.col("_cap") / F.col("_n")).alias("_p"),
+    )
+    u = md5_hash32(key_col).cast("double") / float(1 << 32)
+    return (
+        df.join(F.broadcast(accept), domain_col)
+        .filter(u < F.col("_p"))
+        .drop("_p")
+    )

@@ -963,3 +963,25 @@ def ivfpq_topk(
         rescored.withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
     )
+
+
+def paired_cosine_filter(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """CLIP-score-style alignment gate (the LAION/DataComp curation
+    rule: keep an image+caption pair only if the cosine between its
+    image embedding and its text embedding clears a threshold). The
+    input is the already-paired frame — one row per example with both
+    vectors — so the gate is a PURE MAP: `zip_with` dot product +
+    norms per row, zero shuffles, zero Python; at 100 TB it rides the
+    scan. Adds ``align_cos`` (rounded 6 dp, the SQL-replayable value)
+    and ``keep``."""
+    a = F.col(left_col)
+    b = F.col(right_col)
+    cos = F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+    return pairs.withColumn("align_cos", cos).withColumn(
+        "keep", F.col("align_cos") >= threshold
+    )
