@@ -31,6 +31,12 @@ line of per-stage row counts and wall seconds. Stages:
            the two-phase distributed prefix sum)
   mix      target-distribution lang rebalance (domain_mix) + the
            reproducible global training order (deterministic_shuffle)
+  tmix     temperature-scaled lang rebalance (alpha-sampling with
+           data-derived targets; same single-map-filter plan)
+  classify fastText-style hashed n-gram classifier inference (broadcast
+           bucket-bounded weights, mean pooling + sigmoid)
+  chunk    overlapping character chunks with offsets (RAG/encoder prep,
+           map-only)
   keepbest quality-aware dedup survivors (components keep their
            highest-quality member, not the min id)
   export   corpus -> deterministic WARC shard blobs (archive sink)
@@ -160,6 +166,23 @@ def main() -> None:
             return deterministic_shuffle(mixed, "doc_id", n_shards=8)
 
         run("mix", _mix)
+
+    if "tmix" in stages:
+
+        def _tmix():
+            from smart_crawler_spark.operators.relational import (
+                temperature_mix,
+            )
+
+            return temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+
+        run("tmix", _tmix)
+
+    if "classify" in stages:
+        run("classify", lambda: textops.hashed_ngram_classifier(docs))
+
+    if "chunk" in stages:
+        run("chunk", lambda: textops.chunk_documents(docs))
 
     if "keepbest" in stages:
         # quality-aware survivor decision over the near-dup components

@@ -1,0 +1,224 @@
+"""Differential / property tests for the round-4 continuation
+operators: hashed n-gram classifier, document chunking, Z-order keys,
+label propagation, temperature mixing, paired-cosine alignment."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.operators.graphops import label_propagation
+from smart_crawler_spark.operators.relational import (
+    temperature_mix,
+    zorder_key,
+    zorder_tile_stats,
+)
+from smart_crawler_spark.operators.textops import (
+    chunk_documents,
+    hashed_ngram_classifier,
+)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------- fastText
+
+
+def _py_classifier(text: str, n_buckets: int = 4096):
+    ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    feats = ws + [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+    if not feats:
+        return None
+    total = 0.0
+    for f in feats:
+        b = _h32(f) % n_buckets
+        total += (_h32(str(b)) % 2001 - 1000) / 1000.0
+    avg = total / len(feats)
+    return len(feats), round(1.0 / (1.0 + math.exp(-avg)), 4)
+
+
+def test_classifier_matches_python(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "spark spark spark",
+        "a",
+        "",
+        "  ---  ",  # zero tokens -> dropped
+        "one two three four five six seven eight nine ten",
+        "Der schnelle braune Fuchs! 123 456",
+        "x y " * 50,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"], r["label"])
+        for r in hashed_ngram_classifier(df).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _py_classifier(t)
+        if exp is None:
+            assert i not in got
+        else:
+            n, score = exp
+            assert got[i] == (n, score, score >= 0.5), (i, t)
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_properties(spark):
+    rng = random.Random(7)
+    texts = ["", "x", "a" * 499, "b" * 500, "c" * 501, "d" * 900]
+    texts += [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randrange(1, 3000)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, size=500, overlap=100).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not t:
+            assert chunks == []
+            continue
+        # offsets follow the stride; substr bounds are honest
+        for j, c in enumerate(chunks):
+            assert c["chunk_id"] == j
+            assert c["char_start"] == j * 400
+            assert c["chunk"] == t[c["char_start"] : c["char_start"] + 500]
+            assert c["n_chars"] == len(c["chunk"])
+        # full coverage by reconstruction
+        rebuilt = chunks[0]["chunk"] + "".join(
+            c["chunk"][100:] for c in chunks[1:]
+        )
+        assert rebuilt == t
+        # no chunk fully contained in its predecessor
+        for a, b in zip(chunks, chunks[1:]):
+            assert (
+                b["char_start"] + b["n_chars"] > a["char_start"] + a["n_chars"]
+            )
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def _py_morton(x: int, y: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i + 1)
+        out |= ((y >> i) & 1) << (2 * i)
+    return out
+
+
+def test_zorder_key_matches_python(spark):
+    rng = random.Random(11)
+    pts = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=12).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_morton(r["x"], r["y"], 12)
+
+
+def test_zorder_tiles_bound_both_dims(spark):
+    # full-range uniform grid (all 12 bits exercised): every tile must
+    # span <= 256 in each dim
+    pts = [(x * 64 + 3, y * 64 + 5) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    stats = zorder_tile_stats(df, "x", "y", bits=12, tile_bits=8).collect()
+    assert len(stats) == 256
+    for r in stats:
+        assert r["max_x"] - r["min_x"] <= 255
+        assert r["max_y"] - r["min_y"] <= 255
+
+
+# ------------------------------------------------------ label propagation
+
+
+def _py_lpa(edges, iters):
+    und = set()
+    for u, v in edges:
+        und.add((u, v))
+        und.add((v, u))
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    nodes = sorted(nbrs)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            cnt: dict[int, int] = {}
+            for b in nbrs[n]:
+                cnt[lab[b]] = cnt.get(lab[b], 0) + 1
+            new[n] = (
+                max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                if cnt
+                else n
+            )
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_label_propagation_random(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randrange(10, 40)
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randrange(n, 3 * n))
+    ]  # may include self-loops and parallel edges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    iters = rng.choice([1, 2, 4])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == _py_lpa(edges, iters)
+
+
+# ------------------------------------------------------- temperature mix
+
+
+def test_temperature_mix_flattens(spark):
+    rows = [(i, "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", "doc_id", alpha=0.5)
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    n_in = {"en": 1400, "de": 400, "fr": 200}
+    # survivors only, deterministic across runs
+    again = {
+        r["lang"]: r["count"]
+        for r in temperature_mix(df, "lang", "doc_id", alpha=0.5)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert counts == again
+    for lang, c in counts.items():
+        assert c <= n_in[lang]
+    # the binding domain (smallest n/t = smallest n at alpha<1) keeps all
+    assert counts["fr"] == n_in["fr"]
+    # flattening: the dominant domain's share shrinks toward uniform
+    tot = sum(counts.values())
+    assert counts["en"] / tot < 0.7
+    # shares approach the alpha-scaled targets (within sampling noise)
+    z = sum(v**0.5 for v in n_in.values())
+    for lang, c in counts.items():
+        target = n_in[lang] ** 0.5 / z
+        assert abs(c / tot - target) < 0.05
