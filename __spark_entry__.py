@@ -538,6 +538,29 @@ def clip_align_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "align_cos", "keep").orderBy("vec_id")
 
 
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (operators/simsearch.py
+    embedding_outliers): centroid-distance z-score with planted
+    off-manifold rows (every 100th vector re-enters scaled x3 under a
+    shifted id — ~3x the typical centroid distance, unambiguously
+    past the z >= 2 gate). Two corpus scans, zero corpus-keyed
+    shuffles; the oracle recomputes centroid, distances, and the
+    z-normalizer from the identical plant."""
+    from smart_crawler_spark.operators.simsearch import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 100 == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 3.0).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
+    return embedding_outliers(corpus, z_threshold=2.0).orderBy("vec_id")
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the scale plan (no cross join, no input
     cap): hyperplane-LSH band buckets generate candidates, exact cosine
@@ -3103,6 +3126,46 @@ def anchor_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web-graph rollup (operators/graphops.py host_graph):
+    the URL link table collapses to (src_host, dst_host) edges with
+    link multiplicity, distinct-source-page support, and the
+    internal/external flag — one two-level partial agg, shuffle volume
+    = distinct host pairs. Low-quantity lineitems plant internal
+    (same-host) edges so both flag values are exercised. Oracle
+    replays the plant + rollup."""
+    from smart_crawler_spark.operators.graphops import host_graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    shost = F.concat(
+        F.lit("h"), (F.col("l_suppkey") % 50).cast("string"),
+        F.lit(".example"),
+    )
+    links = li.select(
+        F.concat(
+            F.lit("http://"), shost, F.lit("/o/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("src"),
+        F.when(
+            F.col("l_quantity") < 10,
+            F.concat(
+                F.lit("http://"), shost, F.lit("/p/"),
+                F.col("l_partkey").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"),
+                (F.col("l_partkey") % 7).cast("string"),
+                F.lit(".example/part/"),
+                F.col("l_partkey").cast("string"),
+            )
+        )
+        .alias("dst"),
+    )
+    return host_graph(links).orderBy("src_host", "dst_host")
+
+
 def revisit_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-staleness recrawl scheduling (frontier/revisit.py,
     Cho & Garcia-Molina 2003): per-URL change rate from a visit log
@@ -3372,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": domain_mix_docs,
         "temperature_mix": temperature_mix_docs,
         "clip_align_filter": clip_align_filter_q,
+        "embedding_outliers": embedding_outliers_q,
         "shuffle_shard": shuffle_shard_docs,
         "dedup_keep_best": dedup_keep_best_docs,
         "caption_filter": caption_filter_images,
@@ -3385,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
         "label_propagation": label_propagation_q,
+        "host_graph": host_graph_q,
         "triangle_count": triangle_count_q,
         "anchor_text": anchor_text_q,
         "hits": hits_graph,
@@ -5523,6 +5588,58 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_trigram_frac <= 0.2
                     AND n_words >= 20 AND n_words <= 100000) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # outlier replay: identical plant (x3-scaled copies), centroid,
+        # distance, and z-normalizer, all rounded at the same points
+        "embedding_outliers": f"""
+            WITH flat AS ({cos_flat}),
+            allf AS (
+                SELECT vec_id, i, v FROM flat
+                UNION ALL
+                SELECT vec_id + 100000, i, 3.0 * v
+                FROM flat WHERE vec_id % 100 = 7
+            ),
+            cent AS (SELECT i, round(avg(v), 6) AS c FROM allf GROUP BY i),
+            d AS (
+                SELECT vec_id,
+                       round(sqrt(sum((v - c) * (v - c))), 6) AS dist
+                FROM allf JOIN cent USING (i) GROUP BY vec_id
+            ),
+            st AS (
+                SELECT round(avg(dist), 6) AS mu,
+                       round(stddev_pop(dist), 6) AS sd
+                FROM d
+            )
+            SELECT vec_id, dist,
+                   round((dist - mu) / sd, 4) AS z,
+                   round((dist - mu) / sd, 4) >= 2.0 AS outlier
+            FROM d CROSS JOIN st ORDER BY vec_id
+        """,
+        # host-graph rollup replay: identical plant + two-level agg
+        "host_graph": """
+            WITH links AS (
+                SELECT 'h' || (l_suppkey % 50)::VARCHAR || '.example'
+                           AS src_host,
+                       CASE WHEN l_quantity < 10
+                            THEN 'h' || (l_suppkey % 50)::VARCHAR
+                                 || '.example'
+                            ELSE 'site' || (l_partkey % 7)::VARCHAR
+                                 || '.example' END AS dst_host,
+                       'http://h' || (l_suppkey % 50)::VARCHAR
+                           || '.example/o/' || l_orderkey::VARCHAR
+                           AS page
+                FROM lineitem
+            ),
+            pp AS (
+                SELECT src_host, dst_host, page, count(*) AS n
+                FROM links GROUP BY 1, 2, 3
+            )
+            SELECT src_host, dst_host,
+                   sum(n)::BIGINT AS n_links,
+                   count(*)::BIGINT AS n_src_pages,
+                   src_host = dst_host AS internal
+            FROM pp GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host
         """,
         # paired-cosine alignment replay: index-join dot/norms over the
         # unnested arrays, same rounding and threshold

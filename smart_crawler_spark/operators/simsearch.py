@@ -985,3 +985,60 @@ def paired_cosine_filter(
     return pairs.withColumn("align_cos", cos).withColumn(
         "keep", F.col("align_cos") >= threshold
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    z_threshold: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space outlier detection (the corpus-cleaning pass that
+    drops mis-embedded / off-manifold rows before ANN indexing or
+    semantic dedup): distance to the corpus centroid, z-scored against
+    the corpus distance distribution, flag z >= threshold.
+
+    Scale shape: two corpus scans, ZERO corpus-keyed shuffles — pass 1
+    aggregates per-dimension sums (posexplode + groupBy(dim): dim-
+    bounded output with map-side partials, collected like pca_fit's
+    d x d Gram — 64 doubles, never corpus data); pass 2 computes each
+    row's distance map-side via a zip_with fold against the literal
+    centroid; the mean/stddev normalizer is a 1-row broadcast. All
+    intermediate values round to 6 dp so the DuckDB oracle replays the
+    arithmetic despite aggregation-order ulps."""
+    flat = emb.select(F.col(id_col), F.posexplode(vec_col).alias("i", "v"))
+    cent_rows = (
+        flat.groupBy("i").agg(F.round(F.avg("v"), 6).alias("c")).collect()
+    )
+    cent = [r["c"] for r in sorted(cent_rows, key=lambda r: r["i"])]
+    carr = F.array(*[F.lit(float(c)) for c in cent])
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    carr,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    d = emb.select(F.col(id_col), dist.alias("dist"))
+    stats = d.agg(
+        F.round(F.avg("dist"), 6).alias("_mu"),
+        F.round(F.stddev_pop("dist"), 6).alias("_sd"),
+    )
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "dist",
+            F.round(
+                (F.col("dist") - F.col("_mu")) / F.col("_sd"), 4
+            ).alias("z"),
+        )
+        .withColumn("outlier", F.col("z") >= z_threshold)
+    )
