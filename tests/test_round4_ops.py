@@ -222,3 +222,59 @@ def test_temperature_mix_flattens(spark):
     for lang, c in counts.items():
         target = n_in[lang] ** 0.5 / z
         assert abs(c / tot - target) < 0.05
+
+
+# ----------------------------------------------------------- host graph
+
+
+def test_host_graph_matches_python(spark):
+    rng = random.Random(3)
+    hosts = [f"h{i}.test" for i in range(5)]
+    links = []
+    for _ in range(400):
+        s = rng.choice(hosts)
+        d = rng.choice(hosts)
+        page = f"http://{s}/p/{rng.randrange(20)}"
+        links.append((page, f"http://{d}/q/{rng.randrange(30)}"))
+    from smart_crawler_spark.operators.graphops import host_graph
+
+    df = spark.createDataFrame(links, "src string, dst string")
+    got = {
+        (r["src_host"], r["dst_host"]): (
+            r["n_links"], r["n_src_pages"], r["internal"]
+        )
+        for r in host_graph(df).collect()
+    }
+    exp: dict = {}
+    pages: dict = {}
+    for src, dst in links:
+        sh = src.split("/")[2]
+        dh = dst.split("/")[2]
+        exp[(sh, dh)] = exp.get((sh, dh), 0) + 1
+        pages.setdefault((sh, dh), set()).add(src)
+    assert got == {
+        k: (n, len(pages[k]), k[0] == k[1]) for k, n in exp.items()
+    }
+
+
+# ------------------------------------------------------------- outliers
+
+
+def test_embedding_outliers_flags_planted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(200)]
+    # plant 5 far-off rows
+    rows += [
+        (1000 + i, [float(x) for x in rng.normal(0, 1, 16) * 6])
+        for i in range(5)
+    ]
+    from smart_crawler_spark.operators.simsearch import embedding_outliers
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["outlier"] for r in embedding_outliers(df).collect()}
+    assert all(out[1000 + i] for i in range(5))
+    # the bulk is not flagged
+    flagged_bulk = sum(1 for i in range(200) if out[i])
+    assert flagged_bulk <= 10
