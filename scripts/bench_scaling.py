@@ -148,6 +148,32 @@ if "topk_giant" in jobs:
                           "rows_per_sec": round(N_FRONT / dt), "batch": nb,
                           "budget": giant_budget}}
 
+# --- textops: the text-pipeline kernels (classifier inference +
+# chunking) over a synthetic JVM-generated corpus — per-doc map work +
+# one doc-keyed shuffle (classifier) / zero shuffles (chunker). The
+# corpus localCheckpoints first so the kernels are timed, not datagen --
+if "textops" in jobs:
+    from smart_crawler_spark.operators.textops import (
+        chunk_documents, hashed_ngram_classifier)
+    N_DOCS = int(400_000 * scale)
+    vocab = ("amber basalt cedar delta ember fjord garnet harbor indigo "
+             "juniper krypton lagoon marble nectar onyx prairie quartz "
+             "russet sienna tundra").split()
+    warr = F.array(*[F.lit(w) for w in vocab])
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(80)),
+            lambda i: F.element_at(
+                warr, (((F.col("id") + 1) * i) % 20 + 1).cast("int")),
+        )).alias("text")).localCheckpoint()
+    n, dt = timed(lambda: hashed_ngram_classifier(docs))
+    out["classify"] = {{"rows": N_DOCS, "sec": round(dt, 3),
+                        "rows_per_sec": round(N_DOCS / dt), "scored": n}}
+    n2, dt2 = timed(lambda: chunk_documents(docs))
+    out["chunk"] = {{"rows": N_DOCS, "sec": round(dt2, 3),
+                     "rows_per_sec": round(N_DOCS / dt2), "chunks": n2}}
+
 # --- links: explode out-links + broadcast model classify + window dedup --
 if "links" in jobs:
     pages = spark.range(N_PAGES).select(
