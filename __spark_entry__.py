@@ -2276,6 +2276,27 @@ def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CMS_TERMS = [
+    "the", "and", "of", "to", "in", "is", "that", "with", "data", "page",
+]
+
+
+def cms_freq_est_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/textops.py
+    cms_frequency_estimates): a 4x1024 deterministic md5-hashed sketch
+    built as one partial-aggregated groupBy (the distributed merge of
+    per-partition sketches), point-queried for 10 fixed terms with the
+    exact counts alongside. The md5 hashes make every cell
+    reproducible, so the oracle replays the SKETCH ITSELF — estimates
+    are gate-checked value-for-value, not by tolerance."""
+    from smart_crawler_spark.operators.textops import (
+        cms_frequency_estimates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_frequency_estimates(docs, _CMS_TERMS).orderBy("term")
+
+
 def fasttext_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-n-gram classifier inference
     (operators/textops.py hashed_ngram_classifier; Joulin et al. 2016):
@@ -3429,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": heavy_hitters_q,
         "quality_gate": quality_gate_docs,
         "fasttext_quality": fasttext_quality_docs,
+        "cms_freq_est": cms_freq_est_docs,
         "chunk_split": chunk_split_docs,
         "zorder_layout": zorder_layout_events,
         "jpeg_quality_est": jpeg_quality_q,
@@ -5690,6 +5712,44 @@ def oracle_sql() -> dict[str, str]:
                      greatest(length(text) - 100, 1), 400)) u(s)
             WHERE length(text) > 0
             ORDER BY doc_id, chunk_id
+        """,
+        # count-min sketch replay: the identical 4x1024 md5-hashed cell
+        # matrix rebuilt in SQL, min-over-rows point queries, exact
+        # counts for the differential columns
+        "cms_freq_est": f"""
+            WITH toks AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+                FROM documents
+            ),
+            cells AS (
+                SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || tok),
+                        1, 8))::BIGINT % 1024 AS cell
+                FROM toks, range(4) t(r)
+            ),
+            sketch AS (
+                SELECT r, cell, count(*) AS n FROM cells GROUP BY 1, 2
+            ),
+            q AS (
+                SELECT unnest({_CMS_TERMS!r}) AS term
+            ),
+            qc AS (
+                SELECT term, r,
+                       ('0x' || substr(md5(r::VARCHAR || ':' || term),
+                        1, 8))::BIGINT % 1024 AS cell
+                FROM q, range(4) t(r)
+            ),
+            est AS (
+                SELECT term, min(coalesce(n, 0))::BIGINT AS cms_est
+                FROM qc LEFT JOIN sketch USING (r, cell) GROUP BY term
+            ),
+            tn AS (
+                SELECT tok AS term, count(*) AS true_n FROM toks
+                WHERE tok IN (SELECT term FROM q) GROUP BY 1
+            )
+            SELECT term, coalesce(true_n, 0)::BIGINT AS true_n, cms_est,
+                   cms_est >= coalesce(true_n, 0) AS never_under
+            FROM est LEFT JOIN tn USING (term) ORDER BY term
         """,
         # fastText inference replay: identical unigram+bigram features,
         # md5 bucket hash, md5-derived weight vector, mean-pool sigmoid

@@ -1288,3 +1288,99 @@ def chunk_documents(
             F.col("_t").substr(F.col("_s"), F.lit(size)).alias("chunk"),
         )
     )
+
+
+def cms_frequency_estimates(
+    docs: DataFrame,
+    query_terms: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch term-frequency estimation (Cormode &
+    Muthukrishnan 2005) — the mergeable bounded-memory frequency
+    structure for vocabularies that don't fit a hash aggregate: the
+    sketch is a depth x width counter matrix (here 4 x 1024 = 4096
+    cells, corpus-size-INDEPENDENT), each token increments one cell
+    per row under an independent hash, and a point query reads the MIN
+    over its depth cells (never an underestimate; overestimate bounded
+    by eps*N with eps = e/width at the usual confidence).
+
+    Scale shape: the sketch builds as ONE partial-aggregated groupBy
+    over (row, cell) — map-side combine collapses the token stream
+    into <= depth*width cells per task before the shuffle, the
+    distributed equivalent of merging per-partition sketches (CMS
+    merge = cell-wise add, which is exactly what the combine does).
+    Point queries join the depth-row lookup set against the bounded
+    sketch table. Hashes are md5-derived, so the ENTIRE sketch is
+    deterministic and the oracle replays every cell exactly — the
+    estimate column is gate-checked value-for-value, not by tolerance.
+
+    Output per query term: (term, true_n, cms_est, never_under) with
+    true_n from an exact count for the differential."""
+    tokens = docs.select(F.explode(_word_list(text_col)).alias("tok"))
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    cells = tokens.select(
+        F.explode(
+            F.transform(
+                rows,
+                lambda r: F.struct(
+                    r.alias("r"),
+                    (
+                        md5_hash32(
+                            F.concat(
+                                r.cast("string"), F.lit(":"), F.col("tok")
+                            )
+                        )
+                        % width
+                    ).alias("cell"),
+                ),
+            )
+        ).alias("rc")
+    )
+    sketch = cells.groupBy("rc.r", "rc.cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    ).select(
+        "term",
+        F.explode(
+            F.transform(
+                rows,
+                lambda r: F.struct(
+                    r.alias("r"),
+                    (
+                        md5_hash32(
+                            F.concat(
+                                r.cast("string"), F.lit(":"), F.col("term")
+                            )
+                        )
+                        % width
+                    ).alias("cell"),
+                ),
+            )
+        ).alias("rc"),
+    ).select("term", "rc.r", "rc.cell")
+    est = (
+        q.join(sketch, ["r", "cell"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_est"))
+    )
+    true_n = (
+        tokens.filter(F.col("tok").isin(query_terms))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        est.join(true_n, "term", "left")
+        .select(
+            "term",
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+            "cms_est",
+            (F.col("cms_est") >= F.coalesce("true_n", F.lit(0))).alias(
+                "never_under"
+            ),
+        )
+    )
