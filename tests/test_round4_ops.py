@@ -278,3 +278,69 @@ def test_embedding_outliers_flags_planted(spark):
     # the bulk is not flagged
     flagged_bulk = sum(1 for i in range(200) if out[i])
     assert flagged_bulk <= 10
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def test_cms_never_underestimates(spark):
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 60)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from smart_crawler_spark.operators.textops import (
+        cms_frequency_estimates,
+    )
+
+    true: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            true[w] = true.get(w, 0) + 1
+    terms = vocab[:40] + ["absent_term"]
+    rows = cms_frequency_estimates(df, terms, depth=4, width=512).collect()
+    assert {r["term"] for r in rows} == set(terms)
+    for r in rows:
+        assert r["true_n"] == true.get(r["term"], 0)
+        assert r["cms_est"] >= r["true_n"]  # the CMS one-sided guarantee
+        assert r["never_under"]
+    # with 300 words in 4x512 cells, most estimates should be exact
+    exact = sum(1 for r in rows if r["cms_est"] == r["true_n"])
+    assert exact >= len(terms) * 0.5
+
+
+# ------------------------------------------------------- paired cosine
+
+
+def test_paired_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (
+            i,
+            [float(x) for x in rng.normal(0, 1, 8)],
+            [float(x) for x in rng.normal(0, 1, 8)],
+        )
+        for i in range(100)
+    ]
+    from smart_crawler_spark.operators.simsearch import paired_cosine_filter
+
+    df = spark.createDataFrame(
+        rows, "pid long, a array<double>, b array<double>"
+    )
+    got = {
+        r["pid"]: (r["align_cos"], r["keep"])
+        for r in paired_cosine_filter(df, "a", "b", threshold=0.2).collect()
+    }
+    for pid, a, b in rows:
+        a = np.array(a)
+        b = np.array(b)
+        cos = round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+        assert got[pid] == (cos, cos >= 0.2)
