@@ -496,3 +496,73 @@ def test_pq_scan_no_cartesian_bounded_shuffle(spark):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "BroadcastHashJoin" in plan, plan  # the rerank query side
+
+
+def test_classifier_weights_broadcast_no_cartesian(spark):
+    # the 4096-row weight table must broadcast; the only corpus-keyed
+    # shuffle is the per-doc aggregation
+    from smart_crawler_spark.operators.textops import (
+        hashed_ngram_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    plan = _plan(hashed_ngram_classifier(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunker_is_map_only(spark):
+    from smart_crawler_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 1200)], "doc_id long, text string"
+    )
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan  # zero shuffles: rides the scan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_key_is_codegen_expression(spark):
+    # the Morton key must stay a pure JVM expression chain — no joins,
+    # no shuffles, no Python
+    from smart_crawler_spark.operators.relational import zorder_key
+
+    df = spark.range(10).select(
+        F.col("id").alias("x"), (F.col("id") * 3).alias("y")
+    )
+    plan = _plan(df.select(zorder_key(F.col("x"), F.col("y"), 12)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_host_graph_two_level_agg_partial(spark):
+    # both aggregation levels must carry map-side partials so shuffle
+    # volume is host-pair-bounded, never link-bounded
+    from smart_crawler_spark.operators.graphops import host_graph
+
+    links = spark.createDataFrame(
+        [("http://a.t/p1", "http://b.t/q")],
+        "src string, dst string",
+    )
+    plan = _plan(host_graph(links))
+    assert plan.count("HashAggregate") >= 4  # 2 levels x partial+final
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_bounded_and_broadcastable(spark):
+    # the point-query join probes the bounded sketch; no cartesian,
+    # no Python anywhere
+    from smart_crawler_spark.operators.textops import (
+        cms_frequency_estimates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a")], "doc_id long, text string"
+    )
+    plan = _plan(cms_frequency_estimates(docs, ["a", "zz"]))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
