@@ -3337,6 +3337,94 @@ def bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encoding_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate (operators/textops.py encoding_quality):
+    U+FFFD / control-char / mojibake counts + keep flag, map-only
+    Catalyst regexp_count. The synthetic corpus is clean text, so the
+    query plants deterministic damage the way _doubled_docs plants
+    dups: doc_id%5==0 rows get every 'e' mojibaked to 'Ã©',
+    doc_id%7==0 rows get a BEL control char appended, doc_id%11==0 rows
+    get a replacement char — the oracle applies the identical
+    replace()/concat transforms, so every count column is value-checked,
+    not just the keep bit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 5 == 0, F.regexp_replace(t, "e", "Ã©")).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit("\x07"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 11 == 0, F.concat(t, F.lit("�"))).otherwise(t)
+    corrupted = d.select("doc_id", t.alias("text"))
+    return textops.encoding_quality(corrupted).orderBy("doc_id")
+
+
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy (operators/textops.py
+    char_entropy): the corpus-independent gibberish signal — ln(N) -
+    sum(c ln c)/N over charlm-normalized character counts, computed
+    entirely with Catalyst higher-order functions (map-only, zero
+    shuffles). The oracle recomputes the same entropy from a
+    generate_series char explode in SQL; both sides round to 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.char_entropy(docs).orderBy("doc_id")
+
+
+def truncation_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup (operators/textops.py truncation_pairs):
+    (short, long) pairs where the short doc's normalized text is a
+    strict prefix of the long doc's — truncated scrapes. Planted: every
+    doc_id%4==0 document gets a 150-raw-char truncated twin at
+    id+300000. Candidates from an equi-join on md5 of the first 64
+    normalized chars (hot keys capped at 50 docs), verified by one
+    substring equality — no cartesian (pinned in tests/test_plans.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.substring("text", 1, 150).alias("text"),
+    )
+    return textops.truncation_pairs(d.unionByName(planted)).orderBy(
+        "id_short", "id_long"
+    )
+
+
+def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign splits by near-dup
+    COMPONENT, not by document, so no near-duplicate pair ever straddles
+    train and test (per-doc hashing leaks ~half of every dup pair's
+    content into eval). Components come from the same MinHash-LSH +
+    connected-components path as near_dup_components; the split is the
+    md5-threshold draw on the component label (8/1/1 train/val/test) —
+    deterministic, layout-independent, and exactly replayable in SQL
+    (same recursive-CTE components + the md5_hash32 rule)."""
+    comp = near_dup_components(spark, sf_dir)
+    b = textops.md5_hash32(F.col("component")) % 10
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/simsearch.py
+    hard_negative_topk): per query, the 3 most similar corpus vectors
+    with cosine BELOW the 0.95 dedup threshold. The corpus carries the
+    standard planted near-dups (w_i = v_i + 0.18 v_{i+1}, cos ~0.98), so
+    the gate proves the dup cut actually excludes them from the rank
+    slots — the miner must return the hardest NON-duplicate neighbors,
+    which is exactly the false-negative poisoning case in contrastive
+    training."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.unionByName(_planted_query_vecs(spark, sf_dir, n=None))
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return simsearch.hard_negative_topk(
+        queries_df, corpus, k=3, dup_threshold=0.95
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3478,6 +3566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_priority": revisit_priority_q,
         "sitemap_parse": sitemap_parse_q,
         "bpe_pair_stats": bpe_pair_stats_docs,
+        "encoding_quality": encoding_quality_q,
+        "char_entropy": char_entropy_q,
+        "truncation_pairs": truncation_pairs_q,
+        "group_split": group_split,
+        "hard_negatives": hard_negatives,
     }
 
 
@@ -5852,6 +5945,135 @@ def oracle_sql() -> dict[str, str]:
     # (same pair graph, same min-label contract) via a different
     # algorithm — one oracle text, two engine implementations under it
     out["near_dup_components_star"] = out["near_dup_components"]
+    from smart_crawler_spark.operators.textops import (
+        ENC_CTRL_RE as _ENC_CTRL,
+        ENC_MOJIBAKE_RE as _ENC_MOJI,
+        ENC_REPLACEMENT_CHAR as _ENC_REPL,
+    )
+
+    out["encoding_quality"] = f"""
+        WITH d1 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'Ã©')
+                        ELSE text END AS t
+            FROM documents
+        ),
+        d2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN t || chr(7) ELSE t END AS t
+            FROM d1
+        ),
+        d3 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN t || '{_ENC_REPL}'
+                        ELSE t END AS t
+            FROM d2
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(length(t) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(t, '{_ENC_REPL}')) AS INT)
+                       AS n_replacement,
+                   CAST(len(regexp_extract_all(t, '{_ENC_CTRL}')) AS INT)
+                       AS n_ctrl,
+                   CAST(len(regexp_extract_all(t, '{_ENC_MOJI}')) AS INT)
+                       AS n_mojibake
+            FROM d3
+        )
+        SELECT doc_id, n_chars, n_replacement, n_ctrl, n_mojibake,
+               (n_replacement = 0 AND n_ctrl = 0
+                AND n_mojibake * 100 <= n_chars) AS keep
+        FROM c ORDER BY doc_id
+    """
+    out["char_entropy"] = """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, substr(t, i, 1) AS c
+            FROM norm, unnest(generate_series(1, len(t))) AS u(i)
+            WHERE len(t) > 0
+        ),
+        cc AS (
+            SELECT doc_id, c, count(*)::DOUBLE AS cnt
+            FROM ch GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT doc_id, sum(cnt) AS n, count(*) AS d,
+                   sum(cnt * ln(cnt)) AS s
+            FROM cc GROUP BY 1
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               CAST(d AS INT) AS n_distinct,
+               round(ln(n) - s / n, 6) AS entropy
+        FROM s ORDER BY doc_id
+    """
+    out["truncation_pairs"] = r"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 300000, substr(text, 1, 150)
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        n AS (
+            SELECT doc_id AS id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM d
+        ),
+        b AS (
+            SELECT id, t, CAST(length(t) AS BIGINT) AS len,
+                   md5(substr(t, 1, 64)) AS pk
+            FROM n WHERE length(t) >= 64
+        ),
+        ok AS (SELECT pk FROM b GROUP BY pk HAVING count(*) <= 50)
+        SELECT a.id AS id_short, c.id AS id_long,
+               a.len AS short_len, c.len AS long_len
+        FROM b a JOIN b c
+          ON a.pk = c.pk AND a.len < c.len
+         AND substr(c.t, 1, CAST(a.len AS INT)) = a.t
+        WHERE a.pk IN (SELECT pk FROM ok)
+        ORDER BY id_short, id_long
+    """
+    out["group_split"] = f"""
+        WITH comp AS ({out["near_dup_components"]})
+        SELECT doc_id, component,
+               CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                          1, 8))::BIGINT % 10 < 8 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                          1, 8))::BIGINT % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp ORDER BY doc_id
+    """
+    out["hard_negatives"] = f"""
+        WITH flat AS ({cos_flat}),
+        pl AS (
+            SELECT a.vec_id + 100000 AS vec_id, a.i, a.v + 0.18 * b.v AS v
+            FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        ),
+        allf AS (SELECT * FROM flat UNION ALL SELECT * FROM pl),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                   sum(q.v * c.v)
+                     / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+            FROM flat q JOIN allf c ON q.i = c.i
+            WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, negative_id, round(sim, 6) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, negative_id ASC
+                   ) AS rank
+            FROM dots WHERE round(sim, 6) < 0.95
+        )
+        SELECT query_id, negative_id, cos_sim, rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
     # the mjpeg leg samples the same (video, frame) grid and must hit
     # the same PSNR invariant — one oracle text, two container codecs
     out["video_frame_sample_mjpeg"] = out["video_frame_sample"]

@@ -50,6 +50,9 @@ HEADLINE = [
     "fasttext_quality",
     "chunk_split",
     "zorder_layout",
+    "char_entropy",
+    "truncation_pairs",
+    "hard_negatives",
 ]
 
 

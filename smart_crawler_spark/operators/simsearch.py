@@ -965,6 +965,60 @@ def ivfpq_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-k most
+    similar corpus vectors whose cosine stays BELOW ``dup_threshold`` —
+    close enough to be informative negatives for a CLIP/retrieval
+    training batch, but provably not near-duplicates (those would be
+    false negatives that poison the contrastive loss; the threshold is
+    the same 0.95 the dedup pipeline uses, so the two stages partition
+    the similarity range between them).
+
+    Scale shape: identical to ``cosine_topk`` — broadcast the small
+    query set, one corpus scan, per-partition partial top-k under the
+    window; the dup cut is applied BEFORE ranking so dropped duplicates
+    never occupy rank slots. For corpus-scale query sets swap the scan
+    for the IVF/LSH candidate generators (ivf_topk / lsh_bucketed_topk)
+    and apply the same ``cos_sim < dup_threshold`` filter before the
+    rerank window — the contract is unchanged.
+
+    Output: (query_id, negative_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("negative_id"))
+        .select(
+            "query_id",
+            "negative_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < dup_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "negative_id", "cos_sim", F.col("rk").alias("rank")
+        )
+    )
+
+
 def paired_cosine_filter(
     pairs: DataFrame,
     left_col: str,

@@ -349,6 +349,154 @@ def sequence_pack(
     )
 
 
+# Encoding-quality patterns shared with the oracle SQL. Engine-agnostic
+# by construction: the control-char class uses only two-digit \xNN
+# escapes (identical in java.util.regex and RE2) and the mojibake
+# pattern is a pure alternation of LITERAL characters (the classic
+# UTF-8-decoded-as-Latin-1 two-byte artifacts, plus the replacement
+# char's own mojibake 'ï¿½') — no escapes at all.
+ENC_REPLACEMENT_CHAR = "�"
+ENC_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+ENC_MOJIBAKE_RE = "Ã©|Ã¨|Ã¼|Ã±|Ã¤|Ã¶|â€™|â€œ|â€“|Â·|Â»|ï¿½"
+
+
+def encoding_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-health stats for a crawled corpus — the FineWeb-style
+    pre-filter that catches decode damage before any tokenizer sees it:
+    U+FFFD replacement characters (a decoder already gave up), raw C0/C1
+    control characters (binary leaking into text), and mojibake markers
+    (UTF-8 bytes re-decoded as Latin-1, e.g. 'Ã©' where 'é' belongs).
+
+    keep = no replacement chars AND no control chars AND mojibake
+    markers under 1 per 100 chars. Pure Catalyst `regexp_count` — JVM,
+    map-only, whole-stage codegen, zero shuffles at 100 TB. The three
+    patterns are module constants shared verbatim with the DuckDB
+    oracle (literal alternations + \\xNN classes parse identically in
+    java.util.regex and RE2)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_repl = F.regexp_count(t, F.lit(ENC_REPLACEMENT_CHAR))
+    n_ctrl = F.regexp_count(t, F.lit(ENC_CTRL_RE))
+    n_moji = F.regexp_count(t, F.lit(ENC_MOJIBAKE_RE))
+    keep = (n_repl == 0) & (n_ctrl == 0) & (n_moji * 100 <= n_chars)
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("int").alias("n_replacement"),
+        n_ctrl.cast("int").alias("n_ctrl"),
+        n_moji.cast("int").alias("n_mojibake"),
+        keep.alias("keep"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) — the
+    gibberish/keyboard-mash/base64-blob detector that complements
+    ``charlm_perplexity``: perplexity needs a corpus-trained LM, entropy
+    is intrinsic to the document, so it runs in the FIRST pass before
+    any corpus statistics exist. Very low entropy = repeated-character
+    spam; very high (near ln alphabet) = uniform noise / encoded blobs.
+
+    Computed as ln(N) - sum(c*ln c)/N over per-character counts of the
+    charlm-normalized text — entirely with Catalyst higher-order
+    functions (sequence/substr char explode is ARRAY-side, distinct +
+    per-char filter counts are O(len * alphabet) with alphabet <= 37):
+    map-only, zero shuffles, zero Python. The same normalization as
+    charlm_perplexity keeps the two quality signals comparable.
+
+    Output: (id, n_chars, n_distinct, entropy) — entropy rounded 6 dp;
+    empty normalized texts are dropped (entropy undefined)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    base = docs.select(F.col(id_col), norm.alias("t")).filter(
+        F.length("t") > 0
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("t")),
+        lambda i: F.col("t").substr(i, F.lit(1)),
+    )
+    uniq = F.array_distinct(chars)
+    counts = F.transform(
+        uniq,
+        lambda u: F.size(F.filter(chars, lambda c: c == u)).cast("double"),
+    )
+    n = F.length("t").cast("double")
+    s = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    return base.select(
+        id_col,
+        F.length("t").cast("long").alias("n_chars"),
+        F.size(uniq).cast("int").alias("n_distinct"),
+        F.round(F.log(n) - s / n, 6).alias("entropy"),
+    )
+
+
+def truncation_pairs(
+    docs: DataFrame,
+    prefix_len: int = 64,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-containment dedup: find (short, long) document pairs where
+    the short doc's full normalized text is a strict PREFIX of the long
+    doc's — the truncated-scrape / pagination-cutoff duplicate family
+    that whole-doc hashes miss (different lengths → different hashes)
+    and similarity sketches dilute when the long doc keeps going.
+
+    Scale shape: candidates come from an equi-join on the md5 of the
+    first ``prefix_len`` normalized chars — any true pair (short side
+    >= prefix_len chars) shares that key by definition, so only (id,
+    16-byte key, length) rows shuffle. A frequency cap drops keys shared
+    by > ``max_bucket`` docs before the self-join (a hot shared opening
+    is template boilerplate — template_cap/line_dedup territory — and
+    would pair quadratically). Verification is one substring equality
+    per candidate; strict ``len_short < len_long`` excludes exact dups
+    (exact_dedup's job). No cartesian, no window.
+
+    Output: (id_short, id_long, short_len, long_len)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), normalized_text(text_col).alias("t")
+    ).filter(F.length("t") >= prefix_len)
+    keyed = base.select(
+        "id",
+        "t",
+        F.length("t").cast("long").alias("len"),
+        F.md5(F.substring("t", 1, prefix_len)).alias("pk"),
+    )
+    ok = (
+        keyed.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("pk")
+    )
+    keyed = keyed.join(ok, "pk")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "pk")
+        .filter(F.col("a.len") < F.col("b.len"))
+        .filter(
+            F.col("b.t").substr(F.lit(1), F.col("a.len")) == F.col("a.t")
+        )
+        .select(
+            F.col("a.id").alias("id_short"),
+            F.col("b.id").alias("id_long"),
+            F.col("a.len").alias("short_len"),
+            F.col("b.len").alias("long_len"),
+        )
+    )
+
+
 # PII patterns shared with the oracle SQL: conservative, RE2-compatible
 # (DuckDB) AND java.util.regex-compatible (Spark) — no lookarounds, no
 # \b ambiguity across engines beyond word chars.

@@ -1,0 +1,192 @@
+"""Golden / differential tests for the round-4 extension operators:
+encoding-quality gate, character entropy, prefix-containment
+(truncation) dedup, hard-negative mining, leakage-safe group split."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import random
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_crawler_spark.operators.simsearch import hard_negative_topk
+from smart_crawler_spark.operators.textops import (
+    char_entropy,
+    encoding_quality,
+    truncation_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+# ------------------------------------------------------------- encoding
+
+
+def test_encoding_quality_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text here"),
+            (2, "bad Ã© mojibake Ã© x"),          # 2 markers in 20 chars
+            (3, "ctrl\x07char"),                   # BEL is a control char
+            (4, "repl � char"),               # U+FFFD
+            (5, "one Ã© marker " + "x" * 200),     # 1 marker, long: keep
+            (6, "tab\tand\nnewline are fine"),     # \t \n NOT control
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in encoding_quality(docs).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_chars": 15, "n_replacement": 0, "n_ctrl": 0,
+        "n_mojibake": 0, "keep": True,
+    }
+    assert got[2]["n_mojibake"] == 2 and got[2]["keep"] is False
+    assert got[3]["n_ctrl"] == 1 and got[3]["keep"] is False
+    assert got[4]["n_replacement"] == 1 and got[4]["keep"] is False
+    assert got[5]["n_mojibake"] == 1 and got[5]["keep"] is True
+    assert got[6]["n_ctrl"] == 0 and got[6]["keep"] is True
+
+
+# -------------------------------------------------------------- entropy
+
+
+def _py_entropy(text: str):
+    t = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+    if not t:
+        return None
+    counts = Counter(t)
+    n = len(t)
+    ent = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+    return len(t), len(counts), round(ent, 6)
+
+
+def test_char_entropy_matches_python(spark):
+    rng = random.Random(42)
+    rows = [
+        (1, "aaaaaaaaaa"),                     # zero entropy
+        (2, "abcdefghij"),                     # uniform: ln(10)
+        (3, "Hello, World! Hello again."),
+        (4, "!!!???"),                         # empty after normalization
+        (5, "".join(rng.choice("abc def 123") for _ in range(300))),
+        (6, "the quick brown fox jumps over the lazy dog " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(docs).collect()}
+    assert 4 not in got  # dropped: nothing left after normalization
+    for doc_id, text in rows:
+        exp = _py_entropy(text)
+        if exp is None:
+            continue
+        n, d, ent = exp
+        assert got[doc_id]["n_chars"] == n
+        assert got[doc_id]["n_distinct"] == d
+        assert abs(got[doc_id]["entropy"] - ent) <= 1e-6, (doc_id, text)
+    assert got[1]["entropy"] == 0.0
+    assert abs(got[2]["entropy"] - round(math.log(10), 6)) <= 1e-6
+
+
+# ----------------------------------------------------------- truncation
+
+
+def test_truncation_pairs_golden_and_plan(spark):
+    base = " ".join(f"w{i}" for i in range(60))  # ~290 chars, one space
+    a = base[:200]
+    docs = spark.createDataFrame(
+        [
+            (1, a),                                   # the long doc
+            (2, a[:100]),                             # truncated twin
+            (3, a),                                   # exact dup: NO pair
+            (4, a[:40]),                              # below prefix_len
+            (5, "z" + a[1:120]),                      # different prefix
+            (6, a[:100].upper().replace(" ", "  ")),  # normalizes to a[:100]
+        ],
+        "doc_id long, text string",
+    )
+    out = truncation_pairs(docs, prefix_len=64)
+    pairs = {(r["id_short"], r["id_long"]) for r in out.collect()}
+    # 2 and 6 both normalize to a[:100]: each is a strict prefix of the
+    # two full copies (1, 3) but not of each other (equal length)
+    assert pairs == {(2, 1), (2, 3), (6, 1), (6, 3)}
+    row = {
+        (r["id_short"], r["id_long"]): r.asDict() for r in out.collect()
+    }[(2, 1)]
+    assert row["short_len"] == 100 and row["long_len"] == 200
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_truncation_pairs_hot_bucket_cap(spark):
+    """> max_bucket docs sharing a prefix key are template boilerplate:
+    the cap must drop the whole bucket, not pair it quadratically."""
+    shared = "the same boilerplate opening sentence repeated everywhere ok"
+    rows = [(i, shared + f" tail {i}") for i in range(10)]
+    rows.append((100, shared))  # a strict prefix of every other row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert truncation_pairs(docs, prefix_len=60, max_bucket=5).count() == 0
+    got = truncation_pairs(docs, prefix_len=60, max_bucket=50)
+    assert {(r["id_short"], r["id_long"]) for r in got.collect()} == {
+        (100, i) for i in range(10)
+    }
+
+
+# -------------------------------------------------------- hard negatives
+
+
+def test_hard_negative_topk_excludes_dups(spark):
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return round(d / (nu * nv), 6)
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    vecs = {
+        0: q,
+        1: [0.99, 0.05, 0.0, 0.0],   # near-dup: cos ~0.999 -> excluded
+        2: [0.8, 0.6, 0.0, 0.0],     # cos 0.8 -> hardest negative
+        3: [0.5, 0.866, 0.0, 0.0],   # cos 0.5
+        4: [0.0, 0.0, 1.0, 0.0],     # cos 0.0
+    }
+    assert cos(q, vecs[1]) > 0.95
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = hard_negative_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=2, dup_threshold=0.95
+    ).collect()
+    assert [(r["negative_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+    assert all(r["cos_sim"] < 0.95 for r in out)
+    assert out[0]["cos_sim"] == cos(q, vecs[2])
+
+
+# ----------------------------------------------------------- group split
+
+
+@needs_testdata
+def test_group_split_no_leakage(spark):
+    """The leakage invariant: every near-dup component lands entirely in
+    ONE split, and the split is the md5 draw on the component label."""
+    import __spark_entry__ as entry
+
+    out = entry.group_split(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "split produced no rows"
+    by_comp: dict[int, set] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values()), "component straddles"
+    for comp, splits in by_comp.items():
+        b = int(hashlib.md5(str(comp).encode()).hexdigest()[:8], 16) % 10
+        exp = "train" if b < 8 else ("val" if b == 8 else "test")
+        assert splits == {exp}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
