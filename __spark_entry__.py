@@ -3425,6 +3425,58 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop redirect resolution (operators/graphops.py
+    resolve_redirect_chains): pointer jumping collapses chains in
+    O(log L) co-partitioned self-joins instead of an L-round walk — the
+    canonicalize-before-seen-probe step a 10^10-URL frontier needs when
+    hops are separate fetch records. The synthetic map chains
+    consecutive event urls (broken every 13th, so chains run 1..13
+    hops) and plants a 3-cycle plus a lead-in tail; cycles resolve to
+    (NULL, -1, is_cycle=true) — detection-order-free, so the oracle's
+    bounded recursive walk states the identical rows."""
+    from smart_crawler_spark.operators.graphops import (
+        resolve_redirect_chains,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id")
+        .distinct()
+    )
+    u = lambda c: F.concat(F.lit("http://site.test/p"), c.cast("string"))  # noqa: E731
+    chain = ids.filter(F.col("event_id") % 13 != 12).select(
+        u(F.col("event_id")).alias("src"),
+        u(F.col("event_id") + 1).alias("dst"),
+    )
+    planted = spark.createDataFrame(
+        [(90000, 90001), (90001, 90002), (90002, 90003), (90003, 90001)],
+        "x long, y long",
+    ).select(u(F.col("x")).alias("src"), u(F.col("y")).alias("dst"))
+    return resolve_redirect_chains(
+        chain.unionByName(planted), max_chain=64
+    ).orderBy("url")
+
+
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition at k=3 (operators/graphops.py kcore) over
+    the bidirectional customer⇄supplier trade graph — the density
+    filter that separates hub participants from leaf nodes whose every
+    edge dies with its neighbors. 8 FIXED peel rounds (fixpoint rounds
+    are no-ops), bit-identical to the oracle's 8 statically unrolled
+    peel CTEs; each round is one degree agg + two semi-joins on the
+    shrinking edge set."""
+    from smart_crawler_spark.operators.graphops import kcore
+
+    pairs = _cust_supp_pairs(spark, sf_dir)
+    return kcore(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")),
+        k=3,
+        rounds=8,
+    ).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3571,6 +3623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_pairs": truncation_pairs_q,
         "group_split": group_split,
         "hard_negatives": hard_negatives,
+        "redirect_chains": redirect_chains,
+        "kcore": kcore_trade_graph,
     }
 
 
@@ -6047,6 +6101,68 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM comp ORDER BY doc_id
     """
+    out["redirect_chains"] = """
+        WITH RECURSIVE ids AS (
+            SELECT DISTINCT event_id AS i FROM events WHERE event_id < 3000
+        ),
+        e AS (
+            SELECT 'http://site.test/p' || i AS src,
+                   'http://site.test/p' || (i + 1) AS dst
+            FROM ids WHERE i % 13 <> 12
+            UNION ALL
+            SELECT 'http://site.test/p' || x, 'http://site.test/p' || y
+            FROM (VALUES (90000, 90001), (90001, 90002),
+                         (90002, 90003), (90003, 90001)) t(x, y)
+        ),
+        walk(orig, cur, hops) AS (
+            SELECT src, dst, 1 FROM e
+            UNION ALL
+            SELECT w.orig, e2.dst, w.hops + 1
+            FROM walk w JOIN e e2 ON e2.src = w.cur
+            WHERE w.hops < 64
+        ),
+        term AS (
+            SELECT orig, cur AS final_url, hops FROM walk
+            WHERE cur NOT IN (SELECT src FROM e)
+        )
+        SELECT e.src AS url, t.final_url AS final_url,
+               CAST(coalesce(t.hops, -1) AS BIGINT) AS hops,
+               t.final_url IS NULL AS is_cycle
+        FROM e LEFT JOIN term t ON t.orig = e.src
+        ORDER BY url
+    """
+    # k-core: 8 statically unrolled peel rounds, same order of
+    # operations as operators/graphops.py kcore (degree -> HAVING >= k
+    # -> both-endpoint semi-filter)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one three times, so 8 rounds would
+    # expand to ~3^8 copies of the base scan (observed as an fd-limit
+    # blowup); materializing keeps the chain linear.
+    _kc = [
+        """
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+               UNION SELECT s, c FROM pairs)
+        """
+    ]
+    for _r in range(8):
+        _kc.append(f"""
+        a{_r + 1} AS MATERIALIZED (SELECT src FROM e{_r}
+                      GROUP BY src HAVING count(*) >= 3),
+        e{_r + 1} AS MATERIALIZED (SELECT src, dst FROM e{_r}
+                      WHERE src IN (SELECT src FROM a{_r + 1})
+                        AND dst IN (SELECT src FROM a{_r + 1}))
+        """)
+    out["kcore"] = (
+        "WITH " + ",".join(_kc)
+        + """
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e8 GROUP BY src ORDER BY node
+    """
+    )
     out["hard_negatives"] = f"""
         WITH flat AS ({cos_flat}),
         pl AS (

@@ -457,3 +457,123 @@ def host_graph(
         F.sum("_n").cast("long").alias("n_links"),
         F.count(F.lit(1)).cast("long").alias("n_src_pages"),
     ).withColumn("internal", F.col("src_host") == F.col("dst_host"))
+
+
+def resolve_redirect_chains(
+    redirects: DataFrame,
+    max_chain: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-hop redirect resolution by path doubling: collapse a
+    redirect map (u -> v, at most ONE outgoing edge per u — HTTP
+    redirects are functional) to each URL's FINAL destination, hop
+    count, and a cycle flag. The crawl-side use: a 10^10-URL frontier
+    must canonicalize u to final(u) before the seen-filter probe, or
+    every hop of a chain is fetched and deduped separately; WARC
+    revisit resolution and E8 redirect adoption handle single hops,
+    this collapses arbitrary chains.
+
+    Pointer jumping (path doubling): the pointer table P maps u to the
+    node 2^k hops away (saturating at terminals, accumulating the true
+    hop distance), so R = ceil(log2(max_chain)) self-joins resolve
+    every chain up to max_chain hops — O(log L) co-partitioned shuffles
+    of (url, ptr, dist) rows, never a per-hop walk (10^10 URLs with
+    30-hop chains = 5 rounds, not 30). A walk still pointing at a
+    non-terminal node after R rounds cannot terminate within max_chain
+    hops: with max_chain >= |redirects|+1 that proves a cycle (a
+    terminating walk visits distinct srcs), reported as
+    (final_url=NULL, hops=-1, is_cycle=true) — detection-order-free, so
+    the SQL oracle's bounded recursive walk states the identical result.
+
+    Output: (url, final_url, hops, is_cycle) — one row per redirecting
+    URL (terminals have no row; they redirect nothing).
+    """
+    import math
+
+    e = redirects.select(
+        F.col(src).alias("u"), F.col(dst).alias("p")
+    ).distinct()
+    terminals = e.select(F.col("p").alias("u")).subtract(
+        e.select("u")
+    )  # targets that never redirect
+    p = e.select("u", "p", F.lit(1).cast("long").alias("d"))
+    rounds = max(1, math.ceil(math.log2(max_chain)))
+    for r in range(rounds):
+        q = p.select(
+            F.col("u").alias("qu"),
+            F.col("p").alias("qp"),
+            F.col("d").alias("qd"),
+        )
+        p = (
+            p.join(q, p["p"] == q["qu"], "left")
+            .select(
+                "u",
+                F.coalesce("qp", "p").alias("p"),
+                (F.col("d") + F.coalesce("qd", F.lit(0))).alias("d"),
+            )
+        )
+        if (r + 1) % 3 == 0:
+            p = p.localCheckpoint(eager=True)
+    term = terminals.select(F.col("u").alias("tu"), F.lit(True).alias("_t"))
+    return p.join(term, p["p"] == term["tu"], "left").select(
+        F.col("u").alias("url"),
+        F.when(F.col("_t"), F.col("p")).alias("final_url"),
+        F.when(F.col("_t"), F.col("d")).otherwise(F.lit(-1)).cast("long").alias("hops"),
+        F.coalesce(~F.col("_t"), F.lit(True)).alias("is_cycle"),
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """k-core decomposition (fixed k): iteratively peel nodes of degree
+    < k from the undirected graph until (at most ``rounds`` rounds) a
+    fixpoint — the standard density filter for link-spam farms and
+    seed-set selection (a crawl scheduler trusts hosts in a dense core
+    over leaf hosts whose every link is reciprocated nowhere).
+
+    Runs a FIXED number of peel rounds rather than until-convergence:
+    at a fixpoint further rounds are no-ops, so with ``rounds`` >= the
+    graph's peel depth the result IS the k-core, and the fixed count
+    makes the computation bit-identical to the statically unrolled SQL
+    oracle (no convergence-detection divergence). Each round is one
+    degree aggregation + two semi-joins against the shrinking edge set
+    — co-partitioned on the node key, lineage truncated every
+    ``checkpoint_interval`` rounds. Peel depth at web scale is small
+    (degeneracy ordering peels in O(core number) rounds for the k-core
+    question asked here); callers needing proof of convergence compare
+    rounds and rounds+1.
+
+    Output: (node, degree) for k-core members with their within-core
+    degree."""
+    e = _edges(edges, src, dst)
+    und = (
+        e.unionAll(
+            e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for r in range(rounds):
+        alive = (
+            und.groupBy("_src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_src")
+        )
+        und = und.join(alive, "_src").join(
+            alive.select(F.col("_src").alias("_dst")), "_dst"
+        ).select("_src", "_dst")
+        if (r + 1) % checkpoint_interval == 0:
+            und = und.localCheckpoint(eager=True)
+    return (
+        und.groupBy("_src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("_src").alias("node"), "degree")
+    )

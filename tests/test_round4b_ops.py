@@ -190,3 +190,130 @@ def test_group_split_no_leakage(spark):
         exp = "train" if b < 8 else ("val" if b == 8 else "test")
         assert splits == {exp}
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+# ------------------------------------------------------- redirect chains
+
+
+def _py_resolve(edges: dict):
+    out = {}
+    for u in edges:
+        cur, hops, seen = u, 0, set()
+        cyc = False
+        while cur in edges:
+            if cur in seen:
+                cyc = True
+                break
+            seen.add(cur)
+            cur = edges[cur]
+            hops += 1
+        out[u] = (None, -1, True) if cyc else (cur, hops, False)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_redirect_chains_random_functional_graphs(spark, seed):
+    """Path doubling == the single-step walk on random redirect maps
+    with organic chains, merges, and cycles."""
+    from smart_crawler_spark.operators.graphops import (
+        resolve_redirect_chains,
+    )
+
+    rng = random.Random(seed)
+    n = 60
+    edges = {
+        u: rng.randrange(n) for u in range(n) if rng.random() < 0.7
+    }
+    edges = {u: v for u, v in edges.items() if u != v}
+    exp = _py_resolve(edges)
+    df = spark.createDataFrame(
+        [(f"u{a}", f"u{b}") for a, b in edges.items()],
+        "src string, dst string",
+    )
+    out = resolve_redirect_chains(df, max_chain=n + 1)
+    got = {
+        r["url"]: (r["final_url"], r["hops"], r["is_cycle"])
+        for r in out.collect()
+    }
+    assert got == {
+        f"u{u}": (None if f is None else f"u{f}", h, c)
+        for u, (f, h, c) in exp.items()
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_redirect_chain_long_vs_rounds(spark):
+    """A 40-hop chain resolves with hops == exact length (saturating
+    distance accumulation), and a pure k-cycle yields all-cycle rows."""
+    from smart_crawler_spark.operators.graphops import (
+        resolve_redirect_chains,
+    )
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(40)]
+    cyc = [("x0", "x1"), ("x1", "x2"), ("x2", "x0")]
+    df = spark.createDataFrame(chain + cyc, "src string, dst string")
+    got = {
+        r["url"]: r.asDict()
+        for r in resolve_redirect_chains(df, max_chain=64).collect()
+    }
+    assert got["c0"] == {
+        "url": "c0", "final_url": "c40", "hops": 40, "is_cycle": False,
+    }
+    assert got["c39"]["hops"] == 1
+    for x in ("x0", "x1", "x2"):
+        assert got[x]["is_cycle"] and got[x]["final_url"] is None
+        assert got[x]["hops"] == -1
+
+
+# --------------------------------------------------------------- k-core
+
+
+def _py_kcore(pairs, k, rounds):
+    und = set()
+    for s, d in pairs:
+        und.add((s, d))
+        und.add((d, s))
+    for _ in range(rounds):
+        deg = Counter(s for s, _ in und)
+        alive = {u for u, c in deg.items() if c >= k}
+        und = {(s, d) for s, d in und if s in alive and d in alive}
+    return dict(Counter(s for s, _ in und))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_kcore_random_graphs(spark, seed):
+    from smart_crawler_spark.operators.graphops import kcore
+
+    rng = random.Random(100 + seed)
+    n = 40
+    pairs = {
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    }
+    pairs = {(a, b) for a, b in pairs if a != b}
+    exp = _py_kcore(pairs, k=3, rounds=8)
+    # 8 rounds is a fixpoint at this size: one more round is a no-op
+    assert exp == _py_kcore(pairs, k=3, rounds=9)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in sorted(pairs)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(df, k=3, rounds=8).collect()
+    }
+    assert got == exp
+
+
+def test_kcore_clique_plus_tail(spark):
+    """A 5-clique survives k=3 peeling intact (degree 4 each); a path
+    hanging off it peels away completely."""
+    from smart_crawler_spark.operators.graphops import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(df, k=3, rounds=6).collect()
+    }
+    assert got == {i: 4 for i in range(5)}
