@@ -3477,6 +3477,61 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank / personalized PageRank (operators/graphops.py
+    personalized_pagerank): teleport restricted to a trusted seed set
+    (customer nodes divisible by 97), 8 iterations over the
+    bidirectional trade graph (dangling term identically 0, so the
+    oracle's unrolled recurrence omits it, same as pagerank). Rank mass
+    measures proximity to trust — the spam-demoting frontier priority.
+    Output is rank x N (same convention as pagerank) rounded 6 dp."""
+    from smart_crawler_spark.operators.graphops import (
+        personalized_pagerank,
+    )
+
+    pairs = _cust_supp_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = (
+        pairs.select(F.col("c").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    pr = personalized_pagerank(
+        edges, seeds, iters=8, damping=0.85, checkpoint_interval=2
+    )
+    cnt = pr.agg(F.count("*").alias("_n"))
+    return (
+        pr.crossJoin(F.broadcast(cnt))
+        .select("node", F.round(F.col("pr") * F.col("_n"), 6).alias("tr_n"))
+        .orderBy("node")
+    )
+
+
+def html_tag_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural HTML triage stats (operators/textops.py
+    html_tag_stats): tag/link/script/img counts + text-to-markup ratio,
+    map-only regexp arithmetic. Documents are wrapped in a
+    deterministic shell whose link and image counts VARY with doc_id
+    (doc_id%3 anchors, doc_id%2 images) so the count columns are
+    non-constant; the oracle builds the identical shell with repeat()."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title><script src="a.js"></script>'
+            "</head><body><p>"
+        ),
+        F.col("text"),
+        F.lit("</p>"),
+        F.repeat(F.lit('<a href="/x">l</a>'), (F.col("doc_id") % 3).cast("int")),
+        F.repeat(F.lit('<img src="/i.png">'), (F.col("doc_id") % 2).cast("int")),
+        F.lit("</body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    return textops.html_tag_stats(wrapped).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3625,6 +3680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": hard_negatives,
         "redirect_chains": redirect_chains,
         "kcore": kcore_trade_graph,
+        "trustrank": trustrank,
+        "html_tag_stats": html_tag_stats_q,
     }
 
 
@@ -3787,6 +3844,63 @@ def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
     parts.append(
         f"""
         SELECT node, round(pr * (SELECT cnt FROM nn), 6) AS pr_n
+        FROM r{iters} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def _ppr_oracle_sql(
+    iters: int = 8, damping: float = 0.85, seed_mod: int = 97
+) -> str:
+    """Personalized PageRank unrolled as chained CTEs. The teleport
+    vector tv (1/|S| on seeds, 0 elsewhere) rides a materialized node
+    table; the graph is bidirectional so the dangling term is
+    identically zero and omitted, exactly as in _pagerank_oracle_sql."""
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    parts = [
+        f"""
+        WITH {_TRADE_GRAPH_SQL},
+        e AS MATERIALIZED (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL SELECT s AS src, c AS dst FROM pairs
+        ),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+        seeds AS (
+            SELECT DISTINCT c AS node FROM pairs WHERE c % {seed_mod} = 0
+        ),
+        ns AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM seeds),
+        nt AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN 1.0::DOUBLE / (SELECT cnt FROM ns)
+                        ELSE 0.0::DOUBLE END AS tv
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        r0 AS (SELECT node, tv AS pr FROM nt)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{k} AS MATERIALIZED (
+            SELECT n.node,
+                   {t}::DOUBLE * n.tv
+                   + {d}::DOUBLE * coalesce(c.cc, 0.0::DOUBLE) AS pr
+            FROM nt n
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr / dg.deg) AS cc
+                FROM e
+                JOIN r{k - 1} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) c ON c.node = n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(pr * (SELECT cnt FROM nn), 6) AS tr_n
         FROM r{iters} ORDER BY node"""
     )
     return "".join(parts)
@@ -6100,6 +6214,32 @@ def oracle_sql() -> dict[str, str]:
                           1, 8))::BIGINT % 10 = 8 THEN 'val'
                     ELSE 'test' END AS split
         FROM comp ORDER BY doc_id
+    """
+    out["trustrank"] = _ppr_oracle_sql(iters=8, damping=0.85, seed_mod=97)
+    out["html_tag_stats"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   '<html><head><title>d</title><script src="a.js">'
+                   || '</script></head><body><p>' || text || '</p>'
+                   || repeat('<a href="/x">l</a>',
+                             CAST(doc_id % 3 AS INT))
+                   || repeat('<img src="/i.png">',
+                             CAST(doc_id % 2 AS INT))
+                   || '</body></html>' AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(h, '<[^>]+>')) AS INT) AS n_tags,
+               CAST(len(regexp_extract_all(h, '<a[ >]')) AS INT) AS n_links,
+               CAST(len(regexp_extract_all(h, '<script[ >]')) AS INT)
+                   AS n_scripts,
+               CAST(len(regexp_extract_all(h, '<img[ >]')) AS INT) AS n_imgs,
+               CAST(length(h) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(h, '<[^>]+>', '', 'g')) AS BIGINT)
+                   AS text_chars,
+               round(length(regexp_replace(h, '<[^>]+>', '', 'g'))
+                     / length(h), 6) AS text_ratio
+        FROM w ORDER BY doc_id
     """
     out["redirect_chains"] = """
         WITH RECURSIVE ids AS (

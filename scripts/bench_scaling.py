@@ -20,6 +20,9 @@ bias. Jobs (the crawl hot path, sized so executor work dominates):
   imgingest  — incremental image-ingest dedup: a batch probes the
                stored joint (caption x phash-block) index (index build
                untimed — once per corpus snapshot)
+  graph      — pointer-jumping redirect resolution: 4 self-join rounds
+               over an 8M-edge chain map (URL-string keys, untimed
+               edge generation)
 
 Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
                                        [--jobs dedup,topk,links,crawl]
@@ -383,6 +386,27 @@ if "crawl_skew" in jobs:
                                 if k in ("round", "batch", "sec", "sec_fetch",
                                          "sec_sinks", "sec_state")}}
                               for m in res.metrics]}}
+
+# --- graph: pointer-jumping redirect resolution over a synthetic
+# redirect map (chains up to 12 hops, broken every 13th id) — 4 rounds
+# of co-partitioned self-joins on string URL keys, the O(log L)
+# frontier-canonicalization kernel -----------------------------------
+if "graph" in jobs:
+    from smart_crawler_spark.operators.graphops import resolve_redirect_chains
+    n_e = int(8_000_000 * scale)
+    url = lambda c: F.concat(F.lit("http://h"), (c % 1000).cast("string"),
+                             F.lit(".test/p"), c.cast("string"))
+    edges = (spark.range(n_e).filter(F.col("id") % 13 != 12)
+             .select(url(F.col("id")).alias("src"),
+                     url(F.col("id") + 1).alias("dst"))
+             .localCheckpoint())
+    n_edges = edges.count()
+    def run_graph():
+        return resolve_redirect_chains(edges, max_chain=16)
+    n, dt = timed(run_graph)
+    assert n == n_edges, (n, n_edges)
+    out["graph"] = {{"rows": n, "sec": round(dt, 3),
+                     "rows_per_sec": round(n / dt)}}
 
 print("RESULT " + json.dumps(out))
 spark.stop()

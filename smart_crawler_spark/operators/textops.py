@@ -1085,6 +1085,40 @@ def extract_main_text(
     return docs.select(F.col(id_col), t.alias("clean_text"))
 
 
+def html_tag_stats(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structural HTML statistics for crawl-corpus triage — the cheap
+    signals that route a page BEFORE any parse: tag count, link/script/
+    image counts, and the text-to-markup ratio (the classic boilerplate
+    discriminator: nav/chrome pages are mostly markup, article pages
+    mostly text). Pure Catalyst regexp_count/regexp_replace — map-only,
+    zero Python, zero shuffles; at 100 TB it rides the scan like
+    extract_main_text (which is the NEXT stage for pages this triage
+    keeps). Tag patterns are lowercase-literal ('<a[ >]'): the corpus
+    builder lowercases markup; add (?i) at the call site for wild HTML.
+
+    Output: (id, n_tags, n_links, n_scripts, n_imgs, n_chars,
+    text_chars, text_ratio)."""
+    h = F.col(html_col)
+    n_chars = F.length(h)
+    text_chars = F.length(F.regexp_replace(h, r"<[^>]+>", ""))
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(h, F.lit(r"<[^>]+>")).cast("int").alias("n_tags"),
+        F.regexp_count(h, F.lit("<a[ >]")).cast("int").alias("n_links"),
+        F.regexp_count(h, F.lit("<script[ >]")).cast("int").alias(
+            "n_scripts"
+        ),
+        F.regexp_count(h, F.lit("<img[ >]")).cast("int").alias("n_imgs"),
+        n_chars.cast("long").alias("n_chars"),
+        text_chars.cast("long").alias("text_chars"),
+        F.when(n_chars > 0, F.round(text_chars / n_chars, 6))
+        .otherwise(F.lit(0.0))
+        .alias("text_ratio"),
+    )
+
+
 def vocab_encode(
     docs: DataFrame,
     vocab_size: int = 1000,

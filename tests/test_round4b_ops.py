@@ -317,3 +317,105 @@ def test_kcore_clique_plus_tail(spark):
         for r in kcore(df, k=3, rounds=6).collect()
     }
     assert got == {i: 4 for i in range(5)}
+
+
+# --------------------------------------------------------- trustrank
+
+
+def _py_ppr(edges, seeds, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    out = {u: [] for u in nodes}
+    for s, t in edges:
+        out[s].append(t)
+    tv = {u: (1.0 / len(seeds) if u in seeds else 0.0) for u in nodes}
+    pr = dict(tv)
+    for _ in range(iters):
+        nxt = {u: 0.0 for u in nodes}
+        dangling = sum(pr[u] for u in nodes if not out[u])
+        for u in nodes:
+            for v in out[u]:
+                nxt[v] += pr[u] / len(out[u])
+        pr = {
+            u: (1 - d) * tv[u] + d * (nxt[u] + dangling * tv[u])
+            for u in nodes
+        }
+    return pr
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_personalized_pagerank_random(spark, seed):
+    """Operator == the textbook PPR recurrence on random directed
+    graphs WITH dangling nodes (mass teleports to the seed set), seeds
+    a random subset. Mass conservation: sum(pr) == 1."""
+    from smart_crawler_spark.operators.graphops import (
+        personalized_pagerank,
+    )
+
+    rng = random.Random(7 + seed)
+    n = 25
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(60)}
+    edges = sorted((a, b) for a, b in edges if a != b)
+    # make node 0 dangling: drop its out-edges
+    edges = [(a, b) for a, b in edges if a != 0]
+    seeds = sorted(rng.sample(range(n), 4))
+    exp = _py_ppr(edges, set(seeds), iters=6)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(df, sdf, iters=6).collect()
+    }
+    assert set(got) == set(exp)
+    for u in exp:
+        assert abs(got[u] - exp[u]) < 1e-9, u
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """On a graph of two disconnected cliques, all mass stays in the
+    seeded clique — the spam-demotion property uniform PageRank lacks."""
+    from smart_crawler_spark.operators.graphops import (
+        personalized_pagerank,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    df = spark.createDataFrame(c1 + c2, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(df, sdf, iters=8).collect()
+    }
+    assert sum(v for u, v in got.items() if u >= 10) == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------ html tag stats
+
+
+def test_html_tag_stats_golden(spark):
+    from smart_crawler_spark.operators.textops import html_tag_stats
+
+    html = (
+        '<html><body><a href="/x">one</a><a href="/y">two</a>'
+        '<script src="s.js"></script><img src="i.png"><p>hello</p>'
+        "</body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, html), (2, "no markup at all"), (3, "")],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in html_tag_stats(docs).collect()}
+    # tags: html body a /a a /a script /script img p /p /body /html = 13
+    assert got[1]["n_tags"] == 13
+    assert got[1]["n_links"] == 2
+    assert got[1]["n_scripts"] == 1
+    assert got[1]["n_imgs"] == 1
+    assert got[1]["text_chars"] == len("onetwohello")
+    assert got[1]["n_chars"] == len(html)
+    assert got[1]["text_ratio"] == round(len("onetwohello") / len(html), 6)
+    assert got[2] == {
+        "doc_id": 2, "n_tags": 0, "n_links": 0, "n_scripts": 0,
+        "n_imgs": 0, "n_chars": 16, "text_chars": 16, "text_ratio": 1.0,
+    }
+    assert got[3]["text_ratio"] == 0.0  # empty doc: guarded division
