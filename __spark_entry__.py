@@ -3532,6 +3532,48 @@ def html_tag_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.html_tag_stats(wrapped).orderBy("doc_id")
 
 
+def truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-ablation audit (operators/simsearch.py
+    truncated_recall_audit): exact top-5 under the full 64-dim vectors
+    vs the 16-dim prefix, per-query overlap + recall@5 — the
+    index-sizing probe that pairs with quantize_embeddings (precision
+    axis) on the storage-cost ladder. Both rankings share cosine_topk's
+    rounded tie-break, so the oracle replays both sets exactly (the
+    truncated ranking is the same dots CTE filtered to i <= 16)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return simsearch.truncated_recall_audit(
+        queries_df, emb, dims=16, k=5
+    ).orderBy("query_id")
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width corpus profile (operators/relational.py
+    numeric_histogram): the document word-count distribution in
+    20-word bins — one map-side bin assignment + a bin-bounded
+    aggregation; the ANALYZE-style stats pass a 100 TB curation run
+    starts with."""
+    from smart_crawler_spark.operators.relational import numeric_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    nw = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    )
+    return numeric_histogram(
+        docs.select(nw.alias("n_words")), "n_words", bin_width=20.0
+    ).orderBy("bin_id")
+
+
+def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card row (operators/textops.py corpus_summary): doc
+    count, total words, mean quality, per-language counts in one fused
+    scan + one global agg. Per-document quality rounds to 6 dp BEFORE
+    the average (both engines), so the card is hash-stable despite
+    aggregation-order ulps."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.corpus_summary(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3682,6 +3724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": kcore_trade_graph,
         "trustrank": trustrank,
         "html_tag_stats": html_tag_stats_q,
+        "truncated_recall": truncated_recall,
+        "length_histogram": length_histogram,
+        "corpus_summary": corpus_summary_q,
     }
 
 
@@ -6216,6 +6261,124 @@ def oracle_sql() -> dict[str, str]:
         FROM comp ORDER BY doc_id
     """
     out["trustrank"] = _ppr_oracle_sql(iters=8, damping=0.85, seed_mod=97)
+    out["truncated_recall"] = f"""
+        WITH flat AS ({cos_flat}),
+        fdots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   sum(q.v * c.v)
+                     / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+            FROM flat q JOIN flat c ON q.i = c.i
+            WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+            GROUP BY 1, 2
+        ),
+        franked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id ASC
+                   ) AS rk
+            FROM fdots
+        ),
+        tdots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   sum(q.v * c.v)
+                     / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+            FROM flat q JOIN flat c ON q.i = c.i
+            WHERE q.i <= 16 AND c.i <= 16
+              AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+            GROUP BY 1, 2
+        ),
+        tranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id ASC
+                   ) AS rk
+            FROM tdots
+        ),
+        ov AS (
+            SELECT f.query_id, CAST(count(*) AS INT) AS n_overlap
+            FROM (SELECT query_id, neighbor_id FROM franked WHERE rk <= 5) f
+            JOIN (SELECT query_id, neighbor_id FROM tranked WHERE rk <= 5) t
+              ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        )
+        SELECT q.query_id,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(coalesce(ov.n_overlap, 0) / 5, 6) AS recall
+        FROM (SELECT DISTINCT query_id FROM franked) q
+        LEFT JOIN ov ON ov.query_id = q.query_id
+        ORDER BY q.query_id
+    """
+    out["length_histogram"] = r"""
+        WITH w AS (
+            SELECT CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) AS DOUBLE) AS nw
+            FROM documents
+        ),
+        b AS (
+            SELECT CAST(floor((nw - 0.0) / 20.0) AS BIGINT) AS bin_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM w GROUP BY 1
+        )
+        SELECT bin_id, 0.0 + bin_id * 20.0 AS lo,
+               0.0 + (bin_id + 1) * 20.0 AS hi, n_rows
+        FROM b ORDER BY bin_id
+    """
+    out["corpus_summary"] = f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS DOUBLE) AS n_punct,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                        AS DOUBLE) AS n_upper,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '')) AS DOUBLE) AS n_words,
+                   {wordset} AS w
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(n_words AS BIGINT) AS nw,
+                   round(least(n_words / 100.0, 1.0) * 0.4
+                         + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                                 ELSE 0 END) * 0.3
+                         + (1 - least((CASE WHEN n_chars > 0
+                                            THEN n_punct / n_chars
+                                            ELSE 0 END) * 5, 1.0)) * 0.2
+                         + (1 - CASE WHEN n_alpha > 0 THEN n_upper / n_alpha
+                                     ELSE 0 END) * 0.1, 6) AS q,
+                   len(list_intersect(w, ['the','and','of','to','in','is','that','with'])) AS score_en,
+                   len(list_intersect(w, ['der','die','und','das','nicht','ist','ein','mit'])) AS score_de,
+                   len(list_intersect(w, ['le','la','et','les','des','est','une','dans'])) AS score_fr
+            FROM m
+        ),
+        lng AS (
+            SELECT nw, q,
+                   CASE WHEN greatest(score_en, score_de, score_fr) <= 0
+                            THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de, score_fr)
+                            THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr)
+                            THEN 'de'
+                        ELSE 'fr' END AS lang
+            FROM s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS total_words,
+               round(avg(q), 6) AS avg_quality,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_de,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fr,
+               CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_und
+        FROM lng
+    """
     out["html_tag_stats"] = """
         WITH w AS (
             SELECT doc_id,

@@ -607,3 +607,33 @@ def temperature_mix(
         .filter(u < F.col("_p"))
         .drop("_p")
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bin_width: float,
+    min_val: float = 0.0,
+) -> DataFrame:
+    """Equi-width histogram over a numeric column — the ANALYZE-style
+    corpus-profiling primitive (document-length, image-size, token-
+    count distributions at 100 TB): one map-side bin assignment + one
+    partial-aggregated groupBy whose output is bin-count-bounded, never
+    corpus-bounded. Bins are half-open [lo, hi); only occupied bins are
+    emitted (a sparse distribution stays sparse).
+
+    Output: (bin_id, lo, hi, n_rows) — lo/hi from exact bin arithmetic
+    so the SQL oracle reproduces them bit-for-bit."""
+    c = F.col(col).cast("double")
+    b = F.floor((c - min_val) / bin_width).cast("long")
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(b.alias("bin_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "bin_id",
+            (F.lit(min_val) + F.col("bin_id") * bin_width).alias("lo"),
+            (F.lit(min_val) + (F.col("bin_id") + 1) * bin_width).alias("hi"),
+            "n_rows",
+        )
+    )

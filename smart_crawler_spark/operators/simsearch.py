@@ -1019,6 +1019,57 @@ def hard_negative_topk(
     )
 
 
+def truncated_recall_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-truncation recall audit (the Matryoshka/MRL question:
+    how much ANN quality survives keeping only the first ``dims`` of
+    the embedding?): exact top-k under the FULL vectors vs exact top-k
+    under the ``dims``-prefix vectors, reporting per-query overlap and
+    recall@k. The capacity-planning probe you run BEFORE committing a
+    100 TB corpus to a truncated index — truncation cuts index bytes
+    and ADC work linearly, and this measures what it costs in recall
+    (composes with quantize_embeddings, which audits the precision
+    axis the same way).
+
+    Both rankings use the same rounded-cosine + id tie-break as
+    cosine_topk, so the two sets are deterministic and the SQL oracle
+    replays them exactly. Scale shape: two broadcast-query corpus
+    scans + one tiny per-query join; the prefix slice is a map-side
+    array op, never a reshuffle.
+
+    Output: (query_id, n_overlap, recall) — recall rounded 6 dp."""
+    full = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    tq = queries.select(
+        F.col(id_col), F.slice(vec_col, 1, dims).alias(vec_col)
+    )
+    tc = corpus.select(
+        F.col(id_col), F.slice(vec_col, 1, dims).alias(vec_col)
+    )
+    trunc = cosine_topk(tq, tc, k=k, id_col=id_col, vec_col=vec_col)
+    overlap = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / k, 6).alias("recall"),
+        )
+    )
+
+
 def paired_cosine_filter(
     pairs: DataFrame,
     left_col: str,

@@ -940,6 +940,63 @@ def quality_gate(
     return out.select("*", keep.alias("keep"))
 
 
+def corpus_summary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The dataset-card row: one-row corpus summary (doc count, total
+    words, mean quality, per-language doc counts) — the numbers every
+    training-data release publishes, computed in ONE fused map pass +
+    one global aggregation (signals share the projection exactly like
+    quality_gate; at 100 TB the whole card costs a single scan). The
+    language/quality expressions are the same definitions as
+    language_id/quality_score, so the card is consistent with the
+    per-document filters downstream.
+
+    Output: (n_docs, total_words, avg_quality, n_en, n_de, n_fr,
+    n_und) — avg_quality rounded 6 dp."""
+    t = F.col(text_col)
+    ws = word_set(text_col)
+    scores = {
+        lang: F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in STOPWORDS:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_alpha > 0, n_upper / n_alpha).otherwise(0.0)
+    quality = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + (1 - upper_ratio) * 0.1
+    )
+    per_doc = docs.select(
+        n_words.cast("long").alias("_w"),
+        F.round(quality, 6).alias("_q"),
+        pred.alias("_lang"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("total_words"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+    ]
+    for lg in [*STOPWORDS, "und"]:
+        aggs.append(
+            F.sum((F.col("_lang") == lg).cast("long"))
+            .cast("long")
+            .alias(f"n_{lg}")
+        )
+    return per_doc.agg(*aggs)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     width: int = 50,

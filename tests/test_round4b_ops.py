@@ -419,3 +419,90 @@ def test_html_tag_stats_golden(spark):
         "n_imgs": 0, "n_chars": 16, "text_chars": 16, "text_ratio": 1.0,
     }
     assert got[3]["text_ratio"] == 0.0  # empty doc: guarded division
+
+
+# ----------------------------------------------------- truncated recall
+
+
+def test_truncated_recall_audit_matches_python(spark):
+    """Overlap of full-dim vs prefix-dim exact top-k, mirrored in
+    python with the same rounded-cosine + id tie-break."""
+    from smart_crawler_spark.operators.simsearch import (
+        truncated_recall_audit,
+    )
+
+    rng = random.Random(5)
+    n, dim, dims, k = 12, 4, 2, 3
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)
+    }
+
+    def topk(d):
+        out = {}
+        for q in range(3):
+            scored = []
+            for c, v in vecs.items():
+                if c == q:
+                    continue
+                dot = sum(x * y for x, y in zip(vecs[q][:d], v[:d]))
+                nq = math.sqrt(sum(x * x for x in vecs[q][:d]))
+                nc = math.sqrt(sum(x * x for x in v[:d]))
+                scored.append((round(dot / (nq * nc), 6), c))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = {c for _, c in scored[:k]}
+        return out
+
+    full, trunc = topk(dim), topk(dims)
+    exp = {q: len(full[q] & trunc[q]) for q in full}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall"])
+        for r in truncated_recall_audit(
+            emb.filter(F.col("vec_id") < 3), emb, dims=dims, k=k
+        ).collect()
+    }
+    assert got == {q: (o, round(o / k, 6)) for q, o in exp.items()}
+
+
+# ---------------------------------------------------- numeric histogram
+
+
+def test_numeric_histogram_golden(spark):
+    from smart_crawler_spark.operators.relational import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (5,), (19,), (20,), (39,), (40,), (100,), (None,)],
+        "v int",
+    )
+    got = {
+        r["bin_id"]: r.asDict()
+        for r in numeric_histogram(df, "v", bin_width=20.0).collect()
+    }
+    assert {b: r["n_rows"] for b, r in got.items()} == {0: 3, 1: 2, 2: 1, 5: 1}
+    assert got[1]["lo"] == 20.0 and got[1]["hi"] == 40.0
+    assert got[5]["lo"] == 100.0  # sparse: bins 3,4 absent
+
+
+# ------------------------------------------------------- corpus summary
+
+
+def test_corpus_summary_golden(spark):
+    from smart_crawler_spark.operators.textops import corpus_summary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park"),
+            (2, "der hund ist nicht mit das und der"),
+            (3, "12345 67890"),
+        ],
+        "doc_id long, text string",
+    )
+    row = corpus_summary(docs).collect()[0].asDict()
+    assert row["n_docs"] == 3
+    assert row["total_words"] == 9 + 8 + 2
+    assert row["n_en"] == 1 and row["n_de"] == 1 and row["n_und"] == 1
+    assert row["n_fr"] == 0
+    assert 0.0 < row["avg_quality"] <= 1.0
