@@ -3574,6 +3574,21 @@ def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_summary(docs)
 
 
+def tfidf_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical all-pairs tf-idf cosine (operators/textops.py
+    tfidf_cosine_pairs, Bayardo et al. WWW'07 shape): inverted-index
+    self-join with a df cap, idf = ln(N/df) exact. The doubled corpus
+    plants exact-dup pairs (cosine 1.0); the 0.5 threshold keeps them
+    plus genuinely overlapping vocabulary. Third similarity family
+    next to shingle sketches and embeddings — rare-vocabulary overlap."""
+    docs = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) < 300
+    )
+    return textops.tfidf_cosine_pairs(
+        docs, threshold=0.5, max_df=100
+    ).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3727,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncated_recall": truncated_recall,
         "length_histogram": length_histogram,
         "corpus_summary": corpus_summary_q,
+        "tfidf_cosine": tfidf_cosine_q,
     }
 
 
@@ -6309,6 +6325,45 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT query_id FROM franked) q
         LEFT JOIN ov ON ov.query_id = q.query_id
         ORDER BY q.query_id
+    """
+    out["tfidf_cosine"] = f"""
+        WITH d AS (
+            SELECT doc_id, text FROM ({doubled})
+            WHERE doc_id % 100000 < 300
+        ),
+        toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                   lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+            FROM d
+        ),
+        tf AS MATERIALIZED (
+            SELECT doc_id, w, count(*)::DOUBLE AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        dft AS MATERIALIZED (
+            SELECT w, ln((SELECT n FROM nn) / count(*)) AS idf
+            FROM tf GROUP BY w HAVING count(*) <= 100
+        ),
+        wt AS MATERIALIZED (
+            SELECT tf.w, doc_id AS id, tf * idf AS wgt
+            FROM tf JOIN dft ON tf.w = dft.w
+        ),
+        norms AS MATERIALIZED (
+            SELECT id, sqrt(sum(wgt * wgt)) AS nrm FROM wt GROUP BY id
+        ),
+        dots AS (
+            SELECT a.id AS id_a, b.id AS id_b, sum(a.wgt * b.wgt) AS dot
+            FROM wt a JOIN wt b ON a.w = b.w AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.id = id_a
+        JOIN norms nb ON nb.id = id_b
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+        ORDER BY id_a, id_b
     """
     out["length_histogram"] = r"""
         WITH w AS (

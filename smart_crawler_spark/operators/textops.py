@@ -497,6 +497,72 @@ def truncation_pairs(
     )
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical all-pairs similarity: tf-idf cosine >= threshold via an
+    inverted-index self-join (Bayardo, Ma & Srikant, WWW'07 "Scaling Up
+    All Pairs Similarity Search") — the THIRD similarity family next to
+    shingle sketches (MinHash/SimHash: set overlap, order-blind) and
+    embeddings (semantic): idf weighting finds docs sharing RARE
+    vocabulary, the plagiarism/mirror signal the other two dilute.
+
+    Scale shape: candidates come from the inverted index — only (term,
+    id, weight) rows shuffle, pairs materialize per shared term via an
+    equi-join on the term, and the per-pair partial dot products
+    aggregate map-side. The quadratic hot-key risk is capped by
+    ``max_df``: terms in more than ``max_df`` docs are dropped BEFORE
+    the join (a term shared by half the corpus is a stopword — it
+    carries ~zero idf mass by construction, so the cap changes recall
+    only at the threshold margin; same guard as substring_dup_pairs).
+    idf = ln(N/df) plain (no smoothing) so the SQL oracle is exact;
+    norms use ONLY surviving terms, keeping both engines on the same
+    vector. No cartesian, no window over the corpus.
+
+    Output: (id_a, id_b, cosine) with cosine rounded 6 dp, id_a < id_b."""
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(_word_list(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("w", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    )
+    wt = tf.join(df_t, "w").select(
+        "w", F.col(id_col).alias("id"), (F.col("tf") * F.col("idf")).alias("wgt")
+    )
+    norms = wt.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    a, b = wt.alias("a"), wt.alias("b")
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("_na")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # PII patterns shared with the oracle SQL: conservative, RE2-compatible
 # (DuckDB) AND java.util.regex-compatible (Spark) — no lookarounds, no
 # \b ambiguity across engines beyond word chars.

@@ -506,3 +506,57 @@ def test_corpus_summary_golden(spark):
     assert row["n_en"] == 1 and row["n_de"] == 1 and row["n_und"] == 1
     assert row["n_fr"] == 0
     assert 0.0 < row["avg_quality"] <= 1.0
+
+
+# -------------------------------------------------------- tf-idf cosine
+
+
+def test_tfidf_cosine_pairs_matches_python(spark):
+    """Inverted-index tf-idf cosine == a dense python replay (same
+    plain ln(N/df) idf, df cap applied before norms on BOTH paths)."""
+    from smart_crawler_spark.operators.textops import tfidf_cosine_pairs
+
+    texts = {
+        1: "rare unique zebra quagga walks home",
+        2: "rare unique zebra quagga walks home",   # exact dup of 1
+        3: "zebra quagga in the wild grass",        # partial overlap
+        4: "totally different words entirely here",
+        5: "the the the the common only",
+    }
+    max_df = 4
+    import collections
+    tf = {i: collections.Counter(t.split()) for i, t in texts.items()}
+    df = collections.Counter(w for c in tf.values() for w in c)
+    n = len(texts)
+    kept = {w for w, d in df.items() if d <= max_df}
+    wv = {
+        i: {
+            w: c * math.log(n / df[w])
+            for w, c in cnt.items()
+            if w in kept
+        }
+        for i, cnt in tf.items()
+    }
+    def cos(a, b):
+        dot = sum(wv[a][w] * wv[b][w] for w in wv[a] if w in wv[b])
+        na = math.sqrt(sum(x * x for x in wv[a].values()))
+        nb = math.sqrt(sum(x * x for x in wv[b].values()))
+        return round(dot / (na * nb), 6) if na and nb and dot else 0.0
+    exp = {
+        (a, b): cos(a, b)
+        for a in texts
+        for b in texts
+        if a < b and cos(a, b) >= 0.3
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.3, max_df=max_df
+        ).collect()
+    }
+    assert got == exp
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert (1, 4) not in got   # disjoint vocab
