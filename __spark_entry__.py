@@ -3589,6 +3589,43 @@ def tfidf_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase within 7 days of the
+    first view (operators/relational.py funnel_counts): earliest-
+    completion semantics, one user-keyed agg per step joined to the
+    previous step's per-user frontier — k shuffles on the user key,
+    never a raw-stream self-join. The oracle states the same three
+    chained min-after aggregations."""
+    from smart_crawler_spark.operators.relational import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within_s=7 * 24 * 3600
+    ).orderBy("step")
+
+
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts (operators/relational.py retention_cohorts):
+    cohort = first-event day per user, retained at offset k if active
+    exactly k days later; output is calendar-bounded (cohorts x
+    offsets), the activation/decay matrix. One min-agg + one broadcast
+    join + one distinct count."""
+    from smart_crawler_spark.operators.relational import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    # cohort_day as an ISO string: the gate stringifies cells, and
+    # pandas renders a DuckDB DATE as midnight-timestamp text
+    return (
+        retention_cohorts(ev)
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3743,6 +3780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": length_histogram,
         "corpus_summary": corpus_summary_q,
         "tfidf_cosine": tfidf_cosine_q,
+        "event_funnel": event_funnel,
+        "retention_cohorts": retention_cohorts_q,
     }
 
 
@@ -6364,6 +6403,57 @@ def oracle_sql() -> dict[str, str]:
         JOIN norms nb ON nb.id = id_b
         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
         ORDER BY id_a, id_b
+    """
+    out["event_funnel"] = """
+        WITH s1 AS MATERIALIZED (
+            SELECT user_id, min(ts) AS prev,
+                   min(ts) + INTERVAL 604800 SECOND AS lim
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS MATERIALIZED (
+            SELECT e.user_id, min(e.ts) AS prev, min(p.lim) AS lim
+            FROM events e JOIN s1 p ON p.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > p.prev AND e.ts <= p.lim
+            GROUP BY e.user_id
+        ),
+        s3 AS MATERIALIZED (
+            SELECT e.user_id, min(e.ts) AS prev
+            FROM events e JOIN s2 p ON p.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > p.prev AND e.ts <= p.lim
+            GROUP BY e.user_id
+        ),
+        n AS (
+            SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3
+        )
+        SELECT step, event_type, n_users, conversion FROM (
+            SELECT 1 AS step, 'view' AS event_type,
+                   CAST(n1 AS BIGINT) AS n_users,
+                   round(n1 / CAST(n1 AS DOUBLE), 6) AS conversion FROM n
+            UNION ALL
+            SELECT 2, 'click', CAST(n2 AS BIGINT),
+                   round(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+            UNION ALL
+            SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+                   round(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+        ) ORDER BY step
+    """
+    out["retention_cohorts"] = """
+        WITH f AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   CAST(ts AS DATE) - f.cohort_day AS day_offset
+            FROM events e JOIN f ON f.user_id = e.user_id
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               day_offset, CAST(count(*) AS BIGINT) AS n_users
+        FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset
     """
     out["length_histogram"] = r"""
         WITH w AS (

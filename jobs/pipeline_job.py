@@ -37,6 +37,13 @@ line of per-stage row counts and wall seconds. Stages:
            bucket-bounded weights, mean pooling + sigmoid)
   chunk    overlapping character chunks with offsets (RAG/encoder prep,
            map-only)
+  encgate  encoding-health triage (U+FFFD/control/mojibake counts) +
+           character-distribution entropy, one joined map-only table
+  truncdedup prefix-containment (truncated-scrape) duplicate pairs
+  tfidf    lexical all-pairs tf-idf cosine (inverted-index join, df cap)
+  split    leakage-safe train/val/test assignment per near-dup
+           component (no dup pair straddles train and eval)
+  card     the one-row corpus summary (docs, words, quality, languages)
   keepbest quality-aware dedup survivors (components keep their
            highest-quality member, not the min id)
   export   corpus -> deterministic WARC shard blobs (archive sink)
@@ -183,6 +190,52 @@ def main() -> None:
 
     if "chunk" in stages:
         run("chunk", lambda: textops.chunk_documents(docs))
+
+    if "encgate" in stages:
+        # encoding health + character entropy in one joined triage table
+        def _encgate():
+            return textops.encoding_quality(docs).join(
+                textops.char_entropy(docs).select(
+                    "doc_id", "n_distinct", "entropy"
+                ),
+                "doc_id",
+                "left",
+            )
+
+        run("encgate", _encgate)
+
+    if "truncdedup" in stages:
+        run("truncdedup", lambda: textops.truncation_pairs(docs))
+
+    if "tfidf" in stages:
+        run("tfidf", lambda: textops.tfidf_cosine_pairs(
+            docs, threshold=0.5))
+
+    if "split" in stages:
+        # leakage-safe train/val/test: split assigned per near-dup
+        # component so no dup pair straddles train and eval
+        def _split():
+            from smart_crawler_spark.operators.components import dedup_groups
+            from smart_crawler_spark.operators.minhash import (
+                minhash_near_dup_pairs,
+            )
+
+            pairs = minhash_near_dup_pairs(docs, threshold=args.jaccard)
+            comp = dedup_groups(pairs, docs)
+            b = textops.md5_hash32(F.col("component")) % 10
+            return comp.select(
+                "doc_id",
+                "component",
+                F.when(b < 8, F.lit("train"))
+                .when(b == 8, F.lit("val"))
+                .otherwise(F.lit("test"))
+                .alias("split"),
+            )
+
+        run("split", _split)
+
+    if "card" in stages:
+        run("card", lambda: textops.corpus_summary(docs))
 
     if "keepbest" in stages:
         # quality-aware survivor decision over the near-dup components

@@ -637,3 +637,103 @@ def numeric_histogram(
             "n_rows",
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered event-funnel analysis: how many users performed step 1,
+    then step 2 STRICTLY AFTER their first step 1, then step 3 after
+    that, ... all within ``within_s`` seconds of the first step-1 event
+    (the earliest-completion semantics every funnel product uses:
+    first qualifying timestamp per step, per user).
+
+    Scale shape: one user-keyed aggregation PER STEP over the
+    type-filtered event stream (the filter prunes at the scan), each
+    joined to the previous step's per-user frontier — k steps = k
+    shuffles on the user key, re-using the same partitioning, never a
+    self-join of the raw stream on itself. The output is k rows.
+
+    Output: (step, event_type, n_users, conversion) — conversion =
+    n_users / step-1 users, rounded 6 dp."""
+    spark = events.sparkSession
+    u, t, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    cur = (
+        events.filter(t == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+        .withColumn("_lim", F.col("_t1") + F.expr(f"INTERVAL {within_s} SECOND"))
+        .withColumn("_prev", F.col("_t1"))
+    )
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(t == step)
+            .join(cur.select(user_col, "_prev", "_lim"), user_col)
+            .filter((ts > F.col("_prev")) & (ts <= F.col("_lim")))
+            .groupBy(user_col)
+            .agg(
+                F.min(ts_col).alias("_prev"),
+                F.first("_lim").alias("_lim"),
+            )
+        )
+        counts.append(nxt.count())
+        cur = nxt
+    rows = [
+        (i + 1, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))
+    ]
+    base = spark.createDataFrame(
+        rows, "step int, event_type string, n_users long"
+    )
+    # conversion rounds ENGINE-side (F.round == SQL round half-up), not
+    # via python round() (banker's), so the oracle hash can't diverge
+    # on a .5 boundary
+    denom = float(counts[0]) if counts[0] else 1.0
+    return base.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.col("n_users") / denom, 6).alias("conversion"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention-cohort analysis: cohort = each user's FIRST event day;
+    a user is retained at day offset k if they have any event exactly
+    k days after their cohort day. The activation/decay curve every
+    ingest dashboard draws, and (for a crawler) the host-revisit
+    activity matrix.
+
+    Scale shape: one user-keyed min-aggregation for cohort days, one
+    broadcast-join back (the per-user cohort frame is |users|-sized,
+    dwarfed by the event stream), then a distinct + count whose output
+    is |cohorts| x |offsets| — calendar-bounded, not data-bounded.
+
+    Output: (cohort_day, day_offset, n_users)."""
+    day = F.to_date(F.col(ts_col))
+    firsts = (
+        events.select(F.col(user_col), day.alias("_d"))
+        .groupBy(user_col)
+        .agg(F.min("_d").alias("cohort_day"))
+    )
+    return (
+        events.select(F.col(user_col), day.alias("_d"))
+        .join(F.broadcast(firsts), user_col)
+        .select(
+            user_col,
+            "cohort_day",
+            F.datediff(F.col("_d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -560,3 +560,64 @@ def test_tfidf_cosine_pairs_matches_python(spark):
     assert got == exp
     assert got[(1, 2)] == 1.0  # exact dup
     assert (1, 4) not in got   # disjoint vocab
+
+
+# ---------------------------------------------------------- event funnel
+
+
+def test_funnel_counts_ordering_and_window(spark):
+    """Order matters (a click BEFORE the first view doesn't count) and
+    the window is anchored at the FIRST step-1 event."""
+    from datetime import datetime
+
+    from smart_crawler_spark.operators.relational import funnel_counts
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(9)),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, "click", T(0)), (2, "view", T(1)), (2, "purchase", T(2)),
+        # u3 views, clicks, but purchase outside the 10-min window
+        (3, "view", T(0)), (3, "click", T(2)), (3, "purchase", T(30)),
+        # u4 never views
+        (4, "click", T(0)), (4, "purchase", T(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["step"]: r.asDict()
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], within_s=600
+        ).collect()
+    }
+    assert got[1]["n_users"] == 3          # u1 u2 u3 viewed
+    assert got[2]["n_users"] == 2          # u1 u3 (u2's click precedes)
+    assert got[3]["n_users"] == 1          # u1 only (u3 out of window)
+    assert got[3]["conversion"] == round(1 / 3, 6)
+    assert got[2]["event_type"] == "click"
+
+
+def test_retention_cohorts_golden(spark):
+    from datetime import datetime
+
+    from smart_crawler_spark.operators.relational import retention_cohorts
+
+    D = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        (1, D(1)), (1, D(1, 5)), (1, D(3)),     # cohort 1/1: d0, d2
+        (2, D(1)), (2, D(2)),                   # cohort 1/1: d0, d1
+        (3, D(2)), (3, D(2, 9)),                # cohort 1/2: d0 only
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
