@@ -3626,6 +3626,61 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-apply parity (operators/relational.py
+    merge_upsert): fold a deterministic changeset (deletes on key%7==0,
+    updates on ==1, inserts on ==2, plus two planted NO-OP rows — an
+    'I' on a matched key and a 'D' on a missing key, which SQL MERGE
+    ignores) into the orders table via one full-outer join. The
+    storage-maintenance trio is now diff (snapshot_diff), apply (this),
+    and history (scd2_history)."""
+    from smart_crawler_spark.operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    k = F.col("key")
+    nulls = [
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    ]
+    changes = (
+        o.filter(k % 7 == 0).select("key", F.lit("D").alias("op"), *nulls)
+        .unionByName(
+            o.filter(k % 7 == 1).select(
+                "key",
+                F.lit("U").alias("op"),
+                F.lit("X").alias("status"),
+                F.round(F.col("price") + 100.0, 2).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(k % 7 == 2).select(
+                (k + 10000000).alias("key"),
+                F.lit("I").alias("op"),
+                F.lit("N").alias("status"),
+                F.round(F.col("price") * 2.0, 2).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(k % 7 == 3).select(
+                "key",
+                F.lit("I").alias("op"),
+                F.lit("Z").alias("status"),
+                F.lit(0.0).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(k % 7 == 4).select(
+                (k + 20000000).alias("key"), F.lit("D").alias("op"), *nulls
+            )
+        )
+    )
+    return merge_upsert(o, changes, key_col="key").orderBy("key")
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3782,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": tfidf_cosine_q,
         "event_funnel": event_funnel,
         "retention_cohorts": retention_cohorts_q,
+        "merge_upsert": merge_upsert_q,
     }
 
 
@@ -6403,6 +6459,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN norms nb ON nb.id = id_b
         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
         ORDER BY id_a, id_b
+    """
+    out["merge_upsert"] = """
+        WITH b AS (
+            SELECT o_orderkey AS key, o_orderstatus AS status,
+                   round(o_totalprice, 2) AS price
+            FROM orders
+        ),
+        ch AS (
+            SELECT key, 'D' AS op, NULL::VARCHAR AS status,
+                   NULL::DOUBLE AS price FROM b WHERE key % 7 = 0
+            UNION ALL
+            SELECT key, 'U', 'X', round(price + 100.0, 2)
+            FROM b WHERE key % 7 = 1
+            UNION ALL
+            SELECT key + 10000000, 'I', 'N', round(price * 2.0, 2)
+            FROM b WHERE key % 7 = 2
+            UNION ALL
+            SELECT key, 'I', 'Z', 0.0 FROM b WHERE key % 7 = 3
+            UNION ALL
+            SELECT key + 20000000, 'D', NULL, NULL FROM b WHERE key % 7 = 4
+        )
+        SELECT coalesce(b.key, ch.key) AS key,
+               CASE WHEN (b.key IS NOT NULL AND ch.op = 'U')
+                      OR (b.key IS NULL AND ch.op = 'I')
+                    THEN ch.status ELSE b.status END AS status,
+               CASE WHEN (b.key IS NOT NULL AND ch.op = 'U')
+                      OR (b.key IS NULL AND ch.op = 'I')
+                    THEN ch.price ELSE b.price END AS price
+        FROM b FULL OUTER JOIN ch ON b.key = ch.key
+        WHERE (b.key IS NOT NULL AND (ch.key IS NULL OR ch.op <> 'D'))
+           OR (b.key IS NULL AND ch.op = 'I')
+        ORDER BY key
     """
     out["event_funnel"] = """
         WITH s1 AS MATERIALIZED (

@@ -737,3 +737,54 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "key",
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics (the Iceberg/Delta CDC-apply): fold a
+    changeset with an op column into a base table —
+
+      op='D', key matched   -> row deleted
+      op='U', key matched   -> value columns replaced by the change row
+      op='I', key NOT matched -> row inserted
+      op='I' on a matched key, or 'U'/'D' on a missing key -> no-op
+      (exactly SQL MERGE: matched rows see only WHEN MATCHED clauses,
+      unmatched only WHEN NOT MATCHED)
+
+    Caller contract: at most one change row per key (the usual CDC
+    compaction precondition).
+
+    Scale shape: ONE full-outer join on the key — Exchange-free on the
+    stored side when base and changeset are bucketed on the key (the
+    same layout argument as snapshot_diff); the merge decision is a
+    map-side CASE over the joined row. Returns the merged table with
+    base's column set."""
+    val_cols = [c for c in base.columns if c != key_col]
+    b = base.alias("b")
+    c = changes.alias("c")
+    joined = b.join(c, F.col(f"b.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+    in_base = F.col(f"b.{key_col}").isNotNull()
+    in_chg = F.col(f"c.{key_col}").isNotNull()
+    op = F.col(f"c.{op_col}")
+    keep = (
+        (in_base & ~in_chg)
+        | (in_base & in_chg & (op == "I"))          # matched insert: no-op
+        | (in_base & in_chg & ~op.isin("D", "U", "I"))
+        | (~in_base & in_chg & (op == "I"))         # true insert
+        | (in_base & in_chg & (op == "U"))          # update
+    )
+    use_change = (in_chg & (op == "U") & in_base) | (~in_base & (op == "I"))
+    cols = [
+        F.coalesce(F.col(f"b.{key_col}"), F.col(f"c.{key_col}")).alias(key_col)
+    ]
+    for vc in val_cols:
+        cols.append(
+            F.when(use_change, F.col(f"c.{vc}"))
+            .otherwise(F.col(f"b.{vc}"))
+            .alias(vc)
+        )
+    return joined.filter(keep).select(*cols)

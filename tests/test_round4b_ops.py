@@ -621,3 +621,38 @@ def test_retention_cohorts_golden(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+# ----------------------------------------------------------- merge upsert
+
+
+def test_merge_upsert_semantics(spark):
+    """SQL MERGE truth table: matched D deletes, matched U updates,
+    unmatched I inserts; matched I and unmatched U/D are no-ops."""
+    from smart_crawler_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "key long, status string, price double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "D", None, None),        # delete
+            (2, "U", "bb", 22.0),        # update
+            (5, "I", "e", 50.0),         # insert
+            (3, "I", "zz", 0.0),         # matched insert: no-op
+            (9, "U", "zz", 0.0),         # unmatched update: no-op
+            (8, "D", None, None),        # unmatched delete: no-op
+        ],
+        "key long, op string, status string, price double",
+    )
+    got = {
+        r["key"]: (r["status"], r["price"])
+        for r in merge_upsert(base, changes, key_col="key").collect()
+    }
+    assert got == {
+        2: ("bb", 22.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
