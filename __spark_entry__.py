@@ -3681,6 +3681,23 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(o, changes, key_col="key").orderBy("key")
 
 
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (operators/relational.py
+    rolling_distinct): the rolling metric a window function can't
+    produce (distincts don't sum), solved by a bounded explode — each
+    deduped (user, active-day) pair contributes to <= 7 window-end days
+    — and one count_distinct per day. Complements rolling_avg_events
+    (summable) on the sliding-window family."""
+    from smart_crawler_spark.operators.relational import rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        rolling_distinct(ev, window_days=7)
+        .select(F.col("day").cast("string").alias("day"), "n_distinct_users")
+        .orderBy("day")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3838,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": event_funnel,
         "retention_cohorts": retention_cohorts_q,
         "merge_upsert": merge_upsert_q,
+        "rolling_distinct_users": rolling_distinct_users,
     }
 
 
@@ -6459,6 +6477,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN norms nb ON nb.id = id_b
         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
         ORDER BY id_a, id_b
+    """
+    out["rolling_distinct_users"] = """
+        WITH p AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        e AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(
+                       CAST(d AS TIMESTAMP),
+                       CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM p
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+        FROM e GROUP BY 1 ORDER BY day
     """
     out["merge_upsert"] = """
         WITH b AS (

@@ -788,3 +788,40 @@ def merge_upsert(
             .alias(vc)
         )
     return joined.filter(keep).select(*cols)
+
+
+def rolling_distinct(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window distinct counts (trailing ``window_days``-day
+    distinct users per calendar day) — the one rolling metric a plain
+    window function CANNOT produce, because distinct counts don't sum
+    across days the way rolling_avg's sums do.
+
+    Scale shape: each (user, active-day) pair — already deduped, so
+    bounded by users x days, not by raw events — explodes into the
+    <= ``window_days`` window-end days it contributes to (a map-side
+    sequence explode), then ONE count_distinct aggregation per window
+    day. Shuffle volume = active-pairs x window_days; output =
+    calendar-bounded. Only days with at least one contributing event
+    appear (the trailing window makes day d cover (d-window, d]).
+
+    Output: (day, n_distinct_users) with day as DATE."""
+    day = F.to_date(F.col(ts_col))
+    pairs = events.select(F.col(user_col), day.alias("_d")).distinct()
+    exploded = pairs.select(
+        user_col,
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    return (
+        exploded.groupBy("day")
+        .agg(F.count_distinct(user_col).cast("long").alias("n_distinct_users"))
+    )

@@ -656,3 +656,39 @@ def test_merge_upsert_semantics(spark):
         4: ("d", 40.0),
         5: ("e", 50.0),
     }
+
+
+# ------------------------------------------------------ rolling distinct
+
+
+def test_rolling_distinct_matches_python(spark):
+    """Bounded-explode sliding distinct == the brute-force per-day set
+    union over a random activity matrix."""
+    from datetime import date, datetime, timedelta
+
+    from smart_crawler_spark.operators.relational import rolling_distinct
+
+    rng = random.Random(11)
+    rows = [
+        (u, datetime(2024, 1, rng.randint(1, 15), rng.randint(0, 23)))
+        for u in range(20)
+        for _ in range(rng.randint(0, 5))
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    w = 4
+    active: dict = {}
+    for u, ts in rows:
+        active.setdefault(ts.date(), set()).add(u)
+    exp = {}
+    for d0 in active:
+        for k in range(w):
+            day = d0 + timedelta(days=k)
+            exp.setdefault(day, set()).update(active[d0])
+    exp = {d: len(s) for d, s in exp.items()}
+    got = {
+        r["day"]: r["n_distinct_users"]
+        for r in rolling_distinct(ev, window_days=w).collect()
+    }
+    assert got == exp
+    # a user active on day d counts on d..d+w-1 only
+    assert isinstance(next(iter(got)), date)
