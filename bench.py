@@ -53,6 +53,9 @@ HEADLINE = [
     "char_entropy",
     "truncation_pairs",
     "hard_negatives",
+    "tfidf_cosine",
+    "trustrank",
+    "merge_upsert",
 ]
 
 

@@ -1458,3 +1458,49 @@ def augment_verify(
         "out_h",
         (F.col("inv_hash") == F.col("orig_hash")).alias("ok"),
     )
+
+
+def cross_format_phash_check(
+    images: DataFrame, quality: int = 90, max_hamming: int = 12
+) -> DataFrame:
+    """Cross-format dedup invariant: the SAME picture stored as PNG and
+    as a lossy JPEG re-encode must land within ``max_hamming`` bits on
+    the 8x8 average-phash — the property the whole phash-LSH dedup
+    stack rests on when one upload is PNG and its mirror is JPEG (byte
+    hashes see two different files; the perceptual hash must not).
+
+    Per PNG row, inside one Arrow batch: decode -> phash the original
+    pixels -> encode baseline JPEG at ``quality`` -> decode THAT ->
+    phash again -> hamming distance. Map-only (mapInPandas), no
+    shuffle; the corpus is deterministic so the distance column is a
+    fixed measured value per row, and the gate invariant is
+    ``within = hamming <= max_hamming``.
+
+    Output: (image_id, hamming, within)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from smart_crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from smart_crawler_spark.functions.png import decode_png, perceptual_hash
+
+    pngs = images.filter(F.col("fmt") == "png").select("image_id", "bytes")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hams = [], []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = decode_png(bytes(data))
+                h0 = perceptual_hash(px)
+                px2 = decode_jpeg(encode_jpeg(px, quality=quality))
+                h1 = perceptual_hash(px2)
+                ids.append(image_id)
+                hams.append(int(bin(h0 ^ h1).count("1")))
+            yield pd.DataFrame({"image_id": ids, "hamming": hams})
+
+    out = pngs.mapInPandas(check, "image_id string, hamming int")
+    return out.select(
+        "image_id",
+        "hamming",
+        (F.col("hamming") <= max_hamming).alias("within"),
+    )

@@ -692,3 +692,29 @@ def test_rolling_distinct_matches_python(spark):
     assert got == exp
     # a user active on day d counts on d..d+w-1 only
     assert isinstance(next(iter(got)), date)
+
+
+# ------------------------------------------------- cross-format phash
+
+
+def test_cross_format_phash_invariant_and_threshold(spark):
+    """PNG -> JPEG(q90) re-encode keeps the avg-phash within a couple
+    of bits on the deterministic corpus, and the `within` flag really
+    binds to max_hamming (0-threshold flips rows with hamming > 0)."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import (
+        cross_format_phash_check,
+    )
+
+    corpus = generate_images(spark, 60, jpeg_every=10)
+    out = cross_format_phash_check(corpus, quality=90, max_hamming=12)
+    rows = out.collect()
+    assert len(rows) == 54  # PNG rows only
+    assert all(r["within"] for r in rows)
+    assert max(r["hamming"] for r in rows) <= 4
+    strict = cross_format_phash_check(corpus, quality=90, max_hamming=0)
+    flipped = {
+        r["image_id"]: r["within"] for r in strict.collect()
+    }
+    for r in rows:
+        assert flipped[r["image_id"]] == (r["hamming"] == 0)
