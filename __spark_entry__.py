@@ -3720,6 +3720,72 @@ def cross_format_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (operators/fuzzy.py fuzzy_self_join):
+    FastSS deletion-neighborhood blocking + exact JVM levenshtein
+    verify — no cartesian product, the explode ships (id, hash) rows
+    only. Corpus: unique composed keys p_name#p_partkey plus planted
+    single-character deletions (every 5th base key, deterministic
+    position), so ground truth is SQL-replayable with DuckDB's own
+    levenshtein under the sound |len(a)-len(b)|<=1 prefilter."""
+    from smart_crawler_spark.operators.fuzzy import fuzzy_self_join
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 4 == 0)
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.concat(
+                F.col("p_name"),
+                F.lit("#"),
+                F.col("p_partkey").cast("string"),
+            ).alias("key"),
+        )
+    )
+    k, pos = F.col("key"), (F.col("id") % 5) + 1
+    typos = base.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 10000000).alias("id"),
+        F.concat(
+            k.substr(F.lit(1), pos - 1), k.substr(pos + 1, F.length(k))
+        ).alias("key"),
+    )
+    return (
+        fuzzy_self_join(base.unionByName(typos), "key", "id", max_dist=1)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocation mining (operators/textops.py
+    pmi_collocations): the phrase-detection pass a curation pipeline
+    runs before vocabulary induction. Two counting groupBys, broadcast
+    unigram joins, 1-row totals; PMI arithmetic arranged as
+    (c_xy*N*N)/(B*c_x*c_y) so DuckDB replays it bit-for-bit."""
+    from smart_crawler_spark.operators.textops import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5).orderBy("w1", "w2")
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (operators/textops.py
+    rrf_fuse): BM25 lexical list (bm25_topk, terms spark/window/merge,
+    k=100) fused with a vector list (simsearch.cosine_topk from
+    query vec_id=0, k=100) by sum of 1/(60+rank) — the calibration-free
+    hybrid-search composition. Fusion itself is k-bounded: one
+    full-outer join of two <=100-row lists + a topn-row window."""
+    from smart_crawler_spark.operators.textops import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "window", "merge"], k=100)
+    vec = simsearch.cosine_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=100
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, vec, id_col="doc_id", k_const=60, topn=20)
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3879,6 +3945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": merge_upsert_q,
         "rolling_distinct_users": rolling_distinct_users,
         "cross_format_phash": cross_format_phash,
+        "fuzzy_join_keys": fuzzy_join_keys,
+        "pmi_collocations": pmi_collocations_q,
+        "rrf_fusion": rrf_fusion,
     }
 
 
@@ -7300,5 +7369,137 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
         FROM pairs GROUP BY pair
         ORDER BY weight DESC, pair ASC LIMIT 50
+    """
+    # ground truth for the fuzzy join is DuckDB's own levenshtein over
+    # all id-ordered pairs; |len diff| <= 1 is a SOUND prefilter for
+    # edit distance 1 (a deletion changes length by exactly 1), so the
+    # oracle never misses a pair the blocking could find
+    out["fuzzy_join_keys"] = """
+        WITH base AS (
+            SELECT p_partkey AS id,
+                   p_name || '#' || CAST(p_partkey AS VARCHAR) AS key
+            FROM part WHERE p_partkey % 4 = 0
+        ),
+        typos AS (
+            SELECT id + 10000000 AS id,
+                   substr(key, 1, CAST(id % 5 AS INTEGER))
+                       || substr(key, CAST(id % 5 AS INTEGER) + 2) AS key
+            FROM base WHERE id % 20 = 0
+        ),
+        allk AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        FROM allk a JOIN allk b
+          ON a.id < b.id
+         AND abs(length(a.key) - length(b.key)) <= 1
+        WHERE levenshtein(a.key, b.key) <= 1
+        ORDER BY id_a, id_b
+    """
+    out["pmi_collocations"] = """
+        WITH words AS (
+            SELECT list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        uni AS (
+            SELECT tok, count(*) AS c
+            FROM (SELECT unnest(ws) AS tok FROM words) GROUP BY tok
+        ),
+        bg AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 2
+        ),
+        pcnt AS (
+            SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY w1, w2
+        ),
+        tot AS (
+            SELECT (SELECT sum(c)::DOUBLE FROM uni) AS n,
+                   (SELECT sum(pair_count)::DOUBLE FROM pcnt) AS b
+        )
+        SELECT p.w1, p.w2, CAST(p.pair_count AS BIGINT) AS pair_count,
+               round(ln((p.pair_count::DOUBLE * tot.n * tot.n)
+                        / (tot.b * cx.c::DOUBLE * cy.c::DOUBLE)), 6)
+                   AS pmi
+        FROM pcnt p
+        JOIN uni cx ON cx.tok = p.w1
+        JOIN uni cy ON cy.tok = p.w2, tot
+        WHERE p.pair_count >= 5
+        ORDER BY p.w1, p.w2
+    """
+    out["rrf_fusion"] = f"""
+        WITH wrds AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, unnest(ws) AS term FROM wrds),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM wrds),
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM toks
+            WHERE term IN ('spark', 'window', 'merge')
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT avg(dl) FROM dl) AS avgdl
+        ),
+        idf AS (
+            SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (
+                SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM tf GROUP BY 1
+            ), stats
+        ),
+        bm AS (
+            SELECT tf.doc_id,
+                   round(sum(idf.idf * (tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / stats.avgdl)))), 4) AS score
+            FROM tf
+            JOIN idf USING (term)
+            JOIN dl USING (doc_id), stats
+            GROUP BY 1
+        ),
+        lex AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank_a
+            FROM bm QUALIFY rank_a <= 100
+        ),
+        flat AS ({cos_flat}),
+        dots AS (
+            SELECT c.vec_id AS id,
+                   sum(q.v * c.v)
+                     / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS sim
+            FROM flat q JOIN flat c ON q.i = c.i
+            WHERE q.vec_id = 0 AND c.vec_id <> 0
+            GROUP BY 1
+        ),
+        vec AS (
+            SELECT id,
+                   row_number() OVER (
+                       ORDER BY round(sim, 6) DESC, id ASC) AS rank_b
+            FROM dots QUALIFY rank_b <= 100
+        ),
+        fused AS (
+            SELECT coalesce(lex.id, vec.id) AS id,
+                   coalesce(rank_a, 0) AS rank_a,
+                   coalesce(rank_b, 0) AS rank_b,
+                   round(coalesce(1.0 / (60.0 + rank_a), 0.0)
+                         + coalesce(1.0 / (60.0 + rank_b), 0.0), 6)
+                       AS rrf_score
+            FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        )
+        SELECT id, rank_a, rank_b, rrf_score,
+               row_number() OVER (ORDER BY rrf_score DESC, id ASC)
+                   AS fused_rank
+        FROM fused
+        QUALIFY fused_rank <= 20
+        ORDER BY fused_rank
     """
     return out

@@ -56,6 +56,9 @@ HEADLINE = [
     "tfidf_cosine",
     "trustrank",
     "merge_upsert",
+    "fuzzy_join_keys",
+    "pmi_collocations",
+    "rrf_fusion",
 ]
 
 

@@ -1689,3 +1689,142 @@ def cms_frequency_estimates(
             ),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over word
+    bigrams (Church & Hanks 1990): PMI(x,y) = ln(P(xy) / (P(x)P(y)))
+    with P(xy) = c_xy/B over bigram occurrences and P(x) = c_x/N over
+    token occurrences — the standard phrase-detection signal (word2vec
+    phrases, spaCy collocations) a corpus-curation pipeline runs before
+    vocabulary induction.
+
+    Scale shape: tokenization and bigram construction are the same JVM
+    array expressions as hashed_ngram_classifier (materialized word
+    array, zip_with over two slices — never per-index element_at); the
+    bigram explode is map-only; c_xy comes from one partial-agg groupBy
+    on (w1, w2); the unigram-count table is vocabulary-sized, so both
+    c_x and c_y join back as broadcasts; N and B are 1-row broadcast
+    crossJoins. The only corpus-keyed shuffles are the two counting
+    groupBys. min_count prunes the pair table BEFORE the joins.
+
+    PMI arithmetic is arranged as (c_xy*N*N)/(B*c_x*c_y) in doubles so
+    a SQL oracle replays it bit-for-bit.
+
+    Output: (w1, w2, pair_count, pmi) for bigrams with
+    pair_count >= min_count."""
+    words = docs.select(_word_list(text_col).alias("_w"))
+    w = F.col("_w")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        words.filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("_bg"))
+        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    uni = (
+        words.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("double").alias("n"))
+    pcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    b_tot = pcnt.agg(F.sum("pair_count").cast("double").alias("b"))
+    cx = uni.select(F.col("tok").alias("w1"), F.col("c").alias("_cx"))
+    cy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_cy"))
+    return (
+        pcnt.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("n")
+                        * F.col("n")
+                    )
+                    / (
+                        F.col("b")
+                        * F.col("_cx").cast("double")
+                        * F.col("_cy").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    ranked retrieval lists: score(d) = sum over systems of
+    1/(k + rank_s(d)), the standard way hybrid search composes a
+    lexical retriever (BM25) with a vector retriever without score
+    calibration. Inputs are (id, rank) lists as produced by bm25_topk
+    and simsearch.cosine_topk; an id missing from one list contributes
+    0 from that system (reported as rank 0).
+
+    Scale shape: fusion runs over the RETRIEVED lists (k-bounded, tiny)
+    — one full-outer equi-join of two <=k-row frames plus a topn-row
+    window; corpus-sized work happens inside the retrievers, which keep
+    their own scale shapes. At fleet scale the per-query lists arrive
+    already bounded, so fusion cost is O(k) per query regardless of
+    corpus size.
+
+    Output: (id, rank_a, rank_b, rrf_score, fused_rank), topn rows by
+    descending score, ties broken on ascending id."""
+    a = ranked_a.select(
+        F.col(id_col).alias("id"), F.col("rank").alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("id"), F.col("rank").alias("rank_b")
+    )
+    score = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank_a")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank_b")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+        score.alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.col("id").asc()).limit(topn)
+    return top.select(
+        "id",
+        "rank_a",
+        "rank_b",
+        "rrf_score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_score"), F.col("id").asc()))
+        .alias("fused_rank"),
+    )
