@@ -3786,6 +3786,43 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, vec, id_col="doc_id", k_const=60, topn=20)
 
 
+def _quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality, y) — the heuristic quality score ranking the
+    is-English label; shared input of quality_auc / score_calibration."""
+    from smart_crawler_spark.operators.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "quality").join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")),
+        "doc_id",
+    )
+
+
+def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/evalmetrics.py roc_auc) of
+    the heuristic quality score discriminating English documents — the
+    threshold audit for a classifier-driven curation gate. Mann-Whitney
+    rank-sum WITHOUT a global corpus sort: distinct-score aggregation +
+    the sequence_pack-style two-phase prefix sum; integer numerator so
+    the value is float-order-stable."""
+    from smart_crawler_spark.operators.evalmetrics import roc_auc
+
+    return roc_auc(_quality_labels(spark, sf_dir), "quality", "y")
+
+
+def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (operators/evalmetrics.py calibration_bins):
+    10 equal-width bins over the quality score vs the is-English rate —
+    per-bin confidence, accuracy, and |gap| (the ECE ingredients). One
+    map-side bin assignment + one 10-row groupBy; per-bin mean score
+    reconstructed from an integer micro-unit sum."""
+    from smart_crawler_spark.operators.evalmetrics import calibration_bins
+
+    return calibration_bins(
+        _quality_labels(spark, sf_dir), "quality", "y", n_bins=10
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 
@@ -3948,6 +3985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_keys": fuzzy_join_keys,
         "pmi_collocations": pmi_collocations_q,
         "rrf_fusion": rrf_fusion,
+        "quality_auc": quality_auc,
+        "score_calibration": score_calibration,
     }
 
 
@@ -7501,5 +7540,72 @@ def oracle_sql() -> dict[str, str]:
         FROM fused
         QUALIFY fused_rank <= 20
         ORDER BY fused_rank
+    """
+    # (score, label) source shared by quality_auc / score_calibration:
+    # the quality_score formula (proven CTE above) vs lang = 'en'
+    ql = r"""
+        qm AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS DOUBLE) AS n_words
+            FROM documents
+        ),
+        ql AS (
+            SELECT round(least(n_words / 100.0, 1.0) * 0.4
+                     + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.3
+                     + (1 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 5, 1.0)) * 0.2
+                     + (1 - CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0 END) * 0.1, 6) AS s,
+                   (lang = 'en') AS y
+            FROM qm
+        )
+    """
+    out["quality_auc"] = f"""
+        WITH {ql},
+        g AS (
+            SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+                   sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+            FROM ql GROUP BY s
+        ),
+        c AS (
+            SELECT pos, neg,
+                   coalesce(sum(neg) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_lt
+            FROM g
+        ),
+        t AS (
+            SELECT sum(2 * neg_lt * pos + pos * neg) AS num2,
+                   sum(pos) AS np, sum(neg) AS nn
+            FROM c
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               round(CAST(num2 AS DOUBLE)
+                     / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)),
+                     6) AS auc
+        FROM t
+    """
+    out["score_calibration"] = f"""
+        WITH {ql},
+        b AS (
+            SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+                   CAST(round(s * 1000000) AS BIGINT) AS micro,
+                   CASE WHEN y THEN 1 ELSE 0 END AS yy
+            FROM ql
+        ),
+        a AS (
+            SELECT bin, count(*) AS n, sum(micro) AS sm, sum(yy) AS np
+            FROM b GROUP BY bin
+        )
+        SELECT bin, CAST(n AS BIGINT) AS n,
+               round(CAST(sm AS DOUBLE) / (1000000.0 * n), 6) AS mean_score,
+               round(CAST(np AS DOUBLE) / n, 6) AS pos_rate,
+               round(abs(round(CAST(sm AS DOUBLE) / (1000000.0 * n), 6)
+                         - round(CAST(np AS DOUBLE) / n, 6)), 6) AS abs_gap
+        FROM a ORDER BY bin
     """
     return out

@@ -59,6 +59,7 @@ HEADLINE = [
     "fuzzy_join_keys",
     "pmi_collocations",
     "rrf_fusion",
+    "quality_auc",
 ]
 
 

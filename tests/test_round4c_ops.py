@@ -151,3 +151,103 @@ def test_rrf_topn_and_ties(spark):
     out = rrf_fuse(a, a, topn=5).collect()
     assert [r["id"] for r in out] == [0, 1, 2, 3, 4]
     assert [r["fused_rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+# ----------------------------------------------------------- evalmetrics
+
+
+def _auc_brute(pairs):
+    """Tie-aware AUC by definition: mean over (pos, neg) pairs of
+    win=1 / tie=0.5 / loss=0."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    tot = 0.0
+    for p in pos:
+        for n in neg:
+            tot += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return tot / (len(pos) * len(neg))
+
+
+def test_roc_auc_golden_and_ties(spark):
+    from smart_crawler_spark.operators.evalmetrics import roc_auc
+
+    cases = [
+        # wins 2 (0.9 beats both negs), loss 1, tie 0.5 -> 0.625
+        [(0.9, True), (0.8, False), (0.7, True), (0.7, False)],
+        # perfect separation
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        # inverted
+        [(0.1, True), (0.2, True), (0.8, False), (0.9, False)],
+        # all tied -> 0.5
+        [(0.5, True), (0.5, False), (0.5, True), (0.5, False)],
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "score double, label boolean")
+        row = roc_auc(df).first()
+        assert row["n_pos"] == sum(1 for _, y in pairs if y)
+        assert row["n_neg"] == sum(1 for _, y in pairs if not y)
+        assert abs(row["auc"] - round(_auc_brute(pairs), 6)) < 1e-9
+
+
+def test_roc_auc_random_differential(spark):
+    from smart_crawler_spark.operators.evalmetrics import roc_auc
+
+    rng = random.Random(7)
+    # heavy ties: scores drawn from a 12-value grid, labels correlated
+    pairs = [
+        (round(rng.randint(0, 11) / 11.0, 6), rng.random() < 0.3 + 0.4 * (rng.randint(0, 11) > 5))
+        for _ in range(400)
+    ]
+    # regenerate with label depending on the SAME score draw
+    pairs = []
+    for _ in range(400):
+        s = round(rng.randint(0, 11) / 11.0, 6)
+        pairs.append((s, rng.random() < 0.2 + 0.6 * s))
+    if not any(y for _, y in pairs) or all(y for _, y in pairs):
+        pairs[0] = (pairs[0][0], True)
+        pairs[1] = (pairs[1][0], False)
+    df = spark.createDataFrame(pairs, "score double, label boolean")
+    got = roc_auc(df).first()["auc"]
+    assert abs(got - round(_auc_brute(pairs), 6)) < 1e-9
+
+
+def test_calibration_bins_golden(spark):
+    from smart_crawler_spark.operators.evalmetrics import calibration_bins
+
+    df = spark.createDataFrame(
+        [
+            (0.05, False),
+            (0.15, False),
+            (0.15, True),
+            (0.95, True),
+            (0.95, True),
+            (1.0, True),  # score 1.0 clamps into the last bin
+        ],
+        "score double, label boolean",
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(rows) == {0, 1, 9}
+    assert rows[0]["n"] == 1 and rows[0]["pos_rate"] == 0.0
+    assert rows[1]["n"] == 2
+    assert abs(rows[1]["mean_score"] - 0.15) < 1e-9
+    assert abs(rows[1]["pos_rate"] - 0.5) < 1e-9
+    assert rows[9]["n"] == 3
+    assert abs(rows[9]["mean_score"] - round((0.95 + 0.95 + 1.0) / 3, 6)) < 1e-9
+    assert rows[9]["pos_rate"] == 1.0
+    assert abs(rows[9]["abs_gap"] - round(1.0 - round(2.9 / 3, 6), 6)) < 1e-9
+
+
+def test_roc_auc_plan_two_phase(spark):
+    """The only unpartitioned window must be over the 64-row bucket
+    offsets; the distinct-score window is bucket-partitioned; no
+    cartesian; broadcast offset join."""
+    from smart_crawler_spark.operators.evalmetrics import roc_auc
+
+    df = spark.createDataFrame(
+        [(i / 100.0, i % 3 == 0) for i in range(100)],
+        "score double, label boolean",
+    )
+    plan = roc_auc(df)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 2  # in-bucket + offset windows
