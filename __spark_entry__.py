@@ -3798,6 +3798,52 @@ def _quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/evalmetrics.py cohens_kappa) between
+    the quality gate (heuristic quality >= 0.77, the corpus median) and
+    the is-English label — the bias audit asking whether the quality
+    threshold is secretly a language filter. One map-side projection +
+    one 1-row contingency aggregate, integer arithmetic to the end."""
+    from smart_crawler_spark.operators.evalmetrics import cohens_kappa
+
+    ql = _quality_labels(spark, sf_dir)
+    return cohens_kappa(
+        ql.select((F.col("quality") >= 0.77).alias("a"), F.col("y").alias("b"))
+    )
+
+
+def bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking (operators/evalmetrics.py
+    ndcg_at_k): graded relevance = total occurrences of the query
+    terms in the doc, so the metric asks "does BM25 put term-dense
+    docs first" — the IR-eval closer pairing with quality_auc
+    (classification) and score_calibration (reliability). DCG joins
+    labels onto the 10-row list; IDCG is one TakeOrdered top-k over
+    the label table."""
+    from smart_crawler_spark.operators.evalmetrics import ndcg_at_k
+    from smart_crawler_spark.operators.textops import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "window", "merge"]
+    ranked = bm25_topk(docs, terms, k=10)
+    rels = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        # grade capped at 16: keeps 2^rel finite whatever the corpus
+        .agg(F.least(F.count(F.lit(1)), F.lit(16)).alias("rel"))
+    )
+    return ndcg_at_k(ranked, rels, k=10, id_col="doc_id", rel_col="rel")
+
+
 def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC (operators/evalmetrics.py roc_auc) of
     the heuristic quality score discriminating English documents — the
@@ -3987,6 +4033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": rrf_fusion,
         "quality_auc": quality_auc,
         "score_calibration": score_calibration,
+        "bm25_ndcg": bm25_ndcg,
+        "gate_agreement_kappa": gate_agreement_kappa,
     }
 
 
@@ -7607,5 +7655,105 @@ def oracle_sql() -> dict[str, str]:
                round(abs(round(CAST(sm AS DOUBLE) / (1000000.0 * n), 6)
                          - round(CAST(np AS DOUBLE) / n, 6)), 6) AS abs_gap
         FROM a ORDER BY bin
+    """
+    out["bm25_ndcg"] = """
+        WITH wrds AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, unnest(ws) AS term FROM wrds),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM wrds),
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM toks
+            WHERE term IN ('spark', 'window', 'merge')
+            GROUP BY 1, 2
+        ),
+        rel AS (
+            SELECT doc_id, least(CAST(sum(tf) AS BIGINT), 16) AS rel
+            FROM tf GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT avg(dl) FROM dl) AS avgdl
+        ),
+        idf AS (
+            SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (
+                SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM tf GROUP BY 1
+            ), stats
+        ),
+        bm AS (
+            SELECT tf.doc_id,
+                   round(sum(idf.idf * (tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / stats.avgdl)))), 4) AS score
+            FROM tf
+            JOIN idf USING (term)
+            JOIN dl USING (doc_id), stats
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM bm QUALIFY rank <= 10
+        ),
+        dcg AS (
+            SELECT round(sum(
+                       (power(2.0, CAST(coalesce(rel.rel, 0) AS DOUBLE))
+                        - 1.0)
+                       / log2(CAST(ranked.rank AS DOUBLE) + 1.0)), 6)
+                       AS dcg
+            FROM ranked LEFT JOIN rel USING (doc_id)
+        ),
+        ideal AS (
+            SELECT rel,
+                   row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+                       AS rank
+            FROM rel QUALIFY rank <= 10
+        ),
+        idcg AS (
+            SELECT round(sum((power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                             / log2(CAST(rank AS DOUBLE) + 1.0)), 6)
+                       AS idcg
+            FROM ideal
+        )
+        SELECT CAST(10 AS INTEGER) AS k, dcg.dcg, idcg.idcg,
+               round(dcg.dcg / idcg.idcg, 6) AS ndcg
+        FROM dcg, idcg
+    """
+    out["gate_agreement_kappa"] = f"""
+        WITH {ql},
+        c AS (
+            SELECT sum(CASE WHEN s >= 0.77 AND y THEN 1 ELSE 0 END) AS tt,
+                   sum(CASE WHEN s >= 0.77 AND NOT y THEN 1 ELSE 0 END) AS tf,
+                   sum(CASE WHEN s < 0.77 AND y THEN 1 ELSE 0 END) AS ft,
+                   sum(CASE WHEN s < 0.77 AND NOT y THEN 1 ELSE 0 END) AS ff
+            FROM ql
+        )
+        SELECT CAST(tt + tf + ft + ff AS BIGINT) AS n,
+               round(CAST(tt + ff AS DOUBLE)
+                     / (tt + tf + ft + ff), 6) AS p_o,
+               round(CAST((tt + tf) * (tt + ft)
+                          + (ft + ff) * (tf + ff) AS DOUBLE)
+                     / (CAST(tt + tf + ft + ff AS DOUBLE)
+                        * CAST(tt + tf + ft + ff AS DOUBLE)), 6) AS p_e,
+               round((CAST(tt + ff AS DOUBLE) / (tt + tf + ft + ff)
+                      - CAST((tt + tf) * (tt + ft)
+                             + (ft + ff) * (tf + ff) AS DOUBLE)
+                        / (CAST(tt + tf + ft + ff AS DOUBLE)
+                           * CAST(tt + tf + ft + ff AS DOUBLE)))
+                     / (1.0
+                        - CAST((tt + tf) * (tt + ft)
+                               + (ft + ff) * (tf + ff) AS DOUBLE)
+                          / (CAST(tt + tf + ft + ff AS DOUBLE)
+                             * CAST(tt + tf + ft + ff AS DOUBLE))),
+                     6) AS kappa
+        FROM c
     """
     return out

@@ -157,3 +157,105 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k (Jarvelin & Kekalainen 2002) of a ranked retrieval list
+    against graded relevance labels: DCG = sum over the top-k of
+    (2^rel - 1)/log2(rank+1), normalized by the ideal DCG of the k most
+    relevant items in the WHOLE label table. The ranking-quality
+    counterpart to roc_auc's classification audit.
+
+    Inputs: ``ranked`` carries (id, rank) — a retriever's k-bounded
+    output (bm25_topk / cosine_topk / rrf_fuse); ``rels`` carries
+    (id, rel) graded relevance. Items missing a label count rel=0.
+
+    Scale shape: the DCG side joins labels onto a <=k-row list; the
+    IDCG side is one TakeOrderedAndProject over the label table (top-k
+    by relevance — no global sort materialized) plus a k-row window.
+    Ties in relevance don't affect IDCG (equal rel => equal gain at
+    either position), so the value is deterministic.
+
+    Returns one row: (k, dcg, idcg, ndcg), rounded to 6 dp."""
+    gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0) / F.log2(
+        F.col("rank").cast("double") + 1.0
+    )
+    dcg = (
+        ranked.filter(F.col("rank") <= k)
+        .join(
+            rels.select(F.col(id_col), F.col(rel_col)), id_col, "left"
+        )
+        .na.fill({rel_col: 0})
+        .agg(F.round(F.sum(gain), 6).alias("dcg"))
+    )
+    ideal = (
+        rels.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(rel_col),
+            F.row_number()
+            .over(
+                Window.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+            )
+            .alias("rank"),
+        )
+        .agg(F.round(F.sum(gain), 6).alias("idcg"))
+    )
+    return dcg.crossJoin(ideal).select(
+        F.lit(k).cast("int").alias("k"),
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    two binary raters/gates: kappa = (p_o - p_e) / (1 - p_e) with
+    observed agreement p_o and chance agreement p_e from the raters'
+    marginals. The curation-pipeline use: quantify how much one gate
+    (a quality threshold, a classifier) is secretly re-deciding another
+    (a language label, a second classifier) beyond chance.
+
+    Scale shape: one map-side boolean projection + one 1-row aggregate
+    of four contingency counts; every derived quantity is integer
+    arithmetic until the two final divisions, so the statistic is exact
+    and partitioning-independent.
+
+    Returns one row: (n, p_o, p_e, kappa), rounded to 6 dp.
+    kappa is NULL when p_e = 1 (both raters constant — undefined)."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    c = df.agg(
+        F.sum((a & b).cast("long")).alias("tt"),
+        F.sum((a & ~b).cast("long")).alias("tf"),
+        F.sum((~a & b).cast("long")).alias("ft"),
+        F.sum((~a & ~b).cast("long")).alias("ff"),
+    )
+    n = F.col("tt") + F.col("tf") + F.col("ft") + F.col("ff")
+    # integer numerators: po_num/n and pe_num/n^2
+    po_num = F.col("tt") + F.col("ff")
+    pe_num = (F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft")) + (
+        F.col("ft") + F.col("ff")
+    ) * (F.col("tf") + F.col("ff"))
+    nd = n.cast("double")
+    po = po_num.cast("double") / nd
+    pe = pe_num.cast("double") / (nd * nd)
+    return c.select(
+        n.cast("long").alias("n"),
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
+    )

@@ -251,3 +251,76 @@ def test_roc_auc_plan_two_phase(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") >= 2  # in-bucket + offset windows
+
+
+def test_ndcg_golden(spark):
+    from smart_crawler_spark.operators.evalmetrics import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, rank int"
+    )
+    # b has no label (rel 0); d is relevant but unretrieved
+    rels = spark.createDataFrame(
+        [("a", 3), ("c", 1), ("d", 2)], "id string, rel long"
+    )
+    row = ndcg_at_k(ranked, rels, k=3).first()
+    dcg = (2**3 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert abs(row["dcg"] - round(dcg, 6)) < 1e-9
+    assert abs(row["idcg"] - round(idcg, 6)) < 1e-9
+    assert abs(row["ndcg"] - round(round(dcg, 6) / round(idcg, 6), 6)) < 1e-9
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from smart_crawler_spark.operators.evalmetrics import ndcg_at_k
+
+    rels = spark.createDataFrame(
+        [(i, 10 - i) for i in range(10)], "id long, rel long"
+    )
+    ranked = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id long, rank int"
+    )
+    assert ndcg_at_k(ranked, rels, k=10, id_col="id").first()["ndcg"] == 1.0
+
+
+def test_cohens_kappa_golden(spark):
+    from smart_crawler_spark.operators.evalmetrics import cohens_kappa
+
+    # classic textbook table: tt=20, tf=5, ft=10, ff=15, n=50
+    rows = (
+        [(True, True)] * 20
+        + [(True, False)] * 5
+        + [(False, True)] * 10
+        + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df).first()
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 2500
+    assert r["n"] == 50
+    assert abs(r["p_o"] - round(po, 6)) < 1e-9
+    assert abs(r["p_e"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-9
+
+
+def test_cohens_kappa_extremes(spark):
+    from smart_crawler_spark.operators.evalmetrics import cohens_kappa
+
+    agree = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 3, "a boolean, b boolean"
+    )
+    assert cohens_kappa(agree).first()["kappa"] == 1.0
+    # perfect systematic disagreement -> kappa = -1
+    disagree = spark.createDataFrame(
+        [(True, False)] * 3 + [(False, True)] * 3, "a boolean, b boolean"
+    )
+    assert cohens_kappa(disagree).first()["kappa"] == -1.0
+    # constant raters: p_e = 1 -> kappa undefined (NULL)
+    const = spark.createDataFrame(
+        [(True, True)] * 4, "a boolean, b boolean"
+    )
+    assert cohens_kappa(const).first()["kappa"] is None
