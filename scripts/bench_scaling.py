@@ -23,6 +23,9 @@ bias. Jobs (the crawl hot path, sized so executor work dominates):
   graph      — pointer-jumping redirect resolution: 4 self-join rounds
                over an 8M-edge chain map (URL-string keys, untimed
                edge generation)
+  evalfuzzy  — exact ROC-AUC over 8M heavy-tie rows (closed-form 0.5
+               asserted) + FastSS fuzzy join over 440k doubled-hex
+               keys (exact planted-pair count asserted)
 
 Usage: python scripts/bench_scaling.py [--cpus 8,32] [--scale 1.0]
                                        [--jobs dedup,topk,links,crawl]
@@ -386,6 +389,55 @@ if "crawl_skew" in jobs:
                                 if k in ("round", "batch", "sec", "sec_fetch",
                                          "sec_sinks", "sec_state")}}
                               for m in res.metrics]}}
+
+# --- evalfuzzy: the model-eval + short-key-dedup kernels, both with
+# analytically exact expected outputs so correctness is verified while
+# being timed. (a) exact ROC-AUC over N rows whose two classes share
+# an IDENTICAL score distribution (4k pos + 4k neg per score value =
+# heavy ties): by the tie-aware symmetry argument AUC = 0.5 exactly,
+# so the distributed rank-sum (distinct-score agg + two-phase prefix
+# sum) is pinned to its closed form. (b) FastSS fuzzy self-join over
+# digit-DOUBLED hex keys: distinct doubled strings are >= 2 edits
+# apart, and a string with one odd run can be completed to a doubled
+# string by insertion in exactly one way — so each first-char-deletion
+# plant matches its own source and nothing else, and the expected pair
+# count is exact ------------------------------------------------------
+if "evalfuzzy" in jobs:
+    from smart_crawler_spark.operators.evalmetrics import roc_auc
+    from smart_crawler_spark.operators.fuzzy import fuzzy_self_join
+
+    N_SC = int(8_000_000 * scale)
+    # label alternates WITHIN each score group ((id//1000)%2, not
+    # id%2 — 1000 is even, so id%2 would correlate with the score
+    # residue and the closed form would not be 0.5)
+    scored = spark.range(N_SC).select(
+        ((F.col("id") % 1000) / 1000.0).alias("score"),
+        ((F.col("id") / 1000).cast("long") % 2 == 0).alias("label"))
+    n, dt_a = timed(lambda: roc_auc(scored, "score", "label"))
+    assert n == 1
+    row = roc_auc(scored, "score", "label").first()
+    assert row["auc"] == 0.5 and row["n_pos"] == N_SC // 2, row
+    out["auc"] = {{"rows": N_SC, "sec": round(dt_a, 3),
+                   "rows_per_sec": round(N_SC / dt_a)}}
+
+    N_FZ = int(400_000 * scale)
+    dbl = F.regexp_replace(
+        F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 12, "0"),
+        "(.)", "$1$1")
+    base = spark.range(N_FZ).select(
+        F.col("id").alias("kid"), dbl.alias("key"))
+    plants = base.filter(F.col("kid") % 10 == 0).select(
+        (F.col("kid") + 100_000_000).alias("kid"),
+        F.col("key").substr(F.lit(2), F.length("key")).alias("key"))
+    allk = base.unionByName(plants).localCheckpoint()
+    allk.count()
+    n_plants = (N_FZ + 9) // 10
+    nf, dt_f = timed(lambda: fuzzy_self_join(allk, "key", "kid",
+                                             max_dist=1))
+    assert nf == n_plants, (nf, n_plants)
+    out["fuzzy"] = {{"rows": N_FZ + n_plants, "sec": round(dt_f, 3),
+                     "rows_per_sec": round((N_FZ + n_plants) / dt_f),
+                     "pairs": nf}}
 
 # --- graph: pointer-jumping redirect resolution over a synthetic
 # redirect map (chains up to 12 hops, broken every 13th id) — 4 rounds
