@@ -44,6 +44,10 @@ line of per-stage row counts and wall seconds. Stages:
   split    leakage-safe train/val/test assignment per near-dup
            component (no dup pair straddles train and eval)
   card     the one-row corpus summary (docs, words, quality, languages)
+  eval     the quality gate's report card: exact ROC-AUC + Cohen's
+           kappa vs the is-English reference + 10-bin calibration table
+  hybrid   hybrid retrieval: BM25 lexical + cosine vector lists fused
+           by reciprocal rank (RRF)
   keepbest quality-aware dedup survivors (components keep their
            highest-quality member, not the min id)
   export   corpus -> deterministic WARC shard blobs (archive sink)
@@ -236,6 +240,56 @@ def main() -> None:
 
     if "card" in stages:
         run("card", lambda: textops.corpus_summary(docs))
+
+    if "eval" in stages:
+        # the quality gate's report card: does the heuristic score
+        # rank/agree with the is-English reference label (AUC, kappa),
+        # and is it calibrated (reliability bins)?
+        from smart_crawler_spark.operators.evalmetrics import (
+            calibration_bins,
+            cohens_kappa,
+            roc_auc,
+        )
+
+        def _scored():
+            return textops.quality_score(docs).select(
+                "doc_id", "quality"
+            ).join(
+                docs.select(
+                    "doc_id", (F.col("lang") == "en").alias("y")
+                ),
+                "doc_id",
+            )
+
+        run("eval_auc", lambda: roc_auc(_scored(), "quality", "y"))
+        run("eval_calibration", lambda: calibration_bins(
+            _scored(), "quality", "y", n_bins=10))
+        run("eval_kappa", lambda: cohens_kappa(
+            _scored().select(
+                (F.col("quality") >= 0.77).alias("a"),
+                F.col("y").alias("b"),
+            )))
+
+    if "hybrid" in stages:
+        # hybrid retrieval: BM25 lexical list + brute-force cosine
+        # vector list (query = vec 0), fused by reciprocal rank
+        def _hybrid():
+            from smart_crawler_spark.operators.simsearch import cosine_topk
+
+            emb = spark.read.parquet(
+                os.path.join(args.input, "embeddings.parquet")
+            )
+            lex = textops.bm25_topk(
+                docs, ["spark", "window", "merge"], k=100
+            )
+            vec = cosine_topk(
+                emb.filter(F.col("vec_id") == 0), emb, k=100
+            ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+            return textops.rrf_fuse(
+                lex, vec, id_col="doc_id", k_const=60, topn=20
+            )
+
+        run("hybrid", _hybrid)
 
     if "keepbest" in stages:
         # quality-aware survivor decision over the near-dup components
