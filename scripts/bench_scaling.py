@@ -402,9 +402,8 @@ if "crawl_skew" in jobs:
 # string by insertion in exactly one way — so each first-char-deletion
 # plant matches its own source and nothing else, and the expected pair
 # count is exact ------------------------------------------------------
-if "evalfuzzy" in jobs:
+if jobs & {{"evalfuzzy", "auc"}}:
     from smart_crawler_spark.operators.evalmetrics import roc_auc
-    from smart_crawler_spark.operators.fuzzy import fuzzy_self_join
 
     N_SC = int(8_000_000 * scale)
     # label alternates WITHIN each score group ((id//1000)%2, not
@@ -419,6 +418,9 @@ if "evalfuzzy" in jobs:
     assert row["auc"] == 0.5 and row["n_pos"] == N_SC // 2, row
     out["auc"] = {{"rows": N_SC, "sec": round(dt_a, 3),
                    "rows_per_sec": round(N_SC / dt_a)}}
+
+if jobs & {{"evalfuzzy", "fuzzy"}}:
+    from smart_crawler_spark.operators.fuzzy import fuzzy_self_join
 
     N_FZ = int(400_000 * scale)
     dbl = F.regexp_replace(
