@@ -3798,6 +3798,17 @@ def _quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus fingerprint (operators/textops.py zipf_fit):
+    ln-freq ~ ln-rank least squares over the top-1000 words plus exact
+    vocab/token counts — the drift detector a per-ingest-batch audit
+    runs next to corpus_summary. One word-count groupBy, top-n via
+    TakeOrdered, regression sums over the bounded 1000-row frame."""
+    from smart_crawler_spark.operators.textops import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
 def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa (operators/evalmetrics.py cohens_kappa) between
     the quality gate (heuristic quality >= 0.77, the corpus median) and
@@ -4035,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": score_calibration,
         "bm25_ndcg": bm25_ndcg,
         "gate_agreement_kappa": gate_agreement_kappa,
+        "zipf_fit": zipf_fit_q,
     }
 
 
@@ -7755,5 +7767,46 @@ def oracle_sql() -> dict[str, str]:
                              * CAST(tt + tf + ft + ff AS DOUBLE))),
                      6) AS kappa
         FROM c
+    """
+    out["zipf_fit"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '[^a-z0-9]+'),
+                          x -> x <> '')) AS w
+            FROM documents
+        ),
+        wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+        tot AS (
+            SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab
+            FROM wf
+        ),
+        top AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+            FROM wf QUALIFY rank <= 1000
+        ),
+        pts AS (
+            SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM top
+        ),
+        s AS (
+            SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy
+            FROM pts
+        )
+        SELECT tot.n_tokens, tot.vocab, CAST(s.k AS BIGINT) AS n_top,
+               round((s.k * s.sxy - s.sx * s.sy)
+                     / (s.k * s.sxx - s.sx * s.sx), 6) AS slope,
+               round((s.sy - ((s.k * s.sxy - s.sx * s.sy)
+                              / (s.k * s.sxx - s.sx * s.sx)) * s.sx)
+                     / s.k, 6) AS intercept,
+               round(((s.k * s.sxy - s.sx * s.sy)
+                      * (s.k * s.sxy - s.sx * s.sy))
+                     / ((s.k * s.sxx - s.sx * s.sx)
+                        * (s.k * s.syy - s.sy * s.sy)), 6) AS r2
+        FROM tot, s
     """
     return out

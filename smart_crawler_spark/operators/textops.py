@@ -1828,3 +1828,70 @@ def rrf_fuse(
         .over(Window.orderBy(F.desc("rrf_score"), F.col("id").asc()))
         .alias("fused_rank"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law corpus fingerprint: least-squares fit of
+    ln(freq) ~ ln(rank) over the ``top_n`` most frequent words, plus
+    the exact vocabulary / token counts (the Heaps-law point). Natural
+    corpora fit slope ~ -1 with high R^2; synthetic, templated, or
+    heavily-duplicated corpora deviate — a one-row drift detector to
+    run per ingest batch next to corpus_summary.
+
+    Scale shape: one corpus-keyed word-count groupBy (map-side partial
+    agg); the top-n selection plans as TakeOrderedAndProject (no global
+    sort materialized); the rank window and the regression sums run
+    over the bounded top-n frame. Ties in frequency rank by ascending
+    word so the fit is deterministic.
+
+    Output one row: (n_tokens, vocab, n_top, slope, intercept, r2),
+    floats rounded to 6 dp."""
+    wf = (
+        docs.select(F.explode(_word_list(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = wf.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    top = (
+        wf.orderBy(F.desc("freq"), F.col("w").asc())
+        .limit(top_n)
+        .select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.col("w").asc()))
+            .alias("rank"),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov, varx, vary = (
+        k * sxy - sx * sy,
+        k * sxx - sx * sx,
+        k * syy - sy * sy,
+    )
+    fitted = s.select(
+        F.col("k").cast("long").alias("n_top"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / k, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+    return totals.crossJoin(fitted)

@@ -324,3 +324,43 @@ def test_cohens_kappa_extremes(spark):
         [(True, True)] * 4, "a boolean, b boolean"
     )
     assert cohens_kappa(const).first()["kappa"] is None
+
+
+def test_zipf_fit_golden(spark):
+    from smart_crawler_spark.operators.textops import zipf_fit
+
+    # exact power-law corpus: word w_r appears round(64/r) times for
+    # r=1..8 -> the ln-ln fit is near slope -1 with r2 ~ 1
+    rows = []
+    for r in range(1, 9):
+        rows.extend([f"w{r}"] * round(64 / r))
+    docs = spark.createDataFrame(
+        [(1, " ".join(rows))], "doc_id long, text string"
+    )
+    got = zipf_fit(docs, top_n=8).first()
+    freqs = sorted((round(64 / r) for r in range(1, 9)), reverse=True)
+    assert got["n_tokens"] == sum(freqs)
+    assert got["vocab"] == 8 and got["n_top"] == 8
+    xs = [math.log(i + 1) for i in range(8)]
+    ys = [math.log(f) for f in freqs]
+    k = 8.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert abs(got["slope"] - slope) < 1e-4
+    assert -1.1 < got["slope"] < -0.9
+    assert got["r2"] > 0.99
+
+
+def test_zipf_ties_rank_deterministically(spark):
+    from smart_crawler_spark.operators.textops import zipf_fit
+
+    # all words same frequency: slope 0, r2 NaN-free guard not needed
+    # (vary=0 -> r2 division by zero yields NULL/NaN; pin slope=0)
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc aa bb cc")], "doc_id long, text string"
+    )
+    got = zipf_fit(docs, top_n=3).first()
+    assert got["slope"] == 0.0
+    assert got["n_tokens"] == 6 and got["vocab"] == 3
