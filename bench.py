@@ -60,6 +60,8 @@ HEADLINE = [
     "pmi_collocations",
     "rrf_fusion",
     "quality_auc",
+    "bm25_ndcg",
+    "zipf_fit",
 ]
 
 
