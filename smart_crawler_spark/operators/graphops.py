@@ -64,15 +64,33 @@ def pagerank(
     )
     nparts = int(nparts)
 
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # node table annotated ONCE with a has-out-edges flag: the dangling
+    # term is then an agg over the checkpointed rank table (no
+    # per-iteration anti-join), and skipped entirely when the one-time
+    # census proves the graph has no dangling nodes at all
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionAll(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .join(
+            deg.select(
+                F.col("_src").alias("node"), F.lit(True).alias("_hasout")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("_hasout", F.lit(False)).alias("_hasout")
+        )
         .repartition(nparts, "node")
         .localCheckpoint()
     )
-    n = nodes.count()
-    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    census = nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("_hasout"), 1).otherwise(0)).alias("ndang"),
+    ).collect()[0]
+    n, has_dangling = census["n"], census["ndang"] > 0
     # edge table annotated with out-degree, laid out by src once; every
     # iteration probes this layout with the (small) rank table
     ed = (
@@ -81,36 +99,37 @@ def pagerank(
         .localCheckpoint()
     )
 
-    ranks = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
+    ranks = nodes.select("node", "_hasout", (F.lit(1.0) / n).alias("pr"))
     for k in range(iters):
         contribs = (
             ed.join(ranks, ed._src == ranks.node)
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_c"))
         )
-        # rank mass sitting on dangling nodes (no out-edges), as a
-        # 1-row frame broadcast into the update: no driver collect
-        dangling = (
-            ranks.join(deg, ranks.node == deg._src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
-                ).alias("pr"),
+        upd = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            # rank mass sitting on dangling nodes (no out-edges), as a
+            # 1-row frame broadcast into the update: no driver collect
+            dangling = ranks.filter(~F.col("_hasout")).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
             )
+            upd = upd.crossJoin(F.broadcast(dangling))
+        else:
+            upd = upd.withColumn("_dm", F.lit(0.0))
+        ranks = upd.select(
+            "node",
+            "_hasout",
+            (
+                F.lit((1.0 - damping) / n)
+                + damping
+                * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
+            ).alias("pr"),
         )
         if checkpoint_interval > 0 and (
             (k + 1) % checkpoint_interval == 0 or k == iters - 1
         ):
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("node", "pr")
 
 
 def hits(
@@ -617,49 +636,63 @@ def personalized_pagerank(
     n_seeds = s.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # same one-time dangling census as pagerank: the per-iteration
+    # dangling job (agg + broadcast) only exists when dangling nodes do
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionAll(e.select(F.col("_dst").alias("node")))
         .distinct()
         .join(s.select("node", F.lit(True).alias("_s")), "node", "left")
+        .join(
+            deg.select(
+                F.col("_src").alias("node"), F.lit(True).alias("_hasout")
+            ),
+            "node",
+            "left",
+        )
         .select(
             "node",
             F.when(F.col("_s"), F.lit(1.0 / n_seeds))
             .otherwise(F.lit(0.0))
             .alias("_t"),
+            F.coalesce("_hasout", F.lit(False)).alias("_hasout"),
         )
         .repartition(nparts, "node")
         .localCheckpoint()
     )
-    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    has_dangling = (
+        nodes.filter(~F.col("_hasout")).limit(1).count() > 0
+    )
     ed = e.join(deg, "_src").repartition(nparts, "_src").localCheckpoint()
 
-    ranks = nodes.select("node", "_t", F.col("_t").alias("pr"))
+    ranks = nodes.select("node", "_t", "_hasout", F.col("_t").alias("pr"))
     for k in range(iters):
         contribs = (
             ed.join(ranks, ed._src == ranks.node)
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_c"))
         )
-        dangling = (
-            ranks.join(deg, ranks.node == deg._src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "_t",
-                (
-                    F.lit(1.0 - damping) * F.col("_t")
-                    + damping
-                    * (
-                        F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.col("_dm") * F.col("_t")
-                    )
-                ).alias("pr"),
+        upd = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            dangling = ranks.filter(~F.col("_hasout")).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
             )
+            upd = upd.crossJoin(F.broadcast(dangling))
+        else:
+            upd = upd.withColumn("_dm", F.lit(0.0))
+        ranks = upd.select(
+            "node",
+            "_t",
+            "_hasout",
+            (
+                F.lit(1.0 - damping) * F.col("_t")
+                + damping
+                * (
+                    F.coalesce(F.col("_c"), F.lit(0.0))
+                    + F.col("_dm") * F.col("_t")
+                )
+            ).alias("pr"),
         )
         if checkpoint_interval > 0 and (
             (k + 1) % checkpoint_interval == 0 or k == iters - 1
