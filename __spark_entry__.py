@@ -1443,6 +1443,122 @@ def streaming_session_window(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked inner join (streaming/ingest.py
+    fetch_latency_join: dispatch stream x response stream on url,
+    response within 5 minutes of dispatch, 2-minute watermarks, append
+    mode). Two availableNow waves share one checkpoint:
+
+    - wave 1: a dispatch per event_id < 200 at minute id%11 (0..10);
+      responses for id%3 != 0 at +1/+2 minutes (JOIN — same batch) and
+      for id%3 == 0 at +7 minutes (latency > 5 min: the range condition
+      excludes them even though both rows share the micro-batch). Max
+      dispatch 10:00, max response 17:00 -> committed global watermark
+      min(8:00, 15:00) = 8:00.
+    - wave 2: responses ONLY, for the id%3 == 0 dispatches that are
+      still unmatched. Dispatches at minute >= 7 are still in state
+      (evictable only when watermark > dispatch+5 > 12:00 > 8:00), so
+      their +2 responses (minutes 9..12, above the 8:00 watermark) JOIN
+      across the batch boundary through the state store. Dispatches at
+      minute < 3 were evicted (dispatch+5 < 8:00) and their +4
+      responses (minutes <= 6) sit below the watermark — dropped on
+      input; emitting them would duplicate nothing but joining them
+      would resurrect evicted state, either way a hash mismatch.
+      Minutes 3..6 are left out of wave 2: their eviction timing sits
+      on the watermark boundary, and the gate only plants rows whose
+      fate is unambiguous.
+
+    The oracle states the joined multiset in SQL: wave-1 in-bound pairs
+    plus wave-2 pairs whose dispatch minute >= 7."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        fetch_latency_join,
+        read_candidate_stream,
+        read_response_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_join_")
+    disp_dir = f"{base}/dispatches"
+    resp_dir = f"{base}/responses"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/out"
+    base_epoch = 1709251200  # 2024-03-01 00:00:00 UTC, as late_drop
+    try:
+        ev = _t(spark, sf_dir, "events")
+        w1 = ev.filter(F.col("event_id") < 200)
+        url = F.concat(
+            F.lit("http://h"),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit(".test/p/"),
+            F.col("event_id").cast("string"),
+        )
+        ts = lambda minute: F.timestamp_seconds(  # noqa: E731
+            F.lit(base_epoch) + minute.cast("long") * 60
+        )
+        d_min = F.col("event_id") % 11
+
+        def run_wave() -> None:
+            q = (
+                fetch_latency_join(
+                    read_candidate_stream(spark, disp_dir),
+                    read_response_stream(spark, resp_dir),
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # wave 1: every dispatch + in-bound/out-of-bound responses
+        w1.select(
+            url.alias("url"),
+            F.lit("dir").alias("page_class"),
+            F.lit(0).cast("int").alias("class_depth"),
+            F.lit(None).cast("string").alias("form_params"),
+            ts(d_min).alias("event_ts"),
+        ).coalesce(1).write.mode("overwrite").json(disp_dir)
+        r1_min = F.when(
+            F.col("event_id") % 3 != 0,
+            d_min + 1 + F.col("event_id") % 2,
+        ).otherwise(d_min + 7)
+        w1.select(
+            url.alias("url"),
+            F.when(F.col("event_id") % 7 == 0, 404)
+            .otherwise(200)
+            .cast("int")
+            .alias("status"),
+            ts(r1_min).alias("event_ts"),
+        ).coalesce(1).write.mode("overwrite").json(resp_dir)
+        run_wave()
+
+        # wave 2: responses only, for the still-unmatched id%3 == 0
+        # dispatches outside the watermark gray zone
+        w2 = w1.filter(
+            (F.col("event_id") % 3 == 0)
+            & ((d_min >= 7) | (d_min < 3))
+        )
+        r2_min = F.when(d_min >= 7, d_min + 2).otherwise(d_min + 4)
+        w2.select(
+            url.alias("url"),
+            F.lit(200).cast("int").alias("status"),
+            ts(r2_min).alias("event_ts"),
+        ).coalesce(1).write.mode("append").json(resp_dir)
+        run_wave()
+
+        out = spark.read.parquet(out_dir).select(
+            "url", "host", "dispatch_s", "response_s", "latency_s", "status"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("url")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimation (§2.6: approx_count_distinct at
     10^10 scale, where exact countDistinct would shuffle every key).
@@ -3943,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_host_rate": streaming_host_rate,
         "streaming_late_drop": streaming_late_drop,
         "streaming_session_window": streaming_session_window,
+        "streaming_fetch_join": streaming_fetch_join,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -5051,6 +5168,37 @@ def oracle_sql() -> dict[str, str]:
                    host, count(*) AS n_urls
             FROM ontime GROUP BY host, m
             ORDER BY start, host
+        """,
+        # stream-stream join: the joined multiset stated in SQL —
+        # wave-1 in-bound pairs (latency 1-2 min; the +7 responses fail
+        # the 5-minute range condition) plus wave-2 cross-batch pairs
+        # whose dispatch (minute >= 7) was still in the state store;
+        # wave-2 late responses (dispatch minute < 3) are dropped
+        "streaming_fetch_join": """
+            WITH d AS (
+                SELECT event_id,
+                       'http://h' || (event_id % 3) || '.test/p/'
+                           || event_id AS url,
+                       'h' || (event_id % 3) || '.test' AS host,
+                       (event_id % 11) AS dm
+                FROM events WHERE event_id < 200
+            ),
+            j AS (
+                SELECT url, host, dm,
+                       dm + 1 + (event_id % 2) AS rm,
+                       CASE WHEN event_id % 7 = 0 THEN 404
+                            ELSE 200 END AS status
+                FROM d WHERE event_id % 3 <> 0
+                UNION ALL
+                SELECT url, host, dm, dm + 2 AS rm, 200 AS status
+                FROM d WHERE event_id % 3 = 0 AND dm >= 7
+            )
+            SELECT url, host,
+                   1709251200 + dm * 60 AS dispatch_s,
+                   1709251200 + rm * 60 AS response_s,
+                   (rm - dm) * 60 AS latency_s,
+                   status
+            FROM j ORDER BY url
         """,
         # streaming session windows: the identical planted multiset
         # minus late rows and closers, gaps-and-islands with the same

@@ -192,6 +192,77 @@ def session_stats(
     )
 
 
+RESPONSE_SCHEMA = "url string, status int, event_ts timestamp"
+
+
+def read_response_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of fetch responses (one JSON object per line)."""
+    return (
+        spark.readStream.schema(RESPONSE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(path)
+    )
+
+
+def fetch_latency_join(
+    dispatches: DataFrame,
+    responses: DataFrame,
+    max_latency: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream inner join of fetch DISPATCHES with fetch
+    RESPONSES on url, bounded by event time: a response joins its
+    dispatch only if it lands within ``max_latency`` of the dispatch.
+    This is the canonical two-stream watermarked join (the
+    impression-click shape), in crawl terms: per-fetch latency
+    attribution without ever materializing either stream.
+
+    Engine semantics the gate pins down (StreamingSymmetricHashJoin):
+    - matches EMIT immediately in the micro-batch where the second row
+      arrives — inner joins never wait for the watermark;
+    - dispatch state is evicted once the watermark passes
+      ``dispatch_ts + max_latency`` (the row can no longer match), so a
+      response arriving after that is droppable on input — its own
+      event time is below the response-side state watermark — and
+      deterministically produces nothing;
+    - the time-range condition runs inside the join, so an
+      out-of-bound response (latency > ``max_latency``) is excluded
+      even when both rows share a micro-batch.
+
+    Epoch-second output columns keep the oracle timezone-proof."""
+    d = dispatches.select(
+        "url", F.col("event_ts").alias("dispatch_ts")
+    ).withWatermark("dispatch_ts", watermark)
+    r = responses.select(
+        F.col("url").alias("r_url"),
+        "status",
+        F.col("event_ts").alias("response_ts"),
+    ).withWatermark("response_ts", watermark)
+    return (
+        d.join(
+            r,
+            (d.url == r.r_url)
+            & (r.response_ts >= d.dispatch_ts)
+            & (
+                r.response_ts
+                <= d.dispatch_ts + F.expr(f"INTERVAL {max_latency}")
+            ),
+            "inner",
+        )
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            F.col("dispatch_ts").cast("long").alias("dispatch_s"),
+            F.col("response_ts").cast("long").alias("response_s"),
+            (
+                F.col("response_ts").cast("long")
+                - F.col("dispatch_ts").cast("long")
+            ).alias("latency_s"),
+            "status",
+        )
+    )
+
+
 def start_image_ingest(
     images: DataFrame,
     ledger_dir: str,

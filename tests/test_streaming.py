@@ -168,3 +168,94 @@ def test_image_ingest_ledger_batch_split_independent(spark, tmp_path):
         if ci % 4 != 0 and ci % 3 != 0 and ci % 5 != 4
     }
     assert kept_ids == want
+
+
+def _resp(url, status, ts):
+    return {"url": url, "status": status, "event_ts": ts}
+
+
+def test_fetch_join_bounds_and_cross_batch_state(spark, tmp_path):
+    """Stream-stream join semantics the entry gate relies on: in-bound
+    pairs emit immediately, out-of-bound (latency > 5 min) pairs never
+    emit, a wave-2 response joins a wave-1 dispatch through the state
+    store, and a wave-2 response below the watermark whose dispatch was
+    evicted produces nothing."""
+    from smart_crawler_spark.streaming.ingest import (
+        fetch_latency_join,
+        read_response_stream,
+    )
+
+    disp = tmp_path / "disp"
+    resp = tmp_path / "resp"
+    disp.mkdir()
+    resp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def m(minute):  # minute -> ISO event_ts on a fixed date
+        return f"2024-03-01T00:{minute:02d}:00"
+
+    def run_wave():
+        q = (
+            fetch_latency_join(
+                read_candidate_stream(spark, str(disp)),
+                read_response_stream(spark, str(resp)),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: dispatches at 0 and 9; responses in-bound for /fast,
+    # out-of-bound (+7) for /slow; a max-minute-17 response row pushes
+    # the committed watermark to min(9, 17) - 2 = 7
+    _write_batch(
+        disp,
+        [
+            _cand("http://h.test/old", m(0)),
+            _cand("http://h.test/open", m(9)),
+            _cand("http://h.test/fast", m(9)),
+        ],
+        "d1",
+    )
+    _write_batch(
+        resp,
+        [
+            _resp("http://h.test/fast", 200, m(10)),  # latency 1: join
+            _resp("http://h.test/old", 200, m(7)),  # latency 7: no join
+            _resp("http://x.test/none", 200, m(17)),  # watermark pusher
+        ],
+        "r1",
+    )
+    run_wave()
+    got1 = {
+        (r["url"], r["latency_s"], r["status"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {("http://h.test/fast", 60, 200)}
+
+    # wave 2: /open's dispatch (minute 9; evictable only past 14) is
+    # still in state -> its minute-11 response joins cross-batch; /old's
+    # dispatch (minute 0; evictable past 5 < watermark 7) is gone and
+    # the minute-3 response is below the watermark -> nothing
+    _write_batch(
+        resp,
+        [
+            _resp("http://h.test/open", 404, m(11)),
+            _resp("http://h.test/old", 200, m(3)),
+        ],
+        "r2",
+    )
+    run_wave()
+    got2 = {
+        (r["url"], r["latency_s"], r["status"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        ("http://h.test/fast", 60, 200),
+        ("http://h.test/open", 120, 404),
+    }
