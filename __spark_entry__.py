@@ -1796,6 +1796,31 @@ def video_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_sample_verified(spark, "mjpeg")
 
 
+def video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (operators/images.py scene_cuts):
+    adjacent-frame mean-absolute-difference over REAL decoded frames,
+    cut where MAD > 16. The datagen plants scene structure
+    (datagen/images.py scene_frame_pixels: scene length 4 + vid%3,
+    +2-per-frame in-scene brightness drift, independent draws across
+    scenes) on a MIXED corpus — y4m for vid%5 != 4, AVI/MJPEG q98 for
+    vid%5 == 4, so the threshold must also clear compressed decode
+    noise. The oracle predicts every cut position closed-form from the
+    plant rule: multiples of the per-video scene length below
+    n_frames=12."""
+    from smart_crawler_spark.datagen.images import generate_videos
+    from smart_crawler_spark.operators.images import scene_cuts
+
+    vid_num = F.substring("video_id", 4, 10).cast("int")
+    y = generate_videos(spark, 60, n_frames=12, fmt="y4m", scene_every=4)
+    m = generate_videos(spark, 60, n_frames=12, fmt="mjpeg", scene_every=4)
+    corpus = y.filter(vid_num % 5 != 4).unionByName(
+        m.filter(vid_num % 5 == 4)
+    )
+    return scene_cuts(corpus, threshold=16.0).orderBy(
+        "video_id", "cut_frame"
+    )
+
+
 def _aspect_sql_case(w_expr: str, h_expr: str) -> str:
     """The aspect-bucket CASE in DuckDB SQL, generated from the SAME
     ladder constants the Spark plan bakes in (operators/images.py
@@ -4069,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment_verify": image_augment_verify_q,
         "video_frame_sample": video_frame_sample,
         "video_frame_sample_mjpeg": video_frame_sample_mjpeg,
+        "video_scene_cuts": video_scene_cuts_q,
         "audio_features": audio_features,
         "supplier_region_stats": supplier_region_stats,
         "skew_salted_agg": skew_salted_agg,
@@ -5337,6 +5363,16 @@ def oracle_sql() -> dict[str, str]:
             FROM range(500) t(i),
                  (VALUES ('hflip'), ('rot90')) a(aug)
             ORDER BY image_id, aug
+        """,
+        # scene cuts: the plant rule puts a hard cut at every multiple
+        # of the per-video scene length (4 + v%3) below n_frames=12
+        "video_scene_cuts": """
+            SELECT 'vid' || v AS video_id,
+                   CAST(c * (4 + v % 3) AS INT) AS cut_frame,
+                   CAST(c AS INT) AS scene_no
+            FROM range(60) t(v), range(1, 3) s(c)
+            WHERE c * (4 + v % 3) < 12
+            ORDER BY video_id, cut_frame
         """,
         "video_frame_sample": """
             SELECT 'vid' || v AS video_id, CAST(f AS INT) AS frame_no,

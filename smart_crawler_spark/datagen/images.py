@@ -323,15 +323,38 @@ def video_frame_pixels(vid: int, frame: int, w: int, h: int) -> np.ndarray:
     return image_pixels(30_000_017 + vid * 1000 + frame, w, h)
 
 
-def video_row(vid: int, n_frames: int = 12, fmt: str = "y4m") -> dict:
+def scene_frame_pixels(
+    vid: int, frame: int, w: int, h: int, scene_every: int
+) -> np.ndarray:
+    """Frame pixels WITH temporal structure: frames share their scene's
+    base image (scene index = frame // se, where se = scene_every +
+    vid % 3 so cut positions vary across the corpus) plus a +2-per-frame
+    brightness drift — adjacent in-scene frames differ by MAD <= 2,
+    adjacent cross-scene frames are independent draws (MAD ~= 85)."""
+    se = scene_every + vid % 3
+    base = video_frame_pixels(vid, (frame // se) * 1_000_003, w, h)
+    return np.clip(
+        base.astype(np.int16) + 2 * (frame % se), 0, 255
+    ).astype(np.uint8)
+
+
+def video_row(
+    vid: int,
+    n_frames: int = 12,
+    fmt: str = "y4m",
+    scene_every: int | None = None,
+) -> dict:
     from smart_crawler_spark.functions.mjpeg import encode_mjpeg
     from smart_crawler_spark.functions.y4m import encode_y4m
 
     w = 32 + (vid % 3) * 16
     h = 24 + (vid % 2) * 16
-    frames = np.stack(
-        [video_frame_pixels(vid, f, w, h) for f in range(n_frames)]
+    px = (
+        (lambda f: scene_frame_pixels(vid, f, w, h, scene_every))
+        if scene_every
+        else (lambda f: video_frame_pixels(vid, f, w, h))
     )
+    frames = np.stack([px(f) for f in range(n_frames)])
     if fmt == "y4m":
         data = encode_y4m(frames)
     elif fmt == "mjpeg":
@@ -356,15 +379,20 @@ def generate_videos(
     n_frames: int = 12,
     partitions: int | None = None,
     fmt: str = "y4m",
+    scene_every: int | None = None,
 ) -> DataFrame:
     """Deterministic video clips, generated distributed — uncompressed
-    .y4m or compressed AVI/MJPEG (fmt='mjpeg')."""
+    .y4m or compressed AVI/MJPEG (fmt='mjpeg'). ``scene_every`` plants
+    temporal scene structure (see scene_frame_pixels)."""
     parts = partitions or min(max(1, -(-n // 4)), 64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
-                [video_row(int(i), n_frames, fmt) for i in pdf["id"]]
+                [
+                    video_row(int(i), n_frames, fmt, scene_every)
+                    for i in pdf["id"]
+                ]
             )
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(

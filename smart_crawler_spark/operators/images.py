@@ -371,6 +371,66 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def scene_cuts(videos: DataFrame, threshold: float = 16.0) -> DataFrame:
+    """Video scene-cut detection: decode each clip in Arrow-batched
+    mapInPandas, compute the mean-absolute-difference (MAD) between
+    every adjacent frame pair, and emit a row per cut (MAD >
+    ``threshold``) — the shot-boundary primitive behind frame-level
+    video dedup and per-scene sampling in a multimodal training
+    pipeline. In-scene drift (brightness/noise, MAD of a few levels,
+    including MJPEG q98 decode noise) stays far below the threshold;
+    a hard cut between independent frames lands near the uniform-diff
+    expectation (~85 levels), so the margin is wide on both sides.
+
+    Each task touches only its own clips (map-only; the per-row state
+    is one previous frame, never the whole clip history), so a 10^8-
+    clip corpus scans embarrassingly parallel with no shuffle at all.
+
+    Input: (video_id string, bytes binary, fmt string).
+    Output: (video_id string, cut_frame int, scene_no int) — cut_frame
+    is the first frame of the NEW scene, scene_no its 1-based index.
+    """
+    from smart_crawler_spark.functions.mjpeg import decode_mjpeg
+    from smart_crawler_spark.functions.y4m import decode_y4m
+
+    decoders = {"y4m": decode_y4m, "mjpeg": decode_mjpeg, "avi": decode_mjpeg}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                if fmt not in decoders:
+                    raise NotImplementedError(
+                        f"no video decoder for fmt={fmt!r} in this sandbox"
+                    )
+                frames, meta = decoders[fmt](bytes(data))
+                scene = 0
+                prev = None
+                for fno in range(meta["n_frames"]):
+                    cur = frames[fno].astype(np.int16)
+                    if prev is not None:
+                        mad = float(np.mean(np.abs(cur - prev)))
+                        if mad > threshold:
+                            scene += 1
+                            rows.append(
+                                {
+                                    "video_id": vid,
+                                    "cut_frame": fno,
+                                    "scene_no": scene,
+                                }
+                            )
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=["video_id", "cut_frame", "scene_no"]
+            )
+
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(
+        gen, "video_id string, cut_frame int, scene_no int"
+    )
+
+
 # SDXL-style aspect-bucket ladder: (bw, bh) ratio archetypes from
 # portrait 1:2 through landscape 2:1. Training batches must be
 # shape-homogeneous; bucketing by nearest log-aspect is the standard

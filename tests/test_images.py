@@ -783,3 +783,46 @@ def test_caption_boilerplate_threshold_boundary(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_scene_cuts_structured_vs_unstructured(spark):
+    """scene_cuts finds exactly the planted boundaries on structured
+    clips (both codecs: MJPEG decode noise stays under the threshold)
+    and flags EVERY adjacent pair on an unstructured clip, where each
+    frame is an independent draw."""
+    from smart_crawler_spark.datagen.images import generate_videos
+    from smart_crawler_spark.operators.images import scene_cuts
+
+    structured = generate_videos(
+        spark, 6, n_frames=12, fmt="mjpeg", scene_every=4
+    )
+    got = {
+        (r["video_id"], r["cut_frame"], r["scene_no"])
+        for r in scene_cuts(structured).collect()
+    }
+    want = {
+        (f"vid{v}", c * (4 + v % 3), c)
+        for v in range(6)
+        for c in (1, 2)
+        if c * (4 + v % 3) < 12
+    }
+    assert got == want
+
+    unstructured = generate_videos(spark, 2, n_frames=6, fmt="y4m")
+    got_u = {
+        (r["video_id"], r["cut_frame"])
+        for r in scene_cuts(unstructured).collect()
+    }
+    assert got_u == {(f"vid{v}", f) for v in range(2) for f in range(1, 6)}
+
+
+def test_scene_cuts_unknown_codec_gates(spark):
+    import pytest as _pytest
+
+    from smart_crawler_spark.operators.images import scene_cuts
+
+    df = spark.createDataFrame(
+        [("vidx", b"\x00\x01", "h264")], "video_id string, bytes binary, fmt string"
+    )
+    with _pytest.raises(Exception, match="no video decoder"):
+        scene_cuts(df).collect()
