@@ -2454,6 +2454,32 @@ def fasttext_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_ngram_classifier(docs).orderBy("doc_id")
 
 
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (operators/relational.py
+    compaction_plan — the Iceberg rewrite_data_files / Delta OPTIMIZE
+    bin-pack over the file ledger): a synthetic ledger derived from
+    events (7 partitions, every 9th file already at a healthy 300 MB,
+    the rest 10-92 MB small files) is packed next-fit into 128 MB
+    rewrite groups; healthy files pass through as group -1. The oracle
+    replays the identical exclusive-prefix-sum // target rule in SQL."""
+    from smart_crawler_spark.operators.relational import compaction_plan
+
+    ev = _t(spark, sf_dir, "events")
+    ledger = ev.select(
+        F.concat(
+            F.lit("p"), (F.col("event_id") % 7).cast("string")
+        ).alias("part"),
+        F.col("event_id").alias("file_id"),
+        F.when(F.col("event_id") % 9 == 0, 300)
+        .otherwise(10 + F.col("event_id") % 83)
+        .cast("long")
+        .alias("size_mb"),
+    )
+    return compaction_plan(
+        ledger, "part", "size_mb", "file_id", target_bytes=128
+    ).orderBy("part", "file")
+
+
 def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout audit (operators/relational.py
     zorder_key / zorder_tile_stats): interleave 12 bits of
@@ -4139,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq_est": cms_freq_est_docs,
         "chunk_split": chunk_split_docs,
         "zorder_layout": zorder_layout_events,
+        "compaction_plan": compaction_plan_q,
         "jpeg_quality_est": jpeg_quality_q,
         "domain_mix": domain_mix_docs,
         "temperature_mix": temperature_mix_docs,
@@ -6493,6 +6520,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # z-order layout replay: the identical bit-interleave expansion
         # over the same (x, y) projection, tile = top 8 Morton bits
+        # compaction bin-pack: replay the next-fit rule — exclusive
+        # prefix sum of small-file sizes per partition // 128 MB target
+        "compaction_plan": """
+            WITH ledger AS (
+                SELECT 'p' || (event_id % 7) AS part,
+                       event_id AS file,
+                       CASE WHEN event_id % 9 = 0 THEN 300
+                            ELSE 10 + (event_id % 83) END AS size
+                FROM events
+            )
+            SELECT part, file, CAST(size AS BIGINT) AS size,
+                   CAST(COALESCE(SUM(size) OVER (
+                            PARTITION BY part ORDER BY file
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        // 128 AS INT) AS group_no
+            FROM ledger WHERE size < 128
+            UNION ALL
+            SELECT part, file, CAST(size AS BIGINT) AS size,
+                   CAST(-1 AS INT) AS group_no
+            FROM ledger WHERE size >= 128
+            ORDER BY part, file
+        """,
         "zorder_layout": f"""
             WITH pts AS (
                 SELECT user_id % 4096 AS x, event_id % 4096 AS y

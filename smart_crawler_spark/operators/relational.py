@@ -564,6 +564,63 @@ def zorder_tile_stats(
     )
 
 
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    size_col: str,
+    file_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the Iceberg
+    ``rewrite_data_files`` / Delta OPTIMIZE bin-pack, as a pure
+    DataFrame op over the file ledger (metadata: one row per data
+    file). Files at or above ``target_bytes`` are already healthy and
+    pass through as ``group_no = -1`` (not rewritten); smaller files
+    are packed NEXT-FIT in ``file_col`` order within their partition:
+    group = floor(exclusive-prefix-sum of sizes / target), so every
+    rewrite group except a partition's last holds >= target bytes and
+    no group mixes partitions. Deterministic by construction (no
+    first-fit-decreasing heuristics), which is what makes the plan
+    SQL-replayable and idempotent across planner runs.
+
+    Scale: the ledger is metadata (~10^6 rows for a 100 TB table), so
+    the per-partition window cumsum is bounded by the largest
+    partition's FILE COUNT, never by data volume; one shuffle on the
+    partition key, no data files touched.
+
+    Output: (part, file, size, group_no) — the rewrite manifest."""
+    part = F.col(part_col)
+    size = F.col(size_col).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    eligible = F.col(size_col) < F.lit(target_bytes)
+    return (
+        files.filter(eligible)
+        .select(
+            part.alias("part"),
+            F.col(file_col).alias("file"),
+            size.alias("size"),
+            F.floor(
+                F.coalesce(F.sum(size_col).over(w), F.lit(0))
+                / F.lit(target_bytes)
+            )
+            .cast("int")
+            .alias("group_no"),
+        )
+        .unionByName(
+            files.filter(~eligible).select(
+                part.alias("part"),
+                F.col(file_col).alias("file"),
+                size.alias("size"),
+                F.lit(-1).cast("int").alias("group_no"),
+            )
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     domain_col: str,

@@ -540,3 +540,49 @@ def test_scd2_history_random_sweep(spark):
         key=lambda t: (t[0], t[2]),
     )
     assert got == spec(rows)
+
+
+def test_compaction_plan_invariants(spark):
+    """Bin-pack invariants: every file appears exactly once, healthy
+    files (>= target) pass through untouched as group -1, no rewrite
+    group mixes partitions, and every group except each partition's
+    last holds at least the target."""
+    from smart_crawler_spark.operators.relational import compaction_plan
+
+    rows = [
+        ("a", i, [40, 100, 90, 300, 10, 70, 130, 50][i]) for i in range(8)
+    ] + [("b", i, 60) for i in range(3)]
+    files = spark.createDataFrame(
+        rows, "part string, file_id int, size long"
+    )
+    plan = compaction_plan(
+        files, "part", "size", "file_id", target_bytes=128
+    ).collect()
+
+    assert len(plan) == len(rows)
+    assert {(r["part"], r["file"]) for r in plan} == {
+        (p, f) for p, f, _ in rows
+    }
+    # healthy files: a/3 (300) and a/6 (130)
+    assert {
+        (r["part"], r["file"]) for r in plan if r["group_no"] == -1
+    } == {("a", 3), ("a", 6)}
+    # next-fit over a's small files (40,100,90,10,70,50 in file order):
+    # exclusive cumsum 0,40,140,230,240,310 // 128 -> 0,0,1,1,1,2
+    got_a = {
+        r["file"]: r["group_no"]
+        for r in plan
+        if r["part"] == "a" and r["group_no"] >= 0
+    }
+    assert got_a == {0: 0, 1: 0, 2: 1, 4: 1, 5: 1, 7: 2}
+    # every non-final group in each partition holds >= target
+    import collections
+
+    totals = collections.defaultdict(int)
+    for r in plan:
+        if r["group_no"] >= 0:
+            totals[(r["part"], r["group_no"])] += r["size"]
+    last = {p: max(g for q, g in totals if q == p) for p, _ in totals}
+    for (p, g), tot in totals.items():
+        if g != last[p]:
+            assert tot >= 128, (p, g, tot)
