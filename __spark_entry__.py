@@ -2536,6 +2536,26 @@ def jpeg_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_quality_estimates(corpus).orderBy("image_id")
 
 
+def audio_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-invariant audio near-dup (operators/audio.py
+    audio_fingerprint_dedup): md5 over the packed sign sequence of
+    each decoded clip, grouped on the 16-byte fingerprint — gain
+    changes never flip a sample's nonneg/neg side, so the planted 7/8-
+    gain copies (datagen vol_every=8) merge with their source class
+    while bytes/RMS/peak/checksum all differ. The corpus's sawtooth
+    sign pattern depends only on the period parameter (nonneg iff
+    2*(t%p) >= p-1, amplitude-independent), so the oracle predicts the
+    groups closed-form: class = i%25, with every 8th clip adopting its
+    source's class (i-1)%25."""
+    from smart_crawler_spark.datagen.audio import generate_audio
+    from smart_crawler_spark.operators.audio import (
+        audio_fingerprint_dedup,
+    )
+
+    clips = generate_audio(spark, 100, vol_every=8)
+    return audio_fingerprint_dedup(clips).orderBy("clip_id")
+
+
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload pipeline (third multimodal leg beside images and
     video): generate deterministic 16-bit PCM WAV clips distributed
@@ -4122,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample_mjpeg": video_frame_sample_mjpeg,
         "video_scene_cuts": video_scene_cuts_q,
         "audio_features": audio_features,
+        "audio_near_dup": audio_near_dup_q,
         "supplier_region_stats": supplier_region_stats,
         "skew_salted_agg": skew_salted_agg,
         "q17_small_quantity": q17_small_quantity,
@@ -5408,6 +5429,27 @@ def oracle_sql() -> dict[str, str]:
                    true AS psnr_ok
             FROM range(60) t(v), (VALUES (0), (5), (10)) s(f)
             ORDER BY video_id, frame_no
+        """,
+        # audio near-dup: the sawtooth sign pattern is a pure function
+        # of the period class i%25 (amplitude cancels: nonneg iff
+        # 2*(t%p) >= p-1), and planted 7/8-gain dups (i%8==7) keep
+        # every sign — so fingerprint groups are exactly the classes,
+        # with dup clips adopting their source's class (i-1)%25
+        "audio_near_dup": """
+            WITH cls AS (
+                SELECT i,
+                       CASE WHEN i % 8 = 7 THEN (i - 1) % 25
+                            ELSE i % 25 END AS k
+                FROM range(100) t(i)
+            ),
+            g AS (
+                SELECT k, min('clip' || i) AS group_id,
+                       CAST(count(*) AS INT) AS n_clips
+                FROM cls GROUP BY k HAVING count(*) >= 2
+            )
+            SELECT 'clip' || i AS clip_id, g.group_id, g.n_clips
+            FROM cls JOIN g USING (k)
+            ORDER BY clip_id
         """,
         "audio_features": """
             WITH params AS (

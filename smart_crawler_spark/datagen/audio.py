@@ -46,8 +46,17 @@ def clip_samples(idx: int, n: int = N_SAMPLES) -> np.ndarray:
     return v.astype(np.int16)
 
 
-def audio_row(idx: int) -> dict:
-    v = clip_samples(idx)
+def audio_row(idx: int, vol_every: int | None = None) -> dict:
+    if vol_every and idx % vol_every == vol_every - 1:
+        # planted volume near-dup: clip idx-1 at 7/8 gain (floor
+        # division keeps every sample's sign, so any sign-based
+        # fingerprint matches the source exactly while the PCM bytes,
+        # checksum, RMS and peak all differ)
+        v = (clip_samples(idx - 1).astype(np.int64) * 7 // 8).astype(
+            np.int16
+        )
+    else:
+        v = clip_samples(idx)
     return {
         "clip_id": f"clip{idx}",
         "bytes": encode_wav(v, SAMPLE_RATE),
@@ -59,13 +68,18 @@ def audio_row(idx: int) -> dict:
 
 
 def generate_audio(
-    spark: SparkSession, n: int, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    vol_every: int | None = None,
 ) -> DataFrame:
     parts = partitions or min(max(1, -(-n // 8)), 64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([audio_row(int(i)) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [audio_row(int(i), vol_every) for i in pdf["id"]]
+            )
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(
         gen, AUDIO_SCHEMA

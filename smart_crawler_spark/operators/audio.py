@@ -124,3 +124,57 @@ def resample_audio(audio: DataFrame, factor: int) -> DataFrame:
             )
 
     return audio.mapInPandas(gen, audio.schema)
+
+
+def audio_fingerprint_dedup(audio: DataFrame) -> DataFrame:
+    """Volume-invariant acoustic near-dup grouping: fingerprint each
+    clip by the md5 of its packed SIGN sequence (sample >= 0 per
+    sample), then group clips sharing a fingerprint — the audio leg of
+    the per-modality dedup suite (text minhash/simhash, image phash,
+    embedding LSH). Gain changes never flip a sample's nonneg/neg side
+    (positive scaling keeps nonneg nonneg; floor division keeps
+    negatives negative), so re-levelled copies of one recording merge
+    while their PCM bytes, RMS, peak and checksum all differ.
+
+    Scale shape is the phash-dedup plan: the decode is map-only (one
+    clip in flight per row, never whole-corpus state) and only
+    (clip_id, 16-byte fingerprint) enters the shuffle — a 10^8-clip
+    corpus groups on ~3 GB of keys regardless of audio volume.
+    Undecodable payloads are dropped (the resample convention).
+
+    Output: (clip_id, group_id = lexicographic-min clip_id of the
+    group, n_clips) — one row per clip that belongs to a group of 2+.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    v, _sr = decode_wav(bytes(data))
+                except (ValueError, NotImplementedError):
+                    continue
+                bits = np.packbits(v >= 0)
+                rows.append(
+                    {
+                        "clip_id": cid,
+                        "fp": hashlib.md5(bits.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "fp"])
+
+    fps = audio.select("clip_id", "bytes").mapInPandas(
+        gen, "clip_id string, fp string"
+    )
+    from pyspark.sql import functions as F
+
+    groups = (
+        fps.groupBy("fp")
+        .agg(
+            F.min("clip_id").alias("group_id"),
+            F.count(F.lit(1)).cast("int").alias("n_clips"),
+        )
+        .filter(F.col("n_clips") >= 2)
+    )
+    return fps.join(groups, "fp").select("clip_id", "group_id", "n_clips")

@@ -125,3 +125,31 @@ def test_truncated_fmt_chunk_is_valueerror_not_structerror(spark):
     # resample drops the undecodable clip instead of dying
     kept = resample_audio(df, factor=2).collect()
     assert {r["clip_id"] for r in kept} == {"clip0"}
+
+
+def test_fingerprint_dedup_volume_invariant_and_corrupt_drop(spark):
+    """A 7/8-gain copy merges with its source (different bytes and
+    checksum, same sign sequence); different period classes never
+    merge; an undecodable payload is dropped, not fatal."""
+    from smart_crawler_spark.datagen.audio import audio_row, generate_audio
+    from smart_crawler_spark.operators.audio import audio_fingerprint_dedup
+
+    clips = generate_audio(spark, 16, vol_every=8)
+    # the planted dup really differs at the byte level from its source
+    r6, r7 = audio_row(6), audio_row(7, vol_every=8)
+    assert r6["bytes"] != r7["bytes"] and r6["checksum"] != r7["checksum"]
+
+    corrupt = spark.createDataFrame(
+        [("clipX", b"RIFFbroken", 8000, 0, "wav", 0)], clips.schema
+    )
+    got = {
+        (r["clip_id"], r["group_id"], r["n_clips"])
+        for r in audio_fingerprint_dedup(clips.unionByName(corrupt)).collect()
+    }
+    # 16 clips over 25 period classes: only the planted pairs group
+    assert got == {
+        ("clip6", "clip6", 2),
+        ("clip7", "clip6", 2),
+        ("clip14", "clip14", 2),
+        ("clip15", "clip14", 2),
+    }
