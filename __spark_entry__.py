@@ -1796,6 +1796,32 @@ def video_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_sample_verified(spark, "mjpeg")
 
 
+def image_metadata_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-metadata audit (operators/images.py metadata_audit):
+    parse tEXt chunks from PNG payloads, one row per entry. The datagen
+    plants an Author (PII-looking email) + Software pair on every 3rd
+    PNG row (text_meta_every=3; JPEG rows i%10==9 carry none), so the
+    oracle predicts the full key/value table closed-form."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import metadata_audit
+
+    corpus = generate_images(spark, 500, jpeg_every=10, text_meta_every=3)
+    return metadata_audit(corpus).orderBy("image_id", "key")
+
+
+def image_metadata_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata strip with pixel-preservation proof (operators/images.py
+    strip_metadata_verify): every PNG re-emitted with only critical
+    chunks, decoded pixels compared byte-for-byte against the original
+    decode. Oracle: planted rows show n_before=2 -> n_after=0, all
+    others 0 -> 0, pixels_ok everywhere."""
+    from smart_crawler_spark.datagen.images import generate_images
+    from smart_crawler_spark.operators.images import strip_metadata_verify
+
+    corpus = generate_images(spark, 500, jpeg_every=10, text_meta_every=3)
+    return strip_metadata_verify(corpus).orderBy("image_id")
+
+
 def video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection (operators/images.py scene_cuts):
     adjacent-frame mean-absolute-difference over REAL decoded frames,
@@ -4141,6 +4167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": video_frame_sample,
         "video_frame_sample_mjpeg": video_frame_sample_mjpeg,
         "video_scene_cuts": video_scene_cuts_q,
+        "image_metadata_audit": image_metadata_audit_q,
+        "image_metadata_strip": image_metadata_strip_q,
         "audio_features": audio_features,
         "audio_near_dup": audio_near_dup_q,
         "supplier_region_stats": supplier_region_stats,
@@ -5411,6 +5439,31 @@ def oracle_sql() -> dict[str, str]:
             FROM range(500) t(i),
                  (VALUES ('hflip'), ('rot90')) a(aug)
             ORDER BY image_id, aug
+        """,
+        # metadata audit: planted iff i%3==2 AND the row is PNG
+        # (i%10 != 9); each plant carries exactly the Author+Software
+        # pair with the idx-keyed email
+        "image_metadata_audit": """
+            WITH planted AS (
+                SELECT i FROM range(500) t(i)
+                WHERE i % 3 = 2 AND i % 10 <> 9
+            )
+            SELECT 'img' || i AS image_id, k.key,
+                   CASE WHEN k.key = 'Author'
+                        THEN 'user' || i || '@example.com'
+                        ELSE 'smartgen 1.0' END AS value
+            FROM planted, (VALUES ('Author'), ('Software')) k(key)
+            ORDER BY image_id, k.key
+        """,
+        "image_metadata_strip": """
+            SELECT 'img' || i AS image_id,
+                   CASE WHEN i % 10 = 9 THEN 'jpeg' ELSE 'png' END AS fmt,
+                   CAST(CASE WHEN i % 3 = 2 AND i % 10 <> 9 THEN 2
+                             ELSE 0 END AS INT) AS n_before,
+                   CAST(0 AS INT) AS n_after,
+                   true AS pixels_ok
+            FROM range(500) t(i)
+            ORDER BY image_id
         """,
         # scene cuts: the plant rule puts a hard cut at every multiple
         # of the per-video scene length (4 + v%3) below n_frames=12

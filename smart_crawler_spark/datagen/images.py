@@ -78,10 +78,15 @@ def image_row(
     short_caption_every: int = 0,
     bomb_every: int = 0,
     logo_every: int = 0,
+    text_meta_every: int = 0,
 ) -> dict:
     """One deterministic corpus row. Optional planted rows for the
     filter/dedup oracles (all OFF by default, so every existing corpus
     is byte-identical to before):
+    - ``text_meta_every``: every k-th PNG row (by raw idx; JPEG rows
+      carry no tEXt) gets two tEXt metadata chunks — an Author with a
+      PII-looking email and a Software tag — for the metadata
+      audit/strip oracles. Ignored on bomb rows.
     - ``flat_every``: every k-th image is a solid color (zero contrast,
       zero entropy) — the quality filter must drop exactly these.
     - ``dup_every``: every k-th image carries the FULL content (pixels,
@@ -135,6 +140,16 @@ def image_row(
         px[8:16, 8:16] = _LOGO
     if fmt == "png":
         data = encode_png(px)
+        if text_meta_every and idx % text_meta_every == text_meta_every - 1:
+            from smart_crawler_spark.functions.png import add_text_chunks
+
+            data = add_text_chunks(
+                data,
+                [
+                    ("Author", f"user{idx}@example.com"),
+                    ("Software", "smartgen 1.0"),
+                ],
+            )
     else:
         data = encode_jpeg(px, quality=JPEG_QUALITY)
     caption = image_caption(content_idx)
@@ -177,6 +192,7 @@ def generate_images(
     short_caption_every: int = 0,
     bomb_every: int = 0,
     logo_every: int = 0,
+    text_meta_every: int = 0,
 ) -> DataFrame:
     # ceil-divide into ~16-image tasks: the pure-Python JPEG encode is
     # the slowest per-row work in the suite, and floor division
@@ -190,6 +206,7 @@ def generate_images(
                     image_row(
                         int(i), jpeg_every, flat_every, dup_every,
                         short_caption_every, bomb_every, logo_every,
+                        text_meta_every,
                     )
                     for i in pdf["id"]
                 ]

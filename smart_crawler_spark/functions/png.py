@@ -69,6 +69,53 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+def _iter_chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        yield tag, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+
+
+def text_chunks(data: bytes) -> list[tuple[str, str]]:
+    """Parse every tEXt chunk (RFC 2083 §4.2.3: latin-1
+    keyword\\0value) from a PNG, in file order."""
+    out = []
+    for tag, payload in _iter_chunks(data):
+        if tag == b"tEXt":
+            key, _, val = payload.partition(b"\x00")
+            out.append((key.decode("latin-1"), val.decode("latin-1")))
+    return out
+
+
+def add_text_chunks(data: bytes, items: list[tuple[str, str]]) -> bytes:
+    """Insert tEXt chunks right after IHDR (valid placement per the
+    spec; decoders skip ancillary chunks they don't know)."""
+    ihdr_end = 8 + 12 + 13  # signature + IHDR chunk (13-byte payload)
+    text = b"".join(
+        _chunk(
+            b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1")
+        )
+        for k, v in items
+    )
+    return data[:ihdr_end] + text + data[ihdr_end:]
+
+
+def strip_ancillary(data: bytes) -> bytes:
+    """Re-emit the PNG keeping only critical chunks (IHDR/IDAT/IEND) —
+    the metadata-strip pass; pixels are untouched by construction."""
+    out = [_SIG]
+    for tag, payload in _iter_chunks(data):
+        if tag in (b"IHDR", b"IDAT", b"IEND"):
+            out.append(_chunk(tag, payload))
+    return b"".join(out)
+
+
 def perceptual_hash(pixels: np.ndarray, grid: int = 8) -> int:
     """Average-hash: downsample luma to grid², threshold at mean → int64.
 

@@ -371,6 +371,97 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def metadata_audit(images: DataFrame) -> DataFrame:
+    """Embedded-metadata audit — the EXIF/PII sweep of an image corpus:
+    parse every tEXt chunk out of PNG payloads (functions/png.py
+    text_chunks; JPEG rows carry none in this codec family) and emit
+    one (image_id, key, value) row per metadata entry. Map-only header
+    walk: chunk parsing touches lengths and tags, never inflates IDAT,
+    so auditing a 100 TB corpus is bounded by payload IO.
+
+    Output: (image_id string, key string, value string)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smart_crawler_spark.functions.png import text_chunks
+
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                if fmt != "png":
+                    continue
+                for k, v in text_chunks(bytes(data)):
+                    rows.append({"image_id": iid, "key": k, "value": v})
+            yield pd.DataFrame(rows, columns=["image_id", "key", "value"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, "image_id string, key string, value string"
+    )
+
+
+def strip_metadata_verify(images: DataFrame) -> DataFrame:
+    """Metadata STRIP with a pixel-preservation proof: re-emit each PNG
+    keeping only critical chunks (functions/png.py strip_ancillary),
+    then decode BOTH payloads and compare pixels byte-for-byte. The
+    publish-safe export pass: provably drops every tEXt entry, provably
+    changes no pixel. JPEG rows pass through (n_before = n_after = 0).
+    Map-only, one image in flight per row.
+
+    Output: (image_id, fmt, n_before int, n_after int, pixels_ok)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smart_crawler_spark.functions.png import (
+            decode_png,
+            strip_ancillary,
+            text_chunks,
+        )
+
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                data = bytes(data)
+                if fmt != "png":
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "fmt": fmt,
+                            "n_before": 0,
+                            "n_after": 0,
+                            "pixels_ok": True,
+                        }
+                    )
+                    continue
+                stripped = strip_ancillary(data)
+                rows.append(
+                    {
+                        "image_id": iid,
+                        "fmt": fmt,
+                        "n_before": len(text_chunks(data)),
+                        "n_after": len(text_chunks(stripped)),
+                        "pixels_ok": bool(
+                            np.array_equal(
+                                decode_png(data), decode_png(stripped)
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "n_before", "n_after", "pixels_ok",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen,
+        "image_id string, fmt string, n_before int, n_after int, "
+        "pixels_ok boolean",
+    )
+
+
 def scene_cuts(videos: DataFrame, threshold: float = 16.0) -> DataFrame:
     """Video scene-cut detection: decode each clip in Arrow-batched
     mapInPandas, compute the mean-absolute-difference (MAD) between

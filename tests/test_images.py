@@ -826,3 +826,45 @@ def test_scene_cuts_unknown_codec_gates(spark):
     )
     with _pytest.raises(Exception, match="no video decoder"):
         scene_cuts(df).collect()
+
+
+def test_metadata_audit_and_strip_roundtrip(spark):
+    """tEXt plant -> audit finds exactly the planted pairs; strip
+    removes them all with pixels byte-identical; JPEG rows pass
+    through; unplanted corpora stay byte-identical to before."""
+    from smart_crawler_spark.datagen.images import generate_images, image_row
+    from smart_crawler_spark.functions.png import text_chunks
+    from smart_crawler_spark.operators.images import (
+        metadata_audit,
+        strip_metadata_verify,
+    )
+
+    # plant changes only the flagged rows
+    assert image_row(0)["bytes"] == image_row(0, text_meta_every=3)["bytes"]
+    planted = image_row(2, text_meta_every=3)["bytes"]
+    assert text_chunks(planted) == [
+        ("Author", "user2@example.com"),
+        ("Software", "smartgen 1.0"),
+    ]
+
+    corpus = generate_images(spark, 30, jpeg_every=10, text_meta_every=3)
+    audit = {
+        (r["image_id"], r["key"], r["value"])
+        for r in metadata_audit(corpus).collect()
+    }
+    want_ids = [i for i in range(30) if i % 3 == 2 and i % 10 != 9]
+    assert audit == {
+        (f"img{i}", k, v)
+        for i in want_ids
+        for k, v in (
+            ("Author", f"user{i}@example.com"),
+            ("Software", "smartgen 1.0"),
+        )
+    }
+
+    strip = strip_metadata_verify(corpus).collect()
+    assert len(strip) == 30
+    for r in strip:
+        assert r["n_after"] == 0 and r["pixels_ok"]
+        i = int(r["image_id"][3:])
+        assert r["n_before"] == (2 if i in want_ids else 0)
