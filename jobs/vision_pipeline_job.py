@@ -29,6 +29,8 @@ counts + wall seconds. Stages:
             components (phash LSH x caption hash -> survivors)
   boilerplate corpus-frequency caption filter (>=3x repeated captions)
   decon     eval-set decontamination vs a benchmark slice of the corpus
+  metadata  embedded-metadata (tEXt) audit + publish-safe strip with a
+            pixel-identity proof
   watermark repeated cross-image tile mining (hash-only shuffle)
   patch     8x8 ViT patch table (hash-only rows) + the rebuild
             fingerprint audit per image (shuffle-and-reassemble check)
@@ -88,7 +90,7 @@ def main() -> None:
         corpus = generate_images(
             spark, args.generate, jpeg_every=10, flat_every=50,
             dup_every=25, short_caption_every=40, bomb_every=90,
-            logo_every=7,
+            logo_every=7, text_meta_every=3,
         )
         # datagen is a mapInPandas source; materialize once so every
         # stage reads parquet instead of re-encoding the corpus
@@ -168,6 +170,12 @@ def main() -> None:
             )
 
         run("decon", _decon)
+
+    if "metadata" in stages:
+        # EXIF/PII sweep: audit every embedded tEXt entry, then strip
+        # ancillary chunks with a decode-both pixel-identity proof
+        run("metadata_audit", lambda: ops.metadata_audit(corpus))
+        run("metadata_strip", lambda: ops.strip_metadata_verify(corpus))
 
     if "watermark" in stages:
         run("watermark", lambda: ops.watermark_patches(

@@ -83,10 +83,11 @@ def image_row(
     """One deterministic corpus row. Optional planted rows for the
     filter/dedup oracles (all OFF by default, so every existing corpus
     is byte-identical to before):
-    - ``text_meta_every``: every k-th PNG row (by raw idx; JPEG rows
-      carry no tEXt) gets two tEXt metadata chunks — an Author with a
-      PII-looking email and a Software tag — for the metadata
-      audit/strip oracles. Ignored on bomb rows.
+    - ``text_meta_every``: every k-th PNG row (by content index, so
+      dup rows copy their source's metadata and stay byte-identical;
+      JPEG rows carry no tEXt) gets two tEXt metadata chunks — an
+      Author with a PII-looking email and a Software tag — for the
+      metadata audit/strip oracles. Ignored on bomb rows.
     - ``flat_every``: every k-th image is a solid color (zero contrast,
       zero entropy) — the quality filter must drop exactly these.
     - ``dup_every``: every k-th image carries the FULL content (pixels,
@@ -140,13 +141,18 @@ def image_row(
         px[8:16, 8:16] = _LOGO
     if fmt == "png":
         data = encode_png(px)
-        if text_meta_every and idx % text_meta_every == text_meta_every - 1:
+        if (
+            text_meta_every
+            and content_idx % text_meta_every == text_meta_every - 1
+        ):
+            # keyed on content_idx so a dup_every row copies its
+            # source's metadata too — byte-identical dup pairs survive
             from smart_crawler_spark.functions.png import add_text_chunks
 
             data = add_text_chunks(
                 data,
                 [
-                    ("Author", f"user{idx}@example.com"),
+                    ("Author", f"user{content_idx}@example.com"),
                     ("Software", "smartgen 1.0"),
                 ],
             )
