@@ -1559,6 +1559,116 @@ def streaming_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_fetch_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join — the fetch-TIMEOUT path
+    (streaming/ingest.py fetch_latency_join how='left_outer'): a
+    dispatch that never got an in-bound response emits one
+    null-response row exactly when its join state is evicted. Two
+    availableNow waves on one checkpoint:
+
+    - wave 1: dispatches at minute id%11 for id < 200; responses at
+      +1/+2 for id%3 != 0 only (they emit matched rows in-batch).
+      Unmatched dispatches (id%3 == 0) stay in state — the watermark
+      inside wave 1's single batch is still 0, so NO null emits yet.
+      Committed watermark after the wave: min(10, 12) - 2 = 8.
+    - wave 2: one closer per stream (fresh urls, minute 60) pushes the
+      watermark to 58:00, and the engine's trailing NO-DATA micro-batch
+      (the append-mode state-flush pass) evicts every real dispatch
+      (minute + 5 < 58) — so each of the 67 unmatched dispatches emits
+      exactly one null-response TIMEOUT row, while previously-MATCHED
+      dispatches must NOT re-emit (the engine's per-row matched flag).
+      The closers' own rows (60 + 5 > 58) stay open and never emit.
+
+    The oracle states both parts in SQL: the matched multiset plus one
+    null-response row per id%3 == 0 dispatch."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        fetch_latency_join,
+        read_candidate_stream,
+        read_response_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_timeout_")
+    disp_dir = f"{base}/dispatches"
+    resp_dir = f"{base}/responses"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/out"
+    base_epoch = 1709251200  # 2024-03-01 00:00:00 UTC, as late_drop
+    try:
+        ev = _t(spark, sf_dir, "events")
+        w1 = ev.filter(F.col("event_id") < 200)
+        url = F.concat(
+            F.lit("http://h"),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit(".test/p/"),
+            F.col("event_id").cast("string"),
+        )
+        ts = lambda minute: F.timestamp_seconds(  # noqa: E731
+            F.lit(base_epoch) + minute.cast("long") * 60
+        )
+        d_min = F.col("event_id") % 11
+
+        def run_wave() -> None:
+            q = (
+                fetch_latency_join(
+                    read_candidate_stream(spark, disp_dir),
+                    read_response_stream(spark, resp_dir),
+                    how="left_outer",
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        w1.select(
+            url.alias("url"),
+            F.lit("dir").alias("page_class"),
+            F.lit(0).cast("int").alias("class_depth"),
+            F.lit(None).cast("string").alias("form_params"),
+            ts(d_min).alias("event_ts"),
+        ).coalesce(1).write.mode("overwrite").json(disp_dir)
+        w1.filter(F.col("event_id") % 3 != 0).select(
+            url.alias("url"),
+            F.when(F.col("event_id") % 7 == 0, 404)
+            .otherwise(200)
+            .cast("int")
+            .alias("status"),
+            ts(d_min + 1 + F.col("event_id") % 2).alias("event_ts"),
+        ).coalesce(1).write.mode("overwrite").json(resp_dir)
+        run_wave()
+
+        # wave 2: closers only (fresh urls on both streams at minute
+        # 60) — the batch they force runs under the restored watermark
+        closer = spark.range(1)
+        closer.select(
+            F.lit("http://closer.test/d").alias("url"),
+            F.lit("dir").alias("page_class"),
+            F.lit(0).cast("int").alias("class_depth"),
+            F.lit(None).cast("string").alias("form_params"),
+            ts(F.lit(60)).alias("event_ts"),
+        ).coalesce(1).write.mode("append").json(disp_dir)
+        closer.select(
+            F.lit("http://closer.test/r").alias("url"),
+            F.lit(200).cast("int").alias("status"),
+            ts(F.lit(60)).alias("event_ts"),
+        ).coalesce(1).write.mode("append").json(resp_dir)
+        run_wave()
+
+        out = spark.read.parquet(out_dir).select(
+            "url", "host", "dispatch_s", "response_s", "latency_s", "status"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("url")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimation (§2.6: approx_count_distinct at
     10^10 scale, where exact countDistinct would shuffle every key).
@@ -4157,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_drop": streaming_late_drop,
         "streaming_session_window": streaming_session_window,
         "streaming_fetch_join": streaming_fetch_join,
+        "streaming_fetch_timeout": streaming_fetch_timeout,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -5301,6 +5412,37 @@ def oracle_sql() -> dict[str, str]:
                    (rm - dm) * 60 AS latency_s,
                    status
             FROM j ORDER BY url
+        """,
+        # left-outer variant: the matched multiset (wave-1 in-bound
+        # pairs) plus one null-response TIMEOUT row per unmatched
+        # dispatch — the wave-2 closers push the watermark to 58:00
+        # and the trailing no-data batch evicts every real dispatch;
+        # matched dispatches never re-emit, closers stay open
+        "streaming_fetch_timeout": """
+            WITH d AS (
+                SELECT event_id,
+                       'http://h' || (event_id % 3) || '.test/p/'
+                           || event_id AS url,
+                       'h' || (event_id % 3) || '.test' AS host,
+                       (event_id % 11) AS dm
+                FROM events WHERE event_id < 200
+            )
+            SELECT url, host,
+                   1709251200 + dm * 60 AS dispatch_s,
+                   1709251200 + (dm + 1 + (event_id % 2)) * 60
+                       AS response_s,
+                   (1 + (event_id % 2)) * 60 AS latency_s,
+                   CAST(CASE WHEN event_id % 7 = 0 THEN 404
+                             ELSE 200 END AS INT) AS status
+            FROM d WHERE event_id % 3 <> 0
+            UNION ALL
+            SELECT url, host,
+                   1709251200 + dm * 60 AS dispatch_s,
+                   CAST(NULL AS BIGINT) AS response_s,
+                   CAST(NULL AS BIGINT) AS latency_s,
+                   CAST(NULL AS INT) AS status
+            FROM d WHERE event_id % 3 = 0
+            ORDER BY url
         """,
         # streaming session windows: the identical planted multiset
         # minus late rows and closers, gaps-and-islands with the same

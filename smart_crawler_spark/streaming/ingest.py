@@ -209,6 +209,7 @@ def fetch_latency_join(
     responses: DataFrame,
     max_latency: str = "5 minutes",
     watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join of fetch DISPATCHES with fetch
     RESPONSES on url, bounded by event time: a response joins its
@@ -227,7 +228,12 @@ def fetch_latency_join(
       deterministically produces nothing;
     - the time-range condition runs inside the join, so an
       out-of-bound response (latency > ``max_latency``) is excluded
-      even when both rows share a micro-batch.
+      even when both rows share a micro-batch;
+    - ``how='left_outer'`` adds the TIMEOUT path: a dispatch that never
+      got an in-bound response emits one null-response row exactly when
+      its state is evicted (the engine tracks per-row matched flags, so
+      a dispatch matched earlier never re-emits as null) — fetch-
+      timeout detection without ever materializing the streams.
 
     Epoch-second output columns keep the oracle timezone-proof."""
     d = dispatches.select(
@@ -247,7 +253,7 @@ def fetch_latency_join(
                 r.response_ts
                 <= d.dispatch_ts + F.expr(f"INTERVAL {max_latency}")
             ),
-            "inner",
+            how,
         )
         .select(
             "url",

@@ -259,3 +259,59 @@ def test_fetch_join_bounds_and_cross_batch_state(spark, tmp_path):
         ("http://h.test/fast", 60, 200),
         ("http://h.test/open", 120, 404),
     }
+
+
+def test_fetch_join_left_outer_timeout_flush(spark, tmp_path):
+    """Left-outer: an unmatched dispatch emits ONE null-response row
+    when the watermark evicts its state (via the trailing no-data
+    batch); a matched dispatch never re-emits as null."""
+    from smart_crawler_spark.streaming.ingest import (
+        fetch_latency_join,
+        read_response_stream,
+    )
+
+    disp = tmp_path / "disp"
+    resp = tmp_path / "resp"
+    disp.mkdir()
+    resp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def m(minute):
+        return f"2024-03-01T{minute // 60:02d}:{minute % 60:02d}:00"
+
+    def run_wave():
+        q = (
+            fetch_latency_join(
+                read_candidate_stream(spark, str(disp)),
+                read_response_stream(spark, str(resp)),
+                how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(
+        disp,
+        [_cand("http://h.test/hit", m(0)), _cand("http://h.test/miss", m(1))],
+        "d1",
+    )
+    _write_batch(resp, [_resp("http://h.test/hit", 200, m(2))], "r1")
+    run_wave()
+    got1 = {(r["url"], r["status"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("http://h.test/hit", 200)}
+
+    # closers at minute 60 -> watermark 58 -> /miss (1+5 < 58) flushes
+    # as a timeout row; /hit does not re-emit; closers stay open
+    _write_batch(disp, [_cand("http://c.test/d", m(60))], "d2")
+    _write_batch(resp, [_resp("http://c.test/r", 200, m(60))], "r2")
+    run_wave()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    miss = [r for r in rows if r["url"] == "http://h.test/miss"][0]
+    assert miss["status"] is None and miss["latency_s"] is None
