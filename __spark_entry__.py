@@ -3348,7 +3348,7 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    pr = pagerank(edges, iters=8, damping=0.85, checkpoint_interval=2)
+    pr = pagerank(edges, iters=8, damping=0.85, checkpoint_interval=4)
     cnt = pr.agg(F.count("*").alias("_n"))
     return (
         pr.crossJoin(F.broadcast(cnt))
@@ -3822,7 +3822,7 @@ def trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") % 97 == 0)
     )
     pr = personalized_pagerank(
-        edges, seeds, iters=8, damping=0.85, checkpoint_interval=2
+        edges, seeds, iters=8, damping=0.85, checkpoint_interval=4
     )
     cnt = pr.agg(F.count("*").alias("_n"))
     return (
