@@ -566,3 +566,65 @@ def test_cms_sketch_bounded_and_broadcastable(spark):
     plan = _plan(cms_frequency_estimates(docs, ["a", "zz"]))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_metadata_and_scene_ops_are_map_only(spark):
+    """The tEXt audit/strip and the scene-cut detector are pure
+    MapInPandas scans — no Exchange, no join: a 100 TB corpus sweep is
+    bounded by payload IO."""
+    from smart_crawler_spark.datagen.images import (
+        generate_images,
+        generate_videos,
+    )
+    from smart_crawler_spark.operators.images import (
+        metadata_audit,
+        scene_cuts,
+        strip_metadata_verify,
+    )
+
+    corpus = generate_images(spark, 12, text_meta_every=3)
+    vids = generate_videos(spark, 4, n_frames=6, scene_every=4)
+    for df in (
+        metadata_audit(corpus),
+        strip_metadata_verify(corpus),
+        scene_cuts(vids),
+    ):
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_audio_fingerprint_dedup_hash_only_shuffle(spark):
+    """Only (clip_id, 16-byte fp) rows reach the shuffle: the plan has
+    no exchange upstream of the fingerprint projection carrying audio
+    bytes, and the group join is on the fp key."""
+    from smart_crawler_spark.datagen.audio import generate_audio
+    from smart_crawler_spark.operators.audio import audio_fingerprint_dedup
+
+    plan = _plan(audio_fingerprint_dedup(generate_audio(spark, 8)))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    # every Exchange keys on fp — the audio payload never shuffles
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "fp#" in ln, ln
+
+
+def test_compaction_plan_window_per_partition_no_cartesian(spark):
+    """The bin-pack window runs partitioned by the table-partition key
+    (never a single global window) and the plan is join-free."""
+    from smart_crawler_spark.operators.relational import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", i, 40) for i in range(6)], "part string, file_id int, size long"
+    )
+    plan = _plan(
+        compaction_plan(files, "part", "size", "file_id", target_bytes=128)
+    )
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    win = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln.lower()
+    ]
+    assert win and all("part#" in ln for ln in win), plan
