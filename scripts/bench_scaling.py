@@ -445,6 +445,47 @@ if jobs & {{"evalfuzzy", "fuzzy"}}:
 # redirect map (chains up to 12 hops, broken every 13th id) — 4 rounds
 # of co-partitioned self-joins on string URL keys, the O(log L)
 # frontier-canonicalization kernel -----------------------------------
+# --- media: decode-bound map-only kernels — video scene cuts (real
+# y4m decode + adjacent-frame MAD per clip) and audio fingerprint
+# dedup (WAV decode + sign-sequence md5, fp-only shuffle); both have
+# closed-form expected outputs from the plant rules
+if "media" in jobs:
+    from smart_crawler_spark.datagen.audio import generate_audio
+    from smart_crawler_spark.datagen.images import generate_videos
+    from smart_crawler_spark.operators.audio import audio_fingerprint_dedup
+    from smart_crawler_spark.operators.images import scene_cuts
+
+    N_VID = int(6_000 * scale)
+    vids = generate_videos(
+        spark, N_VID, n_frames=12, scene_every=4,
+        partitions=min(max(N_VID // 16, 1), 512),
+    ).localCheckpoint()
+    vids.count()
+    want_cuts = sum(
+        1 for v in range(N_VID) for c in (1, 2) if c * (4 + v % 3) < 12)
+    nc, dt_v = timed(lambda: scene_cuts(vids))
+    assert nc == want_cuts, (nc, want_cuts)
+
+    N_CLIP = int(40_000 * scale)
+    clips = generate_audio(
+        spark, N_CLIP, vol_every=8,
+        partitions=min(max(N_CLIP // 64, 1), 512),
+    ).localCheckpoint()
+    clips.count()
+    # 25 period classes, every class has many members at this N, so
+    # every clip lands in a group of >= 2
+    na, dt_a = timed(lambda: audio_fingerprint_dedup(clips))
+    assert na == N_CLIP, (na, N_CLIP)
+    # separate job keys so the efficiency summary reads each kernel
+    out["media_video"] = {{
+        "rows": N_VID, "sec": round(dt_v, 3),
+        "rows_per_sec": round(N_VID / dt_v), "cuts": nc,
+    }}
+    out["media_audio"] = {{
+        "rows": N_CLIP, "sec": round(dt_a, 3),
+        "rows_per_sec": round(N_CLIP / dt_a),
+    }}
+
 if "graph" in jobs:
     from smart_crawler_spark.operators.graphops import resolve_redirect_chains
     n_e = int(8_000_000 * scale)
