@@ -440,6 +440,35 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unicode_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical dedup (operators/textops.py unicode_dedup):
+    texts differing only in normalization form or case collapse. The
+    corpus plants triplets over the documents table — base doc b
+    (b%3==0) lends its text to b+1 and b+2 with prefixes 'Caf\\u00e9 '
+    (composed), 'Cafe\\u0301 ' (decomposed) and 'CAF\\u00c9 '
+    (uppercase composed) — so every complete triplet merges under
+    lower(NFC(.)) while no byte-level pair matches. The oracle replays
+    the plant and the normalization with DuckDB's nfc_normalize."""
+    from smart_crawler_spark.operators.textops import unicode_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 498)
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("_bid"), F.col("text").alias("_btext")
+    )
+    prefix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Café "))
+        .when(F.col("doc_id") % 3 == 1, F.lit("Café "))
+        .otherwise(F.lit("CAFÉ "))
+    )
+    corpus = docs.join(
+        F.broadcast(base),
+        docs.doc_id - docs.doc_id % 3 == base._bid,
+    ).select(
+        "doc_id", F.concat(prefix, F.col("_btext")).alias("text")
+    )
+    return unicode_dedup(corpus).orderBy("doc_id")
+
+
 def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return textops.jaccard_near_dup_pairs(docs, threshold=0.5).orderBy(
@@ -4232,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_join_eval": regex_join_eval,
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
+        "unicode_dedup": unicode_dedup_q,
         "jaccard_near_dup": jaccard_near_dup,
         "token_stats": token_stats,
         "language_id": language_id,
@@ -4998,6 +5028,35 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc, count(*) AS n_pages
             FROM documents
             GROUP BY 1 ORDER BY signature
+        """,
+        # unicode dedup: replay the triplet plant and the
+        # lower(NFC(.)) key with DuckDB's nfc_normalize — every
+        # complete triplet (b, b+1, b+2) is one group keyed by b
+        "unicode_dedup": """
+            WITH corpus AS (
+                SELECT d.doc_id,
+                       CASE d.doc_id % 3
+                            WHEN 0 THEN 'Caf' || chr(233) || ' '
+                            WHEN 1 THEN 'Cafe' || chr(769) || ' '
+                            ELSE 'CAF' || chr(201) || ' ' END
+                           || b.text AS text
+                FROM documents d
+                JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+                WHERE d.doc_id < 498
+            ),
+            keyed AS (
+                SELECT doc_id,
+                       lower(nfc_normalize(text)) AS nt
+                FROM corpus
+            ),
+            g AS (
+                SELECT nt, min(doc_id) AS group_id,
+                       CAST(count(*) AS INT) AS n_docs
+                FROM keyed GROUP BY nt HAVING count(*) >= 2
+            )
+            SELECT k.doc_id, g.group_id, g.n_docs
+            FROM keyed k JOIN g USING (nt)
+            ORDER BY k.doc_id
         """,
         "exact_dedup": f"""
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))

@@ -1895,3 +1895,43 @@ def zipf_fit(
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
     return totals.crossJoin(fitted)
+
+
+def unicode_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-canonical duplicate grouping: texts that differ only in
+    normalization form or case — NFC 'é' vs the decomposed 'e'+U+0301,
+    upper vs lower — collapse into one group. This is the
+    canonicalization layer ABOVE ``exact_dedup``'s byte identity: web
+    corpora mix encoders, and the same sentence arrives in both
+    composition forms (UAX #15). Key = md5(lower(NFC(text))), computed
+    in an Arrow-vectorized pandas UDF (pandas .str.normalize — Spark
+    has no NFC builtin); only (id, 16-byte key) rows reach the shuffle,
+    same scale shape as the audio/phash dedups.
+
+    Output: (id, group_id = min id of the group, n_docs) — one row per
+    doc in a group of 2+."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # lambda form: the module's PEP-563 string annotations break
+    # pandas_udf signature inspection on a def
+    _nfc_lower = F.pandas_udf(
+        lambda s: s.str.normalize("NFC").str.lower(), "string"
+    )
+
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(_nfc_lower(F.col(text_col))).alias("_k"),
+    )
+    groups = (
+        keyed.groupBy("_k")
+        .agg(
+            F.min("_id").alias("group_id"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return keyed.join(groups, "_k").select(
+        F.col("_id").alias(id_col), "group_id", "n_docs"
+    )

@@ -452,3 +452,27 @@ def test_extract_main_text_strips_blocks_tags_entities(spark):
     }
     for i, _, want in rows:
         assert got[i] == want, (i, got[i])
+
+
+def test_unicode_dedup_forms_and_case_merge(spark):
+    """Composed, decomposed, and uppercase variants of one text merge;
+    distinct texts never do; byte-equal duplicates still group."""
+    from smart_crawler_spark.operators.textops import unicode_dedup
+
+    rows = [
+        (0, "Caf\u00e9 au lait"),          # composed
+        (1, "Cafe\u0301 au lait"),         # decomposed
+        (2, "CAF\u00c9 AU LAIT"),          # uppercase composed
+        (3, "completely different"),
+        (4, "completely different"),        # byte dup of 3
+        (5, "caf\u00e9 noir"),             # same word, different text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["group_id"], r["n_docs"])
+        for r in unicode_dedup(df).collect()
+    }
+    assert got == {
+        (0, 0, 3), (1, 0, 3), (2, 0, 3),
+        (3, 3, 2), (4, 3, 2),
+    }
