@@ -2645,6 +2645,28 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("part", "file")
 
 
+def crawl_budget_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-quota apportionment (operators/relational.py
+    proportional_allocation): 10,000 fetch slots split across the
+    event hosts (host = 'h' || user_id % 53, weight = event count)
+    by largest-remainder — integer div/mod arithmetic, deterministic
+    remainder ranking with key tie-break, sum(alloc) == total exactly.
+    The oracle replays the identical integer rule with a window."""
+    from smart_crawler_spark.operators.relational import (
+        proportional_allocation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 53).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return proportional_allocation(
+        hosts, "host", "n_events", total=10_000
+    ).orderBy("key")
+
+
 def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout audit (operators/relational.py
     zorder_key / zorder_tile_stats): interleave 12 bits of
@@ -4356,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_split": chunk_split_docs,
         "zorder_layout": zorder_layout_events,
         "compaction_plan": compaction_plan_q,
+        "crawl_budget_alloc": crawl_budget_alloc_q,
         "jpeg_quality_est": jpeg_quality_q,
         "domain_mix": domain_mix_docs,
         "temperature_mix": temperature_mix_docs,
@@ -6816,6 +6839,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # z-order layout replay: the identical bit-interleave expansion
         # over the same (x, y) projection, tile = top 8 Morton bits
+        # budget apportionment: identical integer largest-remainder
+        # rule — floor share by div, spare slots to the largest
+        # remainders with key tie-break
+        "crawl_budget_alloc": """
+            WITH hosts AS (
+                SELECT 'h' || (user_id % 53) AS key,
+                       CAST(count(*) AS BIGINT) AS weight
+                FROM events GROUP BY 1
+            ),
+            tot AS (SELECT sum(weight) AS s FROM hosts),
+            base AS (
+                SELECT key, weight,
+                       (10000 * weight) // s AS b,
+                       (10000 * weight) % s AS rem
+                FROM hosts, tot
+            ),
+            spare AS (SELECT 10000 - sum(b) AS r FROM base)
+            SELECT key, weight,
+                   CAST(b + CASE WHEN row_number() OVER (
+                            ORDER BY rem DESC, key ASC) <= r
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM base, spare
+            ORDER BY key
+        """,
         # compaction bin-pack: replay the next-fit rule — exclusive
         # prefix sum of small-file sizes per partition // 128 MB target
         "compaction_plan": """

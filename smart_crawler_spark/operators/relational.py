@@ -621,6 +621,61 @@ def compaction_plan(
     )
 
 
+def proportional_allocation(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    total: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split ``total``
+    integer slots across keys proportionally to integer weights, so
+    that every key gets floor(total*w/S) and the R = total - sum(floor)
+    leftover slots go to the R largest remainders (ties broken by key
+    ascending — fully deterministic). The frontier-scheduling use: turn
+    host importance mass (page counts, TrustRank) into per-host fetch
+    quotas that sum EXACTLY to the round's global budget.
+
+    All arithmetic is integer (div/mod on total*w), so the result is
+    bit-exact and SQL-replayable — no float remainders to tie-break.
+    The ranking window is a single pass over the KEY table (one row per
+    host — metadata scale, bounded by distinct keys, never by corpus
+    rows), same justification as the compaction ledger window.
+
+    Output: (key, weight, alloc) with sum(alloc) == total."""
+    s = df.agg(F.sum(weight_col).cast("long").alias("_s"))
+    base = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "weight",
+            F.expr(f"({total} * weight) div _s").alias("_base"),
+            F.expr(f"({total} * weight) % _s").alias("_rem"),
+        )
+    )
+    spare = base.agg(
+        (F.lit(total) - F.sum("_base")).cast("long").alias("_r")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("key"))
+    return (
+        base.crossJoin(F.broadcast(spare))
+        .withColumn("_rank", F.row_number().over(w))
+        .select(
+            "key",
+            "weight",
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     domain_col: str,

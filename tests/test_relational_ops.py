@@ -586,3 +586,35 @@ def test_compaction_plan_invariants(spark):
     for (p, g), tot in totals.items():
         if g != last[p]:
             assert tot >= 128, (p, g, tot)
+
+
+def test_proportional_allocation_exact_total_and_ties(spark):
+    """sum(alloc) == total exactly; floor shares never lose a slot;
+    remainder ties break by key ascending; zero-weight keys get 0."""
+    from smart_crawler_spark.operators.relational import (
+        proportional_allocation,
+    )
+
+    # weights 3,3,3,1 with total 7 over S=10: floors 2,2,2,0 (sum 6),
+    # one spare slot; remainders 1,1,1,7 -> key 'd' wins the spare
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 3), ("d", 1)], "key string, w long"
+    )
+    got = {
+        (r["key"], r["alloc"])
+        for r in proportional_allocation(df, "key", "w", total=7).collect()
+    }
+    assert got == {("a", 2), ("b", 2), ("c", 2), ("d", 1)}
+
+    # equal remainders: spare goes to the lexicographically first keys
+    df2 = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], "key string, w long"
+    )
+    got2 = {
+        (r["key"], r["alloc"])
+        for r in proportional_allocation(df2, "key", "w", total=5).collect()
+    }
+    assert got2 == {("x", 2), ("y", 2), ("z", 1)}
+    for total in (0, 1, 99):
+        rows = proportional_allocation(df, "key", "w", total=total).collect()
+        assert sum(r["alloc"] for r in rows) == total
