@@ -1588,6 +1588,106 @@ def streaming_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (streaming/ingest.py
+    dedup_within_watermark: dropDuplicatesWithinWatermark on url,
+    2-minute delay, append mode). Two availableNow waves on one
+    checkpoint:
+
+    - wave 1: each url id < 200 arrives 1 + id%2 times, every copy
+      byte-identical at minute id%11 (identical copies make the
+      kept-row deterministic regardless of partition order within the
+      batch) — exactly one row per url emits. A closer at minute 60
+      pushes the committed watermark to 58 and the trailing no-data
+      batch evicts every real key's state (ts + 2 < 58).
+    - wave 2: re-arrivals at minute 59 for id%5 == 0 — their state
+      expired, so they EMIT AGAIN (the bounded-state contract: state
+      is O(keys per watermark window), not O(keys ever seen)); within
+      wave 2 each re-arrival lands twice (identical copies — the dup
+      is dropped); and id%5 == 1 urls re-arrive at minute 0, below the
+      58 watermark — dropped as late, no row.
+
+    Oracle: one row per url at its wave-1 minute, plus the closer, plus
+    one minute-59 row per id%5 == 0 url."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        dedup_within_watermark,
+        read_candidate_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ttl_")
+    cand_dir = f"{base}/candidates"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/out"
+    base_epoch = 1709251200  # 2024-03-01 00:00:00 UTC, as late_drop
+    try:
+        ev = _t(spark, sf_dir, "events")
+        w1 = ev.filter(F.col("event_id") < 200)
+        url = F.concat(
+            F.lit("http://h"),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit(".test/p/"),
+            F.col("event_id").cast("string"),
+        )
+        ts = lambda minute: F.timestamp_seconds(  # noqa: E731
+            F.lit(base_epoch) + minute.cast("long") * 60
+        )
+
+        def cand(df: DataFrame, minute) -> DataFrame:
+            return df.select(
+                url.alias("url"),
+                F.lit("dir").alias("page_class"),
+                F.lit(0).cast("int").alias("class_depth"),
+                F.lit(None).cast("string").alias("form_params"),
+                ts(minute).alias("event_ts"),
+            )
+
+        def run_wave() -> None:
+            q = (
+                dedup_within_watermark(
+                    read_candidate_stream(spark, cand_dir)
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # wave 1: identical copies (1 + id%2 each) + one closer
+        dup = cand(
+            w1.filter(F.col("event_id") % 2 == 1), F.col("event_id") % 11
+        )
+        closer = cand(
+            spark.range(1).select(F.lit(0).alias("event_id")), F.lit(60)
+        ).withColumn("url", F.lit("http://closer.test/p/0"))
+        cand(w1, F.col("event_id") % 11).unionByName(dup).unionByName(
+            closer
+        ).coalesce(1).write.mode("overwrite").json(cand_dir)
+        run_wave()
+
+        # wave 2: expired-state re-arrivals (twice each, identical) +
+        # late re-arrivals below the watermark
+        re5 = w1.filter(F.col("event_id") % 5 == 0)
+        late = cand(w1.filter(F.col("event_id") % 5 == 1), F.lit(0))
+        cand(re5, F.lit(59)).unionByName(cand(re5, F.lit(59))).unionByName(
+            late
+        ).coalesce(1).write.mode("append").json(cand_dir)
+        run_wave()
+
+        out = spark.read.parquet(out_dir).select("url", "host", "ts_s")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "url", "ts_s"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def streaming_fetch_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream join — the fetch-TIMEOUT path
     (streaming/ingest.py fetch_latency_join how='left_outer'): a
@@ -4320,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_window": streaming_session_window,
         "streaming_fetch_join": streaming_fetch_join,
         "streaming_fetch_timeout": streaming_fetch_timeout,
+        "streaming_dedup_ttl": streaming_dedup_ttl,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -5494,6 +5595,27 @@ def oracle_sql() -> dict[str, str]:
                    (rm - dm) * 60 AS latency_s,
                    status
             FROM j ORDER BY url
+        """,
+        # bounded-state streaming dedup: one row per url at its wave-1
+        # minute + the closer + a second emission for expired-state
+        # re-arrivals; within-watermark dups and late rows drop
+        "streaming_dedup_ttl": """
+            WITH d AS (
+                SELECT 'http://h' || (event_id % 3) || '.test/p/'
+                           || event_id AS url,
+                       'h' || (event_id % 3) || '.test' AS host,
+                       (event_id % 11) AS m,
+                       event_id
+                FROM events WHERE event_id < 200
+            )
+            SELECT url, host, 1709251200 + m * 60 AS ts_s FROM d
+            UNION ALL
+            SELECT 'http://closer.test/p/0', 'closer.test',
+                   1709251200 + 60 * 60
+            UNION ALL
+            SELECT url, host, 1709251200 + 59 * 60 FROM d
+            WHERE event_id % 5 = 0
+            ORDER BY url, ts_s
         """,
         # left-outer variant: the matched multiset (wave-1 in-bound
         # pairs) plus one null-response TIMEOUT row per unmatched

@@ -269,6 +269,33 @@ def fetch_latency_join(
     )
 
 
+def dedup_within_watermark(
+    candidates: DataFrame, delay: str = "2 minutes"
+) -> DataFrame:
+    """Bounded-state streaming URL dedup via
+    ``dropDuplicatesWithinWatermark``: a URL re-arriving within
+    ``delay`` of its first sighting is dropped; once the watermark
+    passes the first sighting's event time the key's state is evicted,
+    so a much-later re-arrival is EMITTED AGAIN. That bounded-state
+    contract is the streaming twin of the frontier's recrawl-expiry
+    semantics (frontier/cuckoo.py deletes): state size is O(URLs per
+    watermark window), never O(all URLs ever seen) — the property that
+    lets the operator run forever at frontier scale while the exact
+    seen-set lives in the snapshot table (foreachBatch path).
+
+    Emission is pass-through (append mode, no buffering); late rows
+    below the watermark are dropped on input. Epoch-second output."""
+    return (
+        candidates.withWatermark("event_ts", delay)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            F.col("event_ts").cast("long").alias("ts_s"),
+        )
+    )
+
+
 def start_image_ingest(
     images: DataFrame,
     ledger_dir: str,
