@@ -618,3 +618,72 @@ def test_proportional_allocation_exact_total_and_ties(spark):
     for total in (0, 1, 99):
         rows = proportional_allocation(df, "key", "w", total=total).collect()
         assert sum(r["alloc"] for r in rows) == total
+
+
+def test_compaction_plan_random_sweep(spark):
+    """Differential sweep: random ledgers vs a pure-Python next-fit
+    reference packer (exclusive prefix sum // target within partition,
+    pass-through for healthy files)."""
+    import random
+
+    from smart_crawler_spark.operators.relational import compaction_plan
+
+    rng = random.Random(1234)
+    for trial in range(8):
+        target = rng.choice([64, 100, 128])
+        rows = [
+            (f"p{rng.randrange(4)}", i, rng.randrange(1, 2 * target))
+            for i in range(rng.randrange(1, 60))
+        ]
+        want = {}
+        by_part: dict[str, int] = {}
+        for part, fid, size in sorted(rows, key=lambda r: (r[0], r[1])):
+            if size >= target:
+                want[(part, fid)] = -1
+            else:
+                acc = by_part.get(part, 0)
+                want[(part, fid)] = acc // target
+                by_part[part] = acc + size
+        df = spark.createDataFrame(
+            rows, "part string, file_id int, size long"
+        )
+        got = {
+            (r["part"], r["file"]): r["group_no"]
+            for r in compaction_plan(
+                df, "part", "size", "file_id", target_bytes=target
+            ).collect()
+        }
+        assert got == want, (trial, target)
+
+
+def test_proportional_allocation_random_sweep(spark):
+    """Differential sweep: random weights vs a pure-Python Hamilton
+    reference (integer remainders, key-ascending tie-break)."""
+    import random
+
+    from smart_crawler_spark.operators.relational import (
+        proportional_allocation,
+    )
+
+    rng = random.Random(99)
+    for trial in range(8):
+        n = rng.randrange(1, 30)
+        rows = [(f"k{i:02d}", rng.randrange(1, 500)) for i in range(n)]
+        total = rng.randrange(0, 5000)
+        s = sum(w for _, w in rows)
+        base = {k: (total * w) // s for k, w in rows}
+        rem = sorted(
+            ((-((total * w) % s), k) for k, w in rows)
+        )
+        spare = total - sum(base.values())
+        for _, k in rem[:spare]:
+            base[k] += 1
+        df = spark.createDataFrame(rows, "key string, w long")
+        got = {
+            r["key"]: r["alloc"]
+            for r in proportional_allocation(
+                df, "key", "w", total=total
+            ).collect()
+        }
+        assert got == base, (trial, total)
+        assert sum(got.values()) == total
