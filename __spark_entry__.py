@@ -2940,6 +2940,52 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count DISTRIBUTION through a
+    FILTERED left outer join (the filter lives in the join condition,
+    so no-order customers survive with count 0 — the shape a WHERE
+    clause would silently break). Two-level aggregation: per-customer
+    count, then histogram; both partial-aggregate map-side."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size)
+    EXCLUDING a supplier blocklist via left anti-join (the NOT IN
+    de-correlation; null-safe by construction). The distinct agg is
+    two-phase: dedup (brand, size, suppkey) partial-agg map-side,
+    then count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
 def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -4438,6 +4484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_region_stats": supplier_region_stats,
         "skew_salted_agg": skew_salted_agg,
         "q17_small_quantity": q17_small_quantity,
+        "q13_cust_order_dist": q13_cust_order_dist,
+        "q16_supplier_cnt": q16_supplier_cnt,
         "cube_order_counts": cube_order_counts,
         "brand_top_part": brand_top_part,
         "rolling_avg_events": rolling_avg_events,
@@ -5907,6 +5955,30 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_revenue,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q13_cust_order_dist": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q16_supplier_cnt": """
+            SELECT p.p_brand, p.p_size,
+                   count(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 3
+            )
+            GROUP BY p.p_brand, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
         """,
         "q17_small_quantity": """
             SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
