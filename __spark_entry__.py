@@ -121,6 +121,33 @@ def per_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def idn_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN punycode normalization (frontier/canonical.py
+    idn_normalize_host): internationalized hostnames collapse to their
+    RFC 3490 ToASCII wire form so seen keys and politeness budgets
+    agree. ASCII hosts take the codegen lower() fast path; only
+    non-ASCII rows hit the Arrow UDF. The plant cycles five hosts by
+    event_id % 5 (two ASCII incl. a mixed-case one, three IDN); the
+    oracle maps each planted host to its punycode closed-form."""
+    from smart_crawler_spark.frontier.canonical import idn_normalize_host
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = F.array(
+        F.lit("crawl.example"),
+        F.lit("MÜNCHEN.example"),
+        F.lit("café.test"),
+        F.lit("Plain.Test"),
+        F.lit("bücher.example"),
+    )
+    df = ev.select(
+        "event_id",
+        F.element_at(hosts, (F.col("event_id") % 5 + 1).cast("int")).alias(
+            "host"
+        ),
+    )
+    return idn_normalize_host(df).orderBy("event_id")
+
+
 def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9/F1: canonical relative URL + host of synthesized URLs."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -4416,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_dedup": frontier_dedup,
         "per_host_topk": per_host_topk,
         "url_canonicalize": url_canonicalize,
+        "idn_hosts": idn_hosts_q,
         "url_trap_detect": url_trap_detect,
         "url_templates": url_templates_q,
         "mirror_detect": mirror_detect,
@@ -4927,6 +4955,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rk <= 3
             ORDER BY o_custkey, rk
+        """,
+        # IDN: closed-form punycode per planted host (RFC 3490
+        # ToASCII values verified against the stdlib codec)
+        "idn_hosts": """
+            SELECT event_id,
+                   CASE event_id % 5
+                        WHEN 0 THEN 'crawl.example'
+                        WHEN 1 THEN 'MÜNCHEN.example'
+                        WHEN 2 THEN 'café.test'
+                        WHEN 3 THEN 'Plain.Test'
+                        ELSE 'bücher.example' END AS host,
+                   CASE event_id % 5
+                        WHEN 0 THEN 'crawl.example'
+                        WHEN 1 THEN 'xn--mnchen-3ya.example'
+                        WHEN 2 THEN 'xn--caf-dma.test'
+                        WHEN 3 THEN 'plain.test'
+                        ELSE 'xn--bcher-kva.example' END AS host_idn
+            FROM events ORDER BY event_id
         """,
         "url_canonicalize": """
             WITH u AS (

@@ -174,3 +174,40 @@ def surt_key(url: Column | str) -> Column:
             F.concat(F.lit("?"), query)
         ),
     )
+
+
+def idn_normalize_host(df, host_col: str = "host", out_col: str = "host_idn"):
+    """IDN → punycode host normalization (RFC 3490 ToASCII): the
+    frontier identity for internationalized domains — 'MÜNCHEN.example'
+    and 'xn--mnchen-3ya.example' are the SAME host on the wire, so seen
+    keys and politeness budgets must agree on one form.
+
+    Scale design: the overwhelmingly-common pure-ASCII host takes the
+    native `lower()` fast path inside codegen; only rows whose host
+    contains a non-ASCII byte reach the Arrow-batched pandas UDF
+    (encodings.idna per label, stdlib — no external package). A host
+    that fails ToASCII (empty/overlong label) keeps its lowercased
+    original rather than poisoning the row.
+
+    Adds ``out_col`` to ``df``; every other column rides through."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _to_ascii(h):
+        if h is None:
+            return None
+        try:
+            return h.encode("idna").decode("ascii").lower()
+        except UnicodeError:
+            return h.lower()
+
+    puny = F.pandas_udf(
+        lambda s: s.map(_to_ascii), "string"
+    )
+    is_ascii = F.col(host_col).rlike(r"^[\x00-\x7F]*$")
+    return df.withColumn(
+        out_col,
+        F.when(is_ascii, F.lower(F.col(host_col))).otherwise(
+            puny(F.col(host_col))
+        ),
+    )

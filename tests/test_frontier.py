@@ -292,3 +292,23 @@ def test_pick_batch_giant_budget_matches_window_path(spark):
     assert sorted(r["url"] for r in plain.collect()) == sorted(
         r["url"] for r in ranged.collect()
     )
+
+
+def test_idn_normalize_host_paths_and_failures(spark):
+    """ASCII fast path lowercases natively; IDN hosts punycode; a host
+    the codec rejects keeps its lowercased original; null rides
+    through."""
+    from smart_crawler_spark.frontier.canonical import idn_normalize_host
+
+    rows = [
+        (0, "Plain.Test"),
+        (1, "MÜNCHEN.example"),
+        (2, "x" * 80 + "é.test"),  # overlong label -> ToASCII fails
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, host string")
+    got = {r["i"]: r["host_idn"] for r in idn_normalize_host(df).collect()}
+    assert got[0] == "plain.test"
+    assert got[1] == "xn--mnchen-3ya.example"
+    assert got[2] == "x" * 80 + "é.test"
+    assert got[3] is None
