@@ -62,6 +62,11 @@ HEADLINE = [
     "quality_auc",
     "bm25_ndcg",
     "zipf_fit",
+    "unicode_dedup",
+    "video_scene_cuts",
+    "audio_near_dup",
+    "compaction_plan",
+    "crawl_budget_alloc",
 ]
 
 
