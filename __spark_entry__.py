@@ -3431,6 +3431,35 @@ def warc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdx_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (sources/warc.py cdx_index + the SURT sort
+    key): per-record compressed-member coordinates with the
+    random-access PROOF — each member re-decoded independently from
+    its (offset, length) slice must reproduce the full-stream parse.
+    Offsets themselves are gzip-implementation facts the oracle cannot
+    state, so the gated columns are the index's logical content (surt,
+    url, type, status) plus the slice_ok invariant; the byte
+    coordinates are pinned by tests/test_warc.py instead."""
+    from smart_crawler_spark.datagen.warc import generate_warc_shards
+    from smart_crawler_spark.frontier.canonical import surt_key
+    from smart_crawler_spark.sources.warc import cdx_index
+
+    shards = generate_warc_shards(spark, 40, 25)
+    return (
+        cdx_index(shards)
+        .select(
+            surt_key(F.col("url")).alias("surt"),
+            "shard_id",
+            "rec_idx",
+            "url",
+            "warc_type",
+            "status",
+            "slice_ok",
+        )
+        .orderBy("surt", "shard_id", "rec_idx")
+    )
+
+
 def warc_revisit_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC revisit-record resolution (sources/warc.py
     resolve_revisits): the CommonCrawl storage-dedup layout — every
@@ -4569,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": html_text_extract_docs,
         "streaming_image_ingest": streaming_image_ingest,
         "warc_source": warc_source_q,
+        "cdx_index": cdx_index_q,
         "warc_revisit_resolve": warc_revisit_resolve_q,
         "surt_index": surt_index_q,
         "vocab_encode": vocab_encode_docs,
@@ -8017,6 +8047,23 @@ def oracle_sql() -> dict[str, str]:
     # the WARC corpus is a pure index rule: shard s*25+j carries url /
     # status / payload derived from the global index, and ASCII
     # payloads make n_bytes == length(); md5(text) == md5(utf8 bytes)
+    # cdx index: surt derived from the construction rule
+    # ('http://h{k}.test/p/{i}' -> 'test,h{k})/p/{i}'), slice_ok true
+    # everywhere (the random-access invariant)
+    out["cdx_index"] = """
+        SELECT 'test,h' || (i % 7)::VARCHAR || ')/p/' || i::VARCHAR
+                   AS surt,
+               's' || (i // 25)::VARCHAR AS shard_id,
+               (i % 25)::INT AS rec_idx,
+               'http://h' || (i % 7)::VARCHAR || '.test/p/'
+                   || i::VARCHAR AS url,
+               'response' AS warc_type,
+               (CASE WHEN i % 11 = 3 THEN 404 ELSE 200 END)::INT
+                   AS status,
+               true AS slice_ok
+        FROM range(1000) t(i)
+        ORDER BY surt, shard_id, rec_idx
+    """
     out["warc_source"] = """
         SELECT 's' || (i // 25)::VARCHAR AS shard_id,
                (i % 25)::INT AS rec_idx,

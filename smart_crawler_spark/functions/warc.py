@@ -78,7 +78,10 @@ def _split_gzip_members(data: bytes) -> list[bytes]:
         if buf[:2] != b"\x1f\x8b":
             raise ValueError("not a gzip member at member boundary")
         d = zlib.decompressobj(wbits=31)  # 16+MAX_WBITS: gzip framing
-        blocks.append(d.decompress(buf))
+        try:
+            blocks.append(d.decompress(buf))
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member")
         buf = d.unused_data
@@ -128,3 +131,31 @@ def decode_warc(data: bytes) -> list[dict]:
         )
         pos = body_end + 4
     return records
+
+
+def gzip_member_spans(data: bytes) -> list[tuple[int, int]]:
+    """Byte spans (offset, length) of every gzip member in a
+    per-record-compressed WARC shard — the coordinates a CDX index
+    stores so replay can range-read ONE record from object storage
+    without touching the rest of the shard. Raises ValueError on a
+    non-gzip shard, a truncated member, or trailing garbage."""
+    import zlib
+
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    buf = data
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise ValueError("not a gzip member at member boundary")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            d.decompress(buf)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        consumed = len(buf) - len(d.unused_data)
+        spans.append((pos, consumed))
+        pos += consumed
+        buf = d.unused_data
+    return spans

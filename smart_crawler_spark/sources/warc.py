@@ -202,3 +202,90 @@ def write_warc_shards(
         .groupBy("_shard")
         .applyInPandas(enc, "shard_id string, bytes binary")
     )
+
+
+CDX_SCHEMA = (
+    "shard_id string, rec_idx int, url string, warc_type string, "
+    "status int, digest string, offset long, length long, "
+    "slice_ok boolean, err string"
+)
+
+
+def cdx_index(
+    shards: DataFrame,
+    shard_col: str = "shard_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """CDX-style capture index over WARC shards: one row per record
+    carrying the COMPRESSED MEMBER coordinates (offset, length) that
+    random-access replay range-reads — the artifact every web archive
+    (CommonCrawl cdx-*, OpenWayback) builds next to its WARCs. Sort the
+    output by ``surt_key(url)`` (frontier/canonical.py) and you have
+    the standard index layout: any domain's captures are one ordered
+    prefix scan.
+
+    ``slice_ok`` is the random-access PROOF, not an assumption: each
+    member is re-decoded INDEPENDENTLY from its (offset, length) slice
+    and must reproduce the full-stream parse byte-for-byte (headers and
+    payload). Requires per-record gzip members (the CommonCrawl
+    layout); a plain/damaged shard or a member/record count mismatch
+    yields one ``err`` row, never a crash. Map-only — shards index
+    independently, nothing shuffles."""
+    from smart_crawler_spark.functions.warc import (
+        decode_warc,
+        gzip_member_spans,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "shard_id", "rec_idx", "url", "warc_type", "status",
+            "digest", "offset", "length", "slice_ok", "err",
+        ]
+        for pdf in batches:
+            rows = []
+            for sid, data in zip(pdf[shard_col], pdf[bytes_col]):
+                data = bytes(data)
+                try:
+                    full = decode_warc(data)
+                    spans = gzip_member_spans(data)
+                    if len(spans) != len(full):
+                        raise ValueError(
+                            f"{len(spans)} members != {len(full)} records"
+                        )
+                except ValueError as e:
+                    rows.append(
+                        {
+                            "shard_id": sid, "rec_idx": None,
+                            "url": None, "warc_type": None,
+                            "status": None, "digest": None,
+                            "offset": None, "length": None,
+                            "slice_ok": None, "err": str(e),
+                        }
+                    )
+                    continue
+                for i, ((off, ln), rec) in enumerate(zip(spans, full)):
+                    sliced = decode_warc(data[off : off + ln])
+                    rows.append(
+                        {
+                            "shard_id": sid,
+                            "rec_idx": i,
+                            "url": rec["url"],
+                            "warc_type": rec["warc_type"],
+                            "status": rec["status"],
+                            "digest": rec.get("digest"),
+                            "offset": off,
+                            "length": ln,
+                            "slice_ok": sliced == [rec],
+                            "err": None,
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("rec_idx", "status"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("offset", "length"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return shards.select(
+        shards[shard_col].alias(shard_col), shards[bytes_col]
+    ).mapInPandas(gen, CDX_SCHEMA)

@@ -227,3 +227,36 @@ def test_resolve_revisits_cross_shard_dangling_and_err(spark):
     assert resp["resolved_md5"] == hashlib.md5(orig_payload).hexdigest()
     err = out[("dmg", None)]
     assert err["err"] and err["resolved"] is None
+
+
+def test_cdx_index_spans_and_damage(spark):
+    """Byte coordinates: members tile the shard exactly (contiguous,
+    summing to the blob size) and every slice re-decodes to its
+    record; a plain (non-gzip) shard and a truncated shard yield err
+    rows, never a crash."""
+    from smart_crawler_spark.datagen.warc import generate_warc_shards
+    from smart_crawler_spark.sources.warc import cdx_index
+
+    shards = generate_warc_shards(spark, 3, 5)
+    blob_sizes = {
+        r["shard_id"]: len(r["bytes"]) for r in shards.collect()
+    }
+    rows = cdx_index(shards).collect()
+    assert len(rows) == 15 and all(r["slice_ok"] for r in rows)
+    by_shard: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["shard_id"], r["rec_idx"])):
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for sid, rs in by_shard.items():
+        pos = 0
+        for r in rs:
+            assert r["offset"] == pos, (sid, r["rec_idx"])
+            pos += r["length"]
+        assert pos == blob_sizes[sid]
+
+    plain = generate_warc_shards(spark, 1, 3, compress=False)
+    damaged = spark.createDataFrame(
+        [("sx", b"\x1f\x8b\x08broken")], "shard_id string, bytes binary"
+    )
+    bad = cdx_index(plain.unionByName(damaged)).collect()
+    assert len(bad) == 2
+    assert all(r["err"] is not None and r["rec_idx"] is None for r in bad)
