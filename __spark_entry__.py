@@ -467,6 +467,19 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search (operators/textops.py phrase_search):
+    positional postings via one posexplode, phrase words' lists
+    intersected on (doc, position - k) — the phrase-query plan a
+    positional inverted index runs. Phrase 'table table' (adjacent
+    repeats occur naturally in the corpus); the oracle re-derives
+    match positions with array indexing over the same tokenization."""
+    from smart_crawler_spark.operators.textops import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, "table table").orderBy("doc_id")
+
+
 def unicode_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-canonical dedup (operators/textops.py unicode_dedup):
     texts differing only in normalization form or case collapse. The
@@ -1608,6 +1621,79 @@ def streaming_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = spark.read.parquet(out_dir).select(
             "url", "host", "dispatch_s", "response_s", "latency_s", "status"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("url")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def streaming_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static LEFT join (streaming/ingest.py
+    enrich_with_static): candidates enriched per micro-batch with a
+    per-host profile dimension (broadcast; no state, no watermark).
+    Hosts h0/h1/h2 carry planted profile rows; every 7th candidate
+    lands on UNPROFILED host h9 and must keep null profile columns
+    (left semantics). One availableNow wave — the static-join path has
+    no cross-batch state to pin."""
+    import shutil
+    import tempfile
+
+    from smart_crawler_spark.streaming.ingest import (
+        enrich_with_static,
+        read_candidate_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_enrich_")
+    cand_dir = f"{base}/candidates"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/out"
+    base_epoch = 1709251200  # 2024-03-01 00:00:00 UTC, as late_drop
+    try:
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+        hostnum = F.when(
+            F.col("event_id") % 7 == 0, F.lit(9)
+        ).otherwise(F.col("event_id") % 3)
+        ev.select(
+            F.concat(
+                F.lit("http://h"),
+                hostnum.cast("string"),
+                F.lit(".test/p/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            F.lit("dir").alias("page_class"),
+            F.lit(0).cast("int").alias("class_depth"),
+            F.lit(None).cast("string").alias("form_params"),
+            F.timestamp_seconds(
+                F.lit(base_epoch) + F.col("event_id")
+            ).alias("event_ts"),
+        ).coalesce(1).write.mode("overwrite").json(cand_dir)
+
+        profile = spark.createDataFrame(
+            [
+                ("h0.test", "news", 3),
+                ("h1.test", "shop", 1),
+                ("h2.test", "forum", 2),
+            ],
+            "host string, host_class string, crawl_priority int",
+        )
+        q = (
+            enrich_with_static(
+                read_candidate_stream(spark, cand_dir), profile
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = spark.read.parquet(out_dir).select(
+            "url", "host", "ts_s", "host_class", "crawl_priority"
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema).orderBy("url")
@@ -4487,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_groupby": schema_groupby,
         "exact_dedup": exact_dedup,
         "unicode_dedup": unicode_dedup_q,
+        "phrase_search": phrase_search_q,
         "jaccard_near_dup": jaccard_near_dup,
         "token_stats": token_stats,
         "language_id": language_id,
@@ -4524,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fetch_join": streaming_fetch_join,
         "streaming_fetch_timeout": streaming_fetch_timeout,
         "streaming_dedup_ttl": streaming_dedup_ttl,
+        "streaming_static_enrich": streaming_static_enrich,
         "approx_distinct_hll": approx_distinct_hll,
         "robots_filter": robots_filter,
         "image_decode_verify": image_decode_verify,
@@ -5277,6 +5365,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 ORDER BY signature
         """,
+        # phrase search: re-derive match positions with 1-based array
+        # indexing over the identical whitespace tokenization
+        "phrase_search": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS a
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, a,
+                       unnest(generate_series(
+                           1, greatest(len(a) - 1, 0))) AS j
+                FROM t
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM p
+            WHERE a[j] = 'table' AND a[j + 1] = 'table'
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         # unicode dedup: replay the triplet plant and the
         # lower(NFC(.)) key with DuckDB's nfc_normalize — every
         # complete triplet (b, b+1, b+2) is one group keyed by b
@@ -5719,6 +5826,25 @@ def oracle_sql() -> dict[str, str]:
                    (rm - dm) * 60 AS latency_s,
                    status
             FROM j ORDER BY url
+        """,
+        # stream-static enrich: the full left join stated in SQL;
+        # every 7th candidate (host h9) keeps null profile columns
+        "streaming_static_enrich": """
+            WITH c AS (
+                SELECT CASE WHEN event_id % 7 = 0 THEN 9
+                            ELSE event_id % 3 END AS hn,
+                       event_id
+                FROM events WHERE event_id < 500
+            )
+            SELECT 'http://h' || hn || '.test/p/' || event_id AS url,
+                   'h' || hn || '.test' AS host,
+                   1709251200 + event_id AS ts_s,
+                   CASE hn WHEN 0 THEN 'news' WHEN 1 THEN 'shop'
+                           WHEN 2 THEN 'forum' END AS host_class,
+                   CAST(CASE hn WHEN 0 THEN 3 WHEN 1 THEN 1
+                                WHEN 2 THEN 2 END AS INT)
+                       AS crawl_priority
+            FROM c ORDER BY url
         """,
         # bounded-state streaming dedup: one row per url at its wave-1
         # minute + the closer + a second emission for expired-state

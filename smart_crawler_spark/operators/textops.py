@@ -1935,3 +1935,42 @@ def unicode_dedup(
     return keyed.join(groups, "_k").select(
         F.col("_id").alias(id_col), "group_id", "n_docs"
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search via POSITIONAL postings — the IR primitive
+    BM25's bag-of-words scoring cannot express: build (doc, position,
+    word) postings with one posexplode, then intersect the phrase
+    words' posting lists on (doc, position - k) equi-keys, one
+    co-partitioned join per additional phrase word. This is how a
+    phrase query runs against a positional inverted index at corpus
+    scale: each join's inputs are ONLY the two words' postings (the
+    word filters prune the exploded table before any shuffle), never
+    the full corpus.
+
+    Output: (id, n_matches) for docs containing the phrase at least
+    once — n_matches counts distinct start positions."""
+    words = phrase.lower().split()
+    if not words:
+        raise ValueError("empty phrase")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    postings = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(toks).alias("pos", "w"),
+    )
+    matches = postings.filter(F.col("w") == words[0]).select("_id", "pos")
+    for k, wk in enumerate(words[1:], 1):
+        nxt = postings.filter(F.col("w") == wk).select(
+            "_id", (F.col("pos") - k).alias("pos")
+        )
+        matches = matches.join(nxt, ["_id", "pos"])
+    return (
+        matches.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(F.col("_id").alias(id_col), "n_matches")
+    )

@@ -269,6 +269,27 @@ def fetch_latency_join(
     )
 
 
+def enrich_with_static(
+    candidates: DataFrame, host_profile: DataFrame
+) -> DataFrame:
+    """Stream-static LEFT join: every streaming candidate is enriched
+    with its host's profile row (crawl priority class, robots policy,
+    quality prior — whatever the profile table carries) inside the
+    micro-batch, no state store and no watermark required — Spark
+    re-plans the static side per batch, so a refreshed profile
+    snapshot is picked up at the next trigger. The static side is a
+    per-host dimension (bounded by distinct hosts), so the join
+    broadcasts; a host absent from the profile keeps null columns
+    (left semantics) rather than dropping the candidate."""
+    c = candidates.withColumn("host", url_host(F.col("url")))
+    return c.join(F.broadcast(host_profile), "host", "left").select(
+        "url",
+        "host",
+        F.col("event_ts").cast("long").alias("ts_s"),
+        *[col for col in host_profile.columns if col != "host"],
+    )
+
+
 def dedup_within_watermark(
     candidates: DataFrame, delay: str = "2 minutes"
 ) -> DataFrame:

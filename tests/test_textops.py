@@ -476,3 +476,24 @@ def test_unicode_dedup_forms_and_case_merge(spark):
         (0, 0, 3), (1, 0, 3), (2, 0, 3),
         (3, 3, 2), (4, 3, 2),
     }
+
+
+def test_phrase_search_overlaps_and_multiword(spark):
+    """Overlapping occurrences each count (distinct start positions);
+    a 3-word phrase needs two positional joins; no-match docs are
+    absent; matching is case-insensitive."""
+    from smart_crawler_spark.operators.textops import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b"),          # 'a a a' at starts 0 and 1
+            (1, "x A a A y"),          # case-insensitive single match
+            (2, "a b a b a"),          # no adjacent run
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_search(docs, "A a a").collect()
+    }
+    assert got == {(0, 2), (1, 1)}
