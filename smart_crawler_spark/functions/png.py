@@ -70,16 +70,32 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def _iter_chunks(data: bytes):
+    # Strict framing, matching decode_warc/decode_png conventions: a
+    # declared chunk length that overruns the buffer, or a stream that
+    # ends without IEND, is a truncated/corrupt file and must raise —
+    # silently yielding a partial chunk list would make metadata_audit
+    # under-report on damaged payloads.
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
+    saw_iend = False
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: partial chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {length} bytes "
+                "past end of buffer"
+            )
         yield tag, data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IEND":
+            saw_iend = True
             break
+    if not saw_iend:
+        raise ValueError("corrupt PNG: stream ended without IEND")
 
 
 def text_chunks(data: bytes) -> list[tuple[str, str]]:

@@ -576,10 +576,16 @@ def compaction_plan(
     DataFrame op over the file ledger (metadata: one row per data
     file). Files at or above ``target_bytes`` are already healthy and
     pass through as ``group_no = -1`` (not rewritten); smaller files
-    are packed NEXT-FIT in ``file_col`` order within their partition:
-    group = floor(exclusive-prefix-sum of sizes / target), so every
-    rewrite group except a partition's last holds >= target bytes and
-    no group mixes partitions. Deterministic by construction (no
+    are packed in ``file_col`` order within their partition:
+    group = floor(exclusive-prefix-sum of sizes / target), so each
+    group's START offset lies < target bytes past the previous group
+    boundary and no group mixes partitions. (A file straddling a
+    boundary belongs to the group its start falls in, so a non-final
+    group's TOTAL can land below target — sizes [115, 26, 115, 26] at
+    target 128 give groups [0, 0, 1, 2] with group 1 holding only 115
+    bytes. The rule trades the usual >=target fill guarantee for a
+    purely positional assignment with no carried accumulator state,
+    which keeps it one window expression.) Deterministic (no
     first-fit-decreasing heuristics), which is what makes the plan
     SQL-replayable and idempotent across planner runs.
 
@@ -641,8 +647,21 @@ def proportional_allocation(
     host — metadata scale, bounded by distinct keys, never by corpus
     rows), same justification as the compaction ledger window.
 
-    Output: (key, weight, alloc) with sum(alloc) == total."""
+    Output: (key, weight, alloc) with sum(alloc) == total.
+
+    Raises ``ValueError`` when the weight mass is zero (empty input or
+    all-zero weights): there is no proportional split of a positive
+    total over zero mass, and the silent alternative is a divide-by-
+    zero null cascade that breaks the sum(alloc) == total contract."""
     s = df.agg(F.sum(weight_col).cast("long").alias("_s"))
+    # Eager 1-row guard, mirroring personalized_pagerank's empty-seed
+    # check: a zero mass would otherwise divide-by-zero into nulls.
+    if not s.collect()[0]["_s"]:
+        raise ValueError(
+            "proportional_allocation: sum(weights) is 0 "
+            "(empty input or all-zero weights); cannot apportion "
+            f"total={total}"
+        )
     base = (
         df.select(
             F.col(key_col).alias("key"),

@@ -89,3 +89,29 @@ def test_jpeg_decoder_gates():
     bad = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with pytest.raises(NotImplementedError):
         decode_jpeg(bad + b"\xff\xd9")
+
+
+def test_png_chunk_walk_strict_framing():
+    """_iter_chunks (via text_chunks) must raise on truncated or
+    IEND-less PNGs instead of yielding a partial chunk list — the
+    metadata audit would otherwise under-report on damaged payloads."""
+    from smart_crawler_spark.functions.png import (
+        add_text_chunks,
+        encode_png,
+        text_chunks,
+    )
+
+    good = add_text_chunks(
+        encode_png(image_pixels(3, 16, 12)), [("Author", "x")]
+    )
+    assert text_chunks(good) == [("Author", "x")]
+
+    # chunk length overrunning the buffer
+    with pytest.raises(ValueError, match="truncated PNG"):
+        text_chunks(good[:-6])
+    # partial chunk header at the tail
+    with pytest.raises(ValueError, match="truncated PNG"):
+        text_chunks(good[: len(good) - 10])
+    # stream that simply stops before IEND (drop the whole IEND chunk)
+    with pytest.raises(ValueError, match="without IEND"):
+        text_chunks(good[:-12])

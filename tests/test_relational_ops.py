@@ -575,17 +575,48 @@ def test_compaction_plan_invariants(spark):
         if r["part"] == "a" and r["group_no"] >= 0
     }
     assert got_a == {0: 0, 1: 0, 2: 1, 4: 1, 5: 1, 7: 2}
-    # every non-final group in each partition holds >= target
-    import collections
+    # The floor(exclusive-prefix-sum / target) rule does NOT promise
+    # that every non-final group reaches target bytes — a file that
+    # straddles a group boundary is assigned to the group its start
+    # offset falls in, so a non-final group can total below target.
+    # What the rule DOES promise (and the random sweep below pins
+    # exactly): each group's first file starts < target past the
+    # previous boundary, i.e. cumulative start offsets within a group
+    # g all lie in [g*target, (g+1)*target).
+    starts = {}
+    for fid in sorted(f for f, _ in got_a.items()):
+        prior = sum(
+            s
+            for f2, s in [(0, 40), (1, 100), (2, 90), (4, 10), (5, 70), (7, 50)]
+            if f2 < fid
+        )
+        starts[fid] = prior
+    for fid, g in got_a.items():
+        assert g * 128 <= starts[fid] < (g + 1) * 128, (fid, g, starts[fid])
 
-    totals = collections.defaultdict(int)
-    for r in plan:
-        if r["group_no"] >= 0:
-            totals[(r["part"], r["group_no"])] += r["size"]
-    last = {p: max(g for q, g in totals if q == p) for p, _ in totals}
-    for (p, g), tot in totals.items():
-        if g != last[p]:
-            assert tot >= 128, (p, g, tot)
+
+def test_compaction_plan_subtarget_nonfinal_group(spark):
+    """Counterexample ledger (from the round-4 audit): sizes
+    [115, 26, 115, 26] at target 128 pack to groups [0, 0, 1, 2] —
+    group 1 holds only 115 bytes yet is not the partition's last.
+    Pins that the positional floor rule, not a >=target fill
+    guarantee, is the operator's contract."""
+    from smart_crawler_spark.operators.relational import compaction_plan
+
+    df = spark.createDataFrame(
+        [("p", 0, 115), ("p", 1, 26), ("p", 2, 115), ("p", 3, 26)],
+        "part string, file_id int, size long",
+    )
+    plan = {
+        r["file"]: r["group_no"]
+        for r in compaction_plan(
+            df, "part", "size", "file_id", target_bytes=128
+        ).collect()
+    }
+    assert plan == {0: 0, 1: 0, 2: 1, 3: 2}
+    # group 1's total (115) is below target and group 1 is non-final:
+    # expected under the positional rule.
+    assert 115 < 128 and max(plan.values()) == 2
 
 
 def test_proportional_allocation_exact_total_and_ties(spark):
@@ -618,6 +649,16 @@ def test_proportional_allocation_exact_total_and_ties(spark):
     for total in (0, 1, 99):
         rows = proportional_allocation(df, "key", "w", total=total).collect()
         assert sum(r["alloc"] for r in rows) == total
+
+    # zero weight mass (empty input or all-zero weights) must fail
+    # loudly instead of emitting null allocs
+    import pytest
+
+    empty = spark.createDataFrame([], "key string, w long")
+    zeros = spark.createDataFrame([("a", 0), ("b", 0)], "key string, w long")
+    for bad in (empty, zeros):
+        with pytest.raises(ValueError, match="sum\\(weights\\) is 0"):
+            proportional_allocation(bad, "key", "w", total=5)
 
 
 def test_compaction_plan_random_sweep(spark):
