@@ -2482,6 +2482,36 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=10).orderBy("rank")
 
 
+def fielded_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F over body + inbound anchor text (operators/textops.py
+    fielded_bm25 — the consumer of anchor_text_agg's signal; Robertson
+    et al. CIKM 2004 simple BM25F: per-field length normalization,
+    shared saturation, anchor field weighted 2x). Anchors are planted
+    by rule: doc j contributes one inbound anchor to dst = j - j%5
+    cycling four anchor strings by j%4, so block-head docs carry 1-5
+    anchors with term repetition (joint saturation under test) and
+    every other doc has none (body-only scoring under test). Same
+    query terms and scale shape as bm25_topk; scores rounded 4dp, ties
+    on doc_id."""
+    from smart_crawler_spark.operators.textops import fielded_bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    anchor = F.element_at(
+        F.array(
+            F.lit("spark window tutorial"),
+            F.lit("merge guide"),
+            F.lit("window"),
+            F.lit("spark spark merge"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    anchors = docs.select(
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("doc_id"),
+        anchor.alias("anchor"),
+    )
+    return fielded_bm25(docs, anchors, _BM25_TERMS, k=10).orderBy("rank")
+
+
 def pca_project_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embeddings table
     (operators/simsearch.py pca_fit/pca_project): ONE map-side-partial
@@ -2597,6 +2627,52 @@ def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return substring_dup_pairs(planted).orderBy("id_a", "id_b")
+
+
+def substring_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass EXACT verbatim-passage dedup (operators/textops.py
+    substring_dup_exact): winnowing candidates -> exact longest-common-
+    substring verify in Arrow batches over the candidate pairs only.
+    80 synthetic docs: pair k = docs (2k, 2k+1) built from disjoint
+    md5 hex streams with a shared planted passage of length
+    27 + k % 6 (>= width + window - 1 = 27 at width 20 / window 8, so
+    winnowing detection is GUARANTEED) fenced by differing boundary
+    chars ('q' vs 'z') so the exact LCS equals the planted length, not
+    one more. The oracle states the closed form — the whole
+    hash/winnow/cap/join/LCS pipeline must reproduce it exactly,
+    including that NO cross-pair candidate survives (md5 streams share
+    no 20-char run)."""
+    from smart_crawler_spark.operators.textops import substring_dup_exact
+
+    ks = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    k = F.col("doc_id")
+    plen = (F.lit(27) + k % 6).cast("int")
+    passage = F.concat(
+        F.md5(k.cast("string")), F.md5((k + 1000).cast("string"))
+    ).substr(F.lit(1), plen)
+    two = ks.select(
+        k.alias("k"),
+        plen.alias("plen"),
+        passage.alias("p"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("side"),
+    )
+    fence = F.when(F.col("side") == 0, F.lit("q")).otherwise(F.lit("z"))
+    pad = F.md5(
+        F.concat(
+            (F.col("k") + 2000 + 77 * F.col("side")).cast("string")
+        )
+    )
+    docs = two.select(
+        (F.col("k") * 2 + F.col("side")).alias("doc_id"),
+        F.concat(pad, fence, F.col("p"), fence, F.reverse(pad)).alias(
+            "text"
+        ),
+    )
+    return (
+        substring_dup_exact(docs, width=20, window=8)
+        .select("id_a", "id_b", "lcs_len")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def shard_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3872,6 +3948,58 @@ def revisit_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_priority(v, tiebreak="event_id").orderBy("url")
 
 
+def crawl_site_prioritized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of the engine's PRIORITY-MODE pick
+    (frontier/priority.py prioritized_pick — the production path
+    EngineConfig.priority_mode runs in crawler/engine.py:_pick_batch,
+    and the live form of the trustrank / revisit_priority side
+    queries): a synthesized staleness-bearing frontier over 7 hosts is
+    ranked per host by (staleness DESC, reference comparator) and
+    capped at the trust-scaled budget max(1, floor(budget * trust)).
+    Staleness uses the same staleness_expr the engine stamps
+    re-enqueued recrawl rows with (Poisson changes/span rate, age to
+    now=12). Covers the priority comparator, the WindowGroupLimit
+    per-host pick, the broadcast trust join, and both clamps (trust 0
+    -> min 1 slot; trust 1.2 capped by the base budget since
+    rank <= budget filters first). The full multi-round engine loop is
+    pinned against the sequential oracle in tests/test_priority_mode.py
+    (iterative state — not SQL-expressible); this gate makes the pick
+    kernel itself driver-checkable."""
+    from smart_crawler_spark.frontier.priority import (
+        prioritized_pick,
+        staleness_expr,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    eid = F.col("event_id")
+    host = F.concat(
+        F.lit("h"), (F.col("user_id") % 7).cast("string"), F.lit(".test")
+    )
+    span = eid % 5
+    changes = eid % 3
+    first = (eid % 2 + 1).cast("int")
+    last = (first + span).cast("int")
+    frontier = ev.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), eid.cast("string")
+        ).alias("url"),
+        host.alias("host"),
+        (eid % 3).cast("int").alias("class_depth"),
+        F.concat(F.lit("c"), (eid % 3).cast("string")).alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+        staleness_expr(changes, first, last, F.lit(12)).alias("staleness"),
+    )
+    trust = spark.createDataFrame(
+        [(f"h{k}.test", k / 5.0) for k in range(7)],
+        "host string, trust double",
+    )
+    return (
+        prioritized_pick(frontier, budget=5, host_trust=trust)
+        .select("host", "url", "rank", "staleness")
+        .orderBy("host", "rank", "url")
+    )
+
+
 def sitemap_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sources/sitemap.py): build one sitemap XML
     document per site from the part table — entries carry optional
@@ -4655,11 +4783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact_docs,
         "line_dedup": line_dedup_docs,
         "bm25_topk": bm25_topk_docs,
+        "fielded_bm25": fielded_bm25_q,
         "pca_project": pca_project_verify,
         "charlm_perplexity": charlm_ppl_docs,
         "shard_pack": shard_pack_docs,
         "image_caption_joint_dedup": image_caption_joint_dedup,
         "substring_dup": substring_dup_docs,
+        "substring_dup_verify": substring_dup_verify_q,
         "dsir_weight": dsir_weight_docs,
         "semantic_dedup": semantic_dedup_q,
         "dedup_keep": dedup_keep_docs,
@@ -4697,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": anchor_text_q,
         "hits": hits_graph,
         "revisit_priority": revisit_priority_q,
+        "crawl_site_prioritized": crawl_site_prioritized_q,
         "sitemap_parse": sitemap_parse_q,
         "bpe_pair_stats": bpe_pair_stats_docs,
         "encoding_quality": encoding_quality_q,
@@ -6880,6 +7011,94 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 10
             ORDER BY rank
         """,
+        # BM25F: identical planted-anchor rule, per-field dl/avgdl
+        # normalization, shared saturation, Robertson idf over either
+        # field; round-4 before ranking on both sides
+        "fielded_bm25": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            anch AS (
+                SELECT (doc_id - doc_id % 5) AS doc_id,
+                       list_filter(regexp_split_to_array(
+                           CASE doc_id % 4
+                                WHEN 0 THEN 'spark window tutorial'
+                                WHEN 1 THEN 'merge guide'
+                                WHEN 2 THEN 'window'
+                                ELSE 'spark spark merge' END,
+                           '[^a-z0-9]+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            tf_b AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf_b
+                FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+                WHERE term IN ('spark', 'window', 'merge')
+                GROUP BY 1, 2
+            ),
+            tf_a AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf_a
+                FROM (SELECT doc_id, unnest(ws) AS term FROM anch)
+                WHERE term IN ('spark', 'window', 'merge')
+                GROUP BY 1, 2
+            ),
+            tf AS (
+                SELECT coalesce(tf_b.doc_id, tf_a.doc_id) AS doc_id,
+                       coalesce(tf_b.term, tf_a.term) AS term,
+                       coalesce(tf_b, 0) AS tf_b,
+                       coalesce(tf_a, 0) AS tf_a
+                FROM tf_b FULL OUTER JOIN tf_a
+                     USING (doc_id, term)
+            ),
+            dl AS (
+                SELECT w.doc_id, len(w.ws)::DOUBLE AS dl_b,
+                       coalesce(a.dl_a, 0)::DOUBLE AS dl_a
+                FROM words w
+                LEFT JOIN (
+                    SELECT doc_id, sum(len(ws)) AS dl_a
+                    FROM anch GROUP BY 1
+                ) a ON a.doc_id = w.doc_id
+            ),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT avg(dl_b) FROM dl) AS avgdl_b,
+                       (SELECT avg(dl_a) FROM dl) AS avgdl_a
+            ),
+            idf AS (
+                SELECT term,
+                       ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+                FROM (
+                    SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tf GROUP BY 1
+                ), stats
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       round(sum(idf.idf * tfc / (1.2 + tfc)), 4)
+                           AS score
+                FROM (
+                    SELECT tf.*,
+                           1.0 * tf_b / (1 - 0.75
+                               + 0.75 * dl.dl_b / stats.avgdl_b)
+                           + 2.0 * tf_a / (CASE WHEN stats.avgdl_a > 0
+                               THEN 1 - 0.75
+                                    + 0.75 * dl.dl_a / stats.avgdl_a
+                               ELSE 1.0 END) AS tfc
+                    FROM tf JOIN dl USING (doc_id), stats
+                ) tf
+                JOIN idf USING (term)
+                GROUP BY 1
+            )
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM scored
+            QUALIFY rank <= 10
+            ORDER BY rank
+        """,
         # generation-rule oracle: the Spark side verifies its own JVM
         # projection per row against an independent numpy projection +
         # the fit invariants; every row must check out
@@ -6944,6 +7163,18 @@ def oracle_sql() -> dict[str, str]:
         # identical plant + identical winnowing replay: 60-bit md5
         # window hashes, min-of-8 content-defined selection, <=50-doc
         # frequency cap, fingerprint self-join
+        # generation-rule oracle: the planted passage of pair k is
+        # 27 + k%6 chars (>= the winnowing guarantee at 20/8) fenced
+        # by differing boundary chars, so the exact two-pass verify
+        # must emit exactly one row per pair with the planted length —
+        # and nothing else (the md5 pads share no 20-char run)
+        "substring_dup_verify": """
+            SELECT CAST(2 * doc_id AS BIGINT) AS id_a,
+                   CAST(2 * doc_id + 1 AS BIGINT) AS id_b,
+                   CAST(27 + doc_id % 6 AS INT) AS lcs_len
+            FROM documents WHERE doc_id < 40
+            ORDER BY id_a, id_b
+        """,
         "substring_dup": """
             WITH planted AS (
                 SELECT doc_id,
@@ -8403,6 +8634,44 @@ def oracle_sql() -> dict[str, str]:
                    * (((SELECT now_us FROM nw) - l)
                       / 3600000000.0::DOUBLE)), 6) AS priority
         FROM agg ORDER BY url
+    """
+    # identical frontier synthesis + Poisson staleness + per-host
+    # prioritized rank + trust-scaled budget clamp; Spark runs the
+    # production prioritized_pick path, DuckDB states the rule
+    out["crawl_site_prioritized"] = """
+        WITH f AS (
+            SELECT 'http://h' || (user_id % 7) || '.test/p/' || event_id
+                       AS url,
+                   'h' || (user_id % 7) || '.test' AS host,
+                   CAST(event_id % 3 AS INT) AS class_depth,
+                   'c' || (event_id % 3) AS class_name,
+                   CAST(NULL AS VARCHAR) AS form_params,
+                   round(1.0::DOUBLE - exp(
+                       -(CASE WHEN (event_id % 5) > 0
+                         THEN (event_id % 3)
+                              / CAST(event_id % 5 AS DOUBLE)
+                         ELSE 0.0::DOUBLE END)
+                       * (12 - ((event_id % 2 + 1) + (event_id % 5)))
+                   ), 6) AS staleness
+            FROM events WHERE event_id < 4000
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY host
+                ORDER BY staleness DESC, class_depth, class_name, url,
+                         form_params ASC NULLS FIRST
+            ) AS rank
+            FROM f
+        ),
+        t AS (
+            SELECT 'h' || k || '.test' AS host,
+                   GREATEST(1, CAST(floor(5 * (k / 5.0)) AS INT)) AS tb
+            FROM range(7) AS r2(k)
+        )
+        SELECT r.host, r.url, r.rank, r.staleness
+        FROM r LEFT JOIN t ON t.host = r.host
+        WHERE r.rank <= 5 AND r.rank <= COALESCE(t.tb, 5)
+        ORDER BY r.host, r.rank, r.url
     """
     # the sitemap documents are rule-generated from part, so the oracle
     # states the rule; the Spark side must round-trip it through XML

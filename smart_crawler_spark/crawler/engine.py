@@ -61,6 +61,16 @@ FRONTIER_SCHEMA = (
     " class_name string, form_params string"
 )
 
+# per-URL visit history for priority mode (frontier/priority.py): one
+# row per successfully fetched dispatch identity; form_params stored
+# null-coalesced to "" (the F1 identity convention). Bounded by
+# fetched-URL cardinality, merged once per round like host_stats, and
+# snapshotted like the recrawl pool.
+VISIT_STATS_SCHEMA = (
+    "url string, page_class string, form_params string, visits long,"
+    " changes long, first_round int, last_round int, fp string"
+)
+
 
 @dataclass
 class EngineConfig:
@@ -128,6 +138,22 @@ class EngineConfig:
     # reported per round as metrics["template_dropped"], never silent.
     # Off by default for reference parity.
     template_budget: int = 0
+    # importance-prioritized scheduling (frontier/priority.py): True
+    # ranks each round's pick by (staleness DESC, reference order) and
+    # scales per-host budgets by the engine's host_trust table —
+    # turning the trustrank / revisit_priority side queries into LIVE
+    # frontier inputs. Batch MEMBERSHIP changes; within-round dispatch
+    # bookkeeping (order seq, link-dedup winners, redirect timing)
+    # keeps the reference comparator, so every downstream stage is
+    # byte-identical to the parity path (see frontier/priority.py's
+    # semantics contract and crawler/oracle.py crawl_site_prioritized).
+    # Off by default: the parity engine never reads any of it.
+    priority_mode: bool = False
+    # corpus column naming each page's change period in rounds (content
+    # version = dispatch_round // change_every; 0/null/absent = the
+    # page never changes). Only read in priority mode: it feeds the
+    # per-URL (visits, changes) history behind the Poisson staleness.
+    change_every_col: str = "change_every"
 
     def effective_budget(self) -> int:
         from smart_crawler_spark.frontier.queue import politeness_budget
@@ -159,6 +185,7 @@ class CrawlEngine:
         workdir: str,
         cfg: EngineConfig | None = None,
         robots=None,
+        host_trust: DataFrame | None = None,
     ):
         self.spark = spark
         # redirect adoption is corpus-static: resolve once, materialize,
@@ -193,6 +220,21 @@ class CrawlEngine:
         )
         self.workdir = workdir
         self.cfg = cfg or EngineConfig()
+        # priority mode (F2 generalized, frontier/priority.py): the
+        # (host, trust) table scales per-host budgets at pick time (one
+        # broadcast join over a host-cardinality table); the corpus's
+        # change-period column (if present) feeds the per-URL visit
+        # history behind the Poisson staleness. Neither is touched off
+        # priority mode — the parity path reads none of this.
+        self.host_trust = host_trust if self.cfg.priority_mode else None
+        self._change_every = (
+            self.site_pages.select(
+                "url", F.col(self.cfg.change_every_col).alias("_ce")
+            )
+            if self.cfg.priority_mode
+            and self.cfg.change_every_col in self.site_pages.columns
+            else None
+        )
         self.class_links = model.class_links_df(spark)
         self.data_links = model.data_links_df(spark)
         self.checkpoint = (
@@ -234,9 +276,24 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_pos")
         )
-        return df.withColumn("host", url_host("url")).select(
+        df = df.withColumn("host", url_host("url")).select(
             "url", "host", "page_class", "class_depth", "class_name", "form_params"
         )
+        if self.cfg.priority_mode:
+            # fresh URLs enter with staleness 0.0 — ties fall back to
+            # the reference comparator, so a churn-free corpus picks
+            # exactly like the parity engine (modulo trust caps)
+            df = df.withColumn("staleness", F.lit(0.0))
+        return df
+
+    def _order_cols(self) -> list:
+        """The pick comparator: PRIORITY_ORDER (staleness first) in
+        priority mode, the reference's FRONTIER_ORDER otherwise."""
+        if self.cfg.priority_mode:
+            from smart_crawler_spark.frontier.priority import PRIORITY_ORDER
+
+            return PRIORITY_ORDER()
+        return FRONTIER_ORDER()
 
     # -- main loop --------------------------------------------------------
     AUTO_BLOOM_RATIO = 8  # probe bloom when |seen| >= ratio × |cand est|
@@ -292,6 +349,12 @@ class CrawlEngine:
                 ).localCheckpoint()
             host_stats = snap.host_stats.localCheckpoint(eager=True)
             rnd = snap.round
+            if cfg.priority_mode:
+                visit_stats = (
+                    snap.visit_stats.localCheckpoint(eager=True)
+                    if snap.visit_stats is not None
+                    else self.spark.createDataFrame([], VISIT_STATS_SCHEMA)
+                )
             if cfg.recrawl_after_rounds:
                 rc_pool = (
                     snap.recrawl_pool.localCheckpoint(eager=True)
@@ -328,6 +391,10 @@ class CrawlEngine:
             seen_filter.materialize()
             host_stats = self.spark.createDataFrame([], HOST_STATS_SCHEMA)
             rnd = 0
+            if cfg.priority_mode:
+                visit_stats = self.spark.createDataFrame(
+                    [], VISIT_STATS_SCHEMA
+                )
             if cfg.recrawl_after_rounds:
                 rc_pool = self.spark.createDataFrame(
                     [], frontier.schema
@@ -374,8 +441,9 @@ class CrawlEngine:
                     rnd -= 1
                     break
                 # plans as TakeOrderedAndProject, like the F5 global cap
-                # in frontier/queue.py:90-96
-                picked = picked.orderBy(*FRONTIER_ORDER()).limit(remaining)
+                # in frontier/queue.py:90-96; in priority mode the cap
+                # keeps the most-stale rows (same comparator as the pick)
+                picked = picked.orderBy(*self._order_cols()).limit(remaining)
             # ONE eager checkpoint covers pick+fetch: the fetch join
             # preserves every batch column, so the round's batch view is
             # a free projection of the checkpointed fetch result instead
@@ -408,6 +476,7 @@ class CrawlEngine:
                 self._snapshot(
                     rnd, frontier, seen_filter, batch, host_stats,
                     rc_pool if cfg.recrawl_after_rounds else None,
+                    visit_stats if cfg.priority_mode else None,
                 )
                 if cfg.crash_at_round == rnd:
                     # simulated mid-round kill: batch is in flight, its
@@ -456,6 +525,9 @@ class CrawlEngine:
                     robots_ok(links), seen_filter, prefer_bloom,
                     redirectors=redirectors,
                 )
+                if self.cfg.priority_mode:
+                    # discovered links are fresh: staleness 0.0
+                    new = new.withColumn("staleness", F.lit(0.0))
                 n_pre_cap = None
                 if self.cfg.template_budget:
                     from smart_crawler_spark.frontier.traps import (
@@ -482,15 +554,27 @@ class CrawlEngine:
             def _roll_stats():
                 return self._update_host_stats(host_stats, fetched)
 
-            with ThreadPoolExecutor(4) as pool:
+            def _roll_visits(
+                rnd=rnd,
+                fetched_ok=fetched_ok,
+                vs=visit_stats if cfg.priority_mode else None,
+            ):
+                return self._update_visit_stats(vs, fetched_ok, rnd)
+
+            with ThreadPoolExecutor(5) as pool:
                 f_order = pool.submit(_write_order)
                 f_records = pool.submit(_write_records)
                 f_new = pool.submit(_new_links)
                 f_stats = pool.submit(_roll_stats)
+                f_visits = (
+                    pool.submit(_roll_visits) if cfg.priority_mode else None
+                )
                 f_order.result()
                 f_records.result()
                 new, n_new, n_template_dropped = f_new.result()
                 host_stats, n_batch, n_ok = f_stats.result()
+                if f_visits is not None:
+                    visit_stats = f_visits.result()
             t_sinks = time.monotonic()
 
             # the frontier union and the seen-set update both depend only
@@ -552,11 +636,17 @@ class CrawlEngine:
                     # shards delete the fingerprints in place)...
                     seen_filter.remove(exp_hashes)
                     # ...and rejoin the frontier with the original row,
-                    # re-entering seen at this re-enqueue
-                    frontier = frontier.unionByName(
-                        expired.drop("dispatch_round").select(
-                            *frontier.columns
+                    # re-entering seen at this re-enqueue. Priority
+                    # mode stamps the row's CURRENT Poisson staleness
+                    # from its visit history (frontier/priority.py) —
+                    # the revisit_priority side query made live.
+                    re_rows = expired.drop("dispatch_round")
+                    if cfg.priority_mode:
+                        re_rows = self._stale_reenqueue(
+                            re_rows, visit_stats, rnd
                         )
+                    frontier = frontier.unionByName(
+                        re_rows.select(*frontier.columns)
                     ).localCheckpoint(eager=True)
                     seen_filter.add(exp_hashes)
                     seen_filter.materialize()
@@ -599,6 +689,7 @@ class CrawlEngine:
                 self._snapshot(
                     rnd, frontier, seen_filter, None, host_stats,
                     rc_pool if cfg.recrawl_after_rounds else None,
+                    visit_stats if cfg.priority_mode else None,
                 )
 
         return self._result(rnd, frontier, seen_filter, metrics)
@@ -607,11 +698,13 @@ class CrawlEngine:
     def _pick_batch(self, frontier: DataFrame, host_stats: DataFrame) -> DataFrame:
         cfg = self.cfg
         budget = cfg.effective_budget()
+        order = self._order_cols()
         df = frontier
         if (
             budget >= (1 << 30)
             and not self._host_delay_budgets
             and cfg.max_pages_per_host >= (1 << 30)
+            and self.host_trust is None
         ):
             # unbounded round: every frontier row is in the batch — skip
             # the per-host ranking entirely (a full window sort per host
@@ -628,18 +721,31 @@ class CrawlEngine:
             # per-host sort funnels the hot host into ONE task — use
             # the range-partitioned selection instead (identical rank,
             # every stage parallel; frontier/queue.py)
-            ranked = ranged_priority_rank(df, "host").filter(
+            ranked = ranged_priority_rank(df, "host", order=order).filter(
                 F.col("rank") <= budget
             )
         else:
-            df = salted_prelimit(df, budget, cfg.salt_buckets)
+            df = salted_prelimit(df, budget, cfg.salt_buckets, order=order)
             # rank <= budget FIRST, directly on the window output: Spark
             # plans it as a map-side Partial WindowGroupLimit (the skew
             # defense); any join inserted between row_number and this
             # filter would defeat the pushdown and re-shuffle whole hot
             # hosts
-            ranked = priority_rank(df, "host").filter(
+            ranked = priority_rank(df, "host", order=order).filter(
                 F.col("rank") <= budget
+            )
+        if self.host_trust is not None:
+            # trust demotion (priority mode): host h keeps only its
+            # trust-scaled budget max(1, floor(budget * trust_h)) —
+            # applied AFTER the group-limit like the Crawl-delay join,
+            # so the broadcast join sees <= budget rows per host
+            from smart_crawler_spark.frontier.priority import trust_budgets
+
+            tb = trust_budgets(self.host_trust, min(budget, 1 << 30))
+            ranked = (
+                ranked.join(F.broadcast(tb), "host", "left")
+                .filter(F.col("rank") <= F.coalesce("_tb", F.lit(budget)))
+                .drop("_tb")
             )
         if self._host_delay_budgets:
             # robots Crawl-delay tightens AFTER the group-limit: the
@@ -704,6 +810,139 @@ class CrawlEngine:
             F.coalesce(F.sum("_ok"), F.lit(0)).alias("ok"),
         ).collect()[0]
         return merged, int(tot["n"]), int(tot["ok"])
+
+    def _update_visit_stats(
+        self, visit_stats: DataFrame, fetched_ok: DataFrame, rnd: int
+    ) -> DataFrame:
+        """Merge this round's successful fetches into the per-URL visit
+        history (priority mode only). One full-outer join on the
+        dispatch identity + eager checkpoint — the same shape and cost
+        as the host_stats roll-up, bounded by fetched-URL cardinality.
+
+        The content fingerprint is md5(adopted title | content version)
+        where version = dispatch_round // change_every from the
+        corpus's change-period column (0/null/absent = static content,
+        version 0 forever → changes stay 0 → staleness stays 0, which
+        is exactly what an unchanging page deserves under Cho &
+        Garcia-Molina). Failed fetches observe no content and update
+        nothing — a page you could not read tells you nothing about
+        its change rate."""
+        fpk = F.coalesce(F.col("form_params"), F.lit(""))
+        obs = fetched_ok.select(
+            F.col("url").alias("_ou"),
+            F.col("page_class").alias("_oc"),
+            fpk.alias("_of"),
+            F.col("title").alias("_title"),
+        )
+        if self._change_every is not None:
+            obs = obs.join(
+                self._change_every.withColumnRenamed("url", "_ou"),
+                "_ou",
+                "left",
+            )
+        else:
+            obs = obs.withColumn("_ce", F.lit(None).cast("int"))
+        version = F.when(
+            F.coalesce(F.col("_ce"), F.lit(0)) > 0,
+            F.floor(F.lit(rnd) / F.col("_ce")),
+        ).otherwise(F.lit(0))
+        obs = obs.select(
+            "_ou",
+            "_oc",
+            "_of",
+            F.md5(
+                F.concat_ws(
+                    "|", F.coalesce("_title", F.lit("")), version.cast("string")
+                )
+            ).alias("_fp"),
+        )
+        merged = (
+            visit_stats.join(
+                obs,
+                (F.col("url") == F.col("_ou"))
+                & (F.col("page_class") == F.col("_oc"))
+                & (F.col("form_params") == F.col("_of")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce("url", "_ou").alias("url"),
+                F.coalesce("page_class", "_oc").alias("page_class"),
+                F.coalesce("form_params", "_of").alias("form_params"),
+                (
+                    F.coalesce("visits", F.lit(0))
+                    + F.when(F.col("_ou").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("visits"),
+                (
+                    F.coalesce("changes", F.lit(0))
+                    + F.when(
+                        F.col("_fp").isNotNull()
+                        & F.col("fp").isNotNull()
+                        & (F.col("_fp") != F.col("fp")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("changes"),
+                F.coalesce(
+                    "first_round",
+                    F.when(F.col("_ou").isNotNull(), F.lit(rnd)),
+                )
+                .cast("int")
+                .alias("first_round"),
+                F.when(F.col("_ou").isNotNull(), F.lit(rnd))
+                .otherwise(F.col("last_round"))
+                .cast("int")
+                .alias("last_round"),
+                F.coalesce("_fp", "fp").alias("fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return merged
+
+    def _stale_reenqueue(
+        self, expired: DataFrame, visit_stats: DataFrame, rnd: int
+    ) -> DataFrame:
+        """Stamp expired recrawl rows with their CURRENT Poisson
+        staleness before they rejoin the frontier (priority mode): one
+        equi-join against the visit-stats table (AQE broadcasts it
+        while small), staleness_expr over (changes, first_round,
+        last_round) at now = this round. URLs with no history (their
+        every fetch failed) re-enter fresh at 0.0."""
+        from smart_crawler_spark.frontier.priority import staleness_expr
+
+        fpk = F.coalesce(F.col("form_params"), F.lit(""))
+        vs = visit_stats.select(
+            F.col("url").alias("_vu"),
+            F.col("page_class").alias("_vc"),
+            F.col("form_params").alias("_vf"),
+            "changes",
+            "first_round",
+            "last_round",
+        )
+        return (
+            expired.join(
+                vs,
+                (F.col("url") == F.col("_vu"))
+                & (F.col("page_class") == F.col("_vc"))
+                & (fpk == F.col("_vf")),
+                "left",
+            )
+            .withColumn(
+                "staleness",
+                F.coalesce(
+                    staleness_expr(
+                        F.col("changes"),
+                        F.col("first_round"),
+                        F.col("last_round"),
+                        F.lit(rnd),
+                    ),
+                    F.lit(0.0),
+                ),
+            )
+            .drop("_vu", "_vc", "_vf", "changes", "first_round", "last_round")
+        )
 
     def _dedup_links(
         self,
@@ -818,7 +1057,8 @@ class CrawlEngine:
         ).write.mode("append").parquet(self._order_dir)
 
     def _snapshot(
-        self, rnd, frontier, seen_filter, in_flight, host_stats, rc_pool=None
+        self, rnd, frontier, seen_filter, in_flight, host_stats,
+        rc_pool=None, visit_stats=None,
     ):
         in_flight_df = (
             in_flight
@@ -836,6 +1076,7 @@ class CrawlEngine:
             m,
             host_stats,
             recrawl_pool=rc_pool,
+            visit_stats=visit_stats,
         )
         if self.cfg.keep_snapshots:
             self.checkpoint.expire_snapshots(

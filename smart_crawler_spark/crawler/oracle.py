@@ -117,7 +117,11 @@ class _SiteCrawl:
         self.res.seen.add(key)
         self.queue.add(_Entry(depth, cls, url, form_params or ""))
 
-    def dispatch(self, e: _Entry) -> None:
+    def dispatch(self, e: _Entry):
+        """Fetch + extract one entry. Returns ``(ok, page)`` where
+        ``page`` is the ADOPTED page dict (redirect target's content)
+        on success, None on failure — crawl_site ignores the return;
+        crawl_site_prioritized reads it to build the visit history."""
         pages, res = self.pages, self.res
         self.seq += 1
         # form fetches POST their params; a corpus with the POST-response
@@ -136,7 +140,7 @@ class _SiteCrawl:
             }
         )
         if not ok:
-            return
+            return False, None
         if page.get("redirect_to"):
             final = page["redirect_to"]
             res.seen.add(seen_key(final))
@@ -174,6 +178,7 @@ class _SiteCrawl:
                     "fields": [vals.get(d["xpath"], "") for d in dls],
                 }
             )
+        return True, page
 
 
 def crawl_site(
@@ -248,6 +253,135 @@ def crawl_site_recrawl(
             {"round": rnd, "batch": len(batch), "expired": len(expired)}
         )
     c.res.frontier_left = len(c.queue)
+    c.res.rounds = rounds_meta
+    return c.res
+
+
+def crawl_site_prioritized(
+    pages: dict[str, dict],
+    model: NavigationModel,
+    seeds: list[str],
+    budget: int,
+    recrawl_after_rounds: int,
+    max_rounds: int,
+    host_trust: dict[str, float] | None = None,
+    max_tries: int = 1,
+) -> OracleResult:
+    """Sequential mirror of the engine's PRIORITY MODE
+    (EngineConfig.priority_mode + CrawlEngine(host_trust=...),
+    frontier/priority.py semantics contract):
+
+    - each round SELECTS, per host h, the top
+      ``max(1, floor(budget * trust_h))`` queued entries under
+      (staleness DESC, reference comparator) — trust defaults to 1.0
+      for hosts absent from ``host_trust``;
+    - the selected batch DISPATCHES in the reference comparator order
+      (within-round bookkeeping parity — links enqueue as discovered,
+      enqueue-time seen dedup, exactly like crawl_site_recrawl);
+    - every successful fetch updates the per-URL visit history: the
+      content fingerprint is md5(adopted-title | round // change_every)
+      with ``change_every`` read from the DISPATCHED corpus row (0 or
+      absent = static content);
+    - at round end, entries dispatched in rounds <= r - N expire: they
+      leave the seen set and re-enqueue carrying the Poisson staleness
+      round(1 - exp(-(changes/span) * age), 6) from their history
+      (span = last - first fetch round, age = r - last; 0.0 when a
+      single visit or no successful fetch) — fresh links and seeds
+      carry 0.0.
+
+    The engine's per-round dispatch multiset, per-host dispatch order,
+    final seen set, record multiset, and expiry counts must equal this
+    oracle's. Multi-host seed lists share one frontier and one seen set
+    (the engine's shape)."""
+    import hashlib
+    import math
+
+    trust = host_trust or {}
+    c = _SiteCrawl(pages, model, max_tries)
+    # staleness-bearing queue: (staleness, entry) pairs; _SiteCrawl's
+    # enqueue() path (fresh links, seed bootstrap) lands at 0.0
+    items: list[tuple[float, _Entry]] = []
+
+    class _StaleQueue:
+        def add(self, e: _Entry) -> None:
+            items.append((0.0, e))
+
+        def __len__(self) -> int:
+            return len(items)
+
+    c.queue = _StaleQueue()
+    for seed in seeds:
+        c.enqueue(seed, model.root)
+
+    def fp_of(e: _Entry, page: dict) -> str:
+        ce = int(pages.get(e.url, {}).get("change_every") or 0)
+        version = (rnd // ce) if ce > 0 else 0
+        title = page.get("title") or ""
+        return hashlib.md5(f"{title}|{version}".encode()).hexdigest()
+
+    stats: dict[tuple, dict] = {}
+    pool: dict[str, tuple[int, _Entry]] = {}
+    rnd = 0
+    rounds_meta: list[dict] = []
+    while items and rnd < max_rounds:
+        rnd += 1
+        by_host: dict[str, list[tuple[float, _Entry]]] = {}
+        for it in items:
+            by_host.setdefault(urlsplit(it[1].url).netloc.lower(), []).append(it)
+        batch: list[tuple[float, _Entry]] = []
+        for host, hitems in by_host.items():
+            # min(budget, ...): trust is a demotion signal in [0, 1] —
+            # the engine filters rank <= budget BEFORE the trust join,
+            # so trust > 1 can never raise a host above the base budget
+            b_h = min(budget, max(1, int(budget * trust.get(host, 1.0))))
+            hitems.sort(key=lambda it: (-it[0], it[1]))
+            batch.extend(hitems[:b_h])
+        picked = {id(it) for it in batch}
+        items = [it for it in items if id(it) not in picked]
+        # dispatch in the reference comparator order (bookkeeping parity)
+        for _s, e in sorted(batch, key=lambda it: it[1]):
+            ok, page = c.dispatch(e)
+            if ok:
+                k = (e.url, e.class_name, e.form_params)
+                fp = fp_of(e, page)
+                st = stats.setdefault(
+                    k,
+                    {"visits": 0, "changes": 0, "first": rnd, "fp": None},
+                )
+                st["visits"] += 1
+                if st["fp"] is not None and st["fp"] != fp:
+                    st["changes"] += 1
+                st["fp"] = fp
+                st["last"] = rnd
+            pool[seen_key(e.url, e.form_params or None)] = (rnd, e)
+        expired = [
+            k for k, (d, _) in pool.items()
+            if d <= rnd - recrawl_after_rounds
+        ]
+        for k in expired:
+            _, e = pool.pop(k)
+            c.res.seen.discard(k)
+            st = stats.get((e.url, e.class_name, e.form_params))
+            if st is not None:
+                span = st["last"] - st["first"]
+                lam = st["changes"] / span if span > 0 else 0.0
+                age = rnd - st["last"]
+                s_val = round(1.0 - math.exp(-lam * age), 6)
+            else:
+                s_val = 0.0
+            # enqueue() with a staleness stamp: same seen gate, same
+            # class lookup, but the queue entry carries s_val
+            key2 = seen_key(e.url, e.form_params or None)
+            if key2 not in c.res.seen:
+                c.res.seen.add(key2)
+                items.append(
+                    (s_val, _Entry(e.class_depth, e.class_name, e.url,
+                                   e.form_params))
+                )
+        rounds_meta.append(
+            {"round": rnd, "batch": len(batch), "expired": len(expired)}
+        )
+    c.res.frontier_left = len(items)
     c.res.rounds = rounds_meta
     return c.res
 

@@ -50,6 +50,9 @@ class Snapshot:
     # dispatched rows awaiting recrawl expiry (None: snapshot written
     # by a run without recrawl, or before the part existed)
     recrawl_pool: DataFrame | None = None
+    # per-URL visit history for priority mode (None: snapshot written
+    # by a parity run, or before the part existed)
+    visit_stats: DataFrame | None = None
 
 
 class CrawlCheckpoint:
@@ -79,6 +82,7 @@ class CrawlCheckpoint:
         host_stats: DataFrame,
         extras: dict | None = None,
         recrawl_pool: DataFrame | None = None,
+        visit_stats: DataFrame | None = None,
     ) -> None:
         # each snapshot of a round goes to a fresh versioned subdir and
         # the manifest (the commit point) flips to it LAST: the mid-round
@@ -108,6 +112,14 @@ class CrawlCheckpoint:
                 os.path.join(vd, "recrawl_pool")
             )
             names.append("recrawl_pool")
+        if visit_stats is not None:
+            # optional part, same contract as recrawl_pool: only
+            # priority-mode runs carry it; snapshots without it resume
+            # with an empty history (staleness restarts at 0)
+            visit_stats.write.mode("overwrite").parquet(
+                os.path.join(vd, "visit_stats")
+            )
+            names.append("visit_stats")
         manifest = {
             "round": rnd,
             "parts": names,
@@ -201,6 +213,7 @@ class CrawlCheckpoint:
         dfs = {p: self._read_part(d, p, manifest) for p in _PARTS}
         v = manifest.get("version")
         pool_dir = os.path.join(d, f"v={v}" if v else "", "recrawl_pool")
+        vstats_dir = os.path.join(d, f"v={v}" if v else "", "visit_stats")
         return Snapshot(
             round=rnd,
             frontier=dfs["frontier"],
@@ -212,6 +225,11 @@ class CrawlCheckpoint:
             recrawl_pool=(
                 self.spark.read.parquet(pool_dir)
                 if os.path.isdir(pool_dir)
+                else None
+            ),
+            visit_stats=(
+                self.spark.read.parquet(vstats_dir)
+                if os.path.isdir(vstats_dir)
                 else None
             ),
         )

@@ -52,14 +52,24 @@ def FRONTIER_ORDER() -> list:
     ]
 
 
-def priority_rank(df: DataFrame, per: str = "host") -> DataFrame:
-    """Attach ``rank`` = 1-based dequeue position within ``per``."""
-    w = Window.partitionBy(per).orderBy(*FRONTIER_ORDER())
+def priority_rank(
+    df: DataFrame, per: str = "host", order: list | None = None
+) -> DataFrame:
+    """Attach ``rank`` = 1-based dequeue position within ``per``.
+
+    ``order`` overrides the comparator (default: the reference's
+    FRONTIER_ORDER; the engine's priority mode passes PRIORITY_ORDER,
+    frontier/priority.py) — the WindowGroupLimit skew defense is
+    comparator-agnostic."""
+    w = Window.partitionBy(per).orderBy(*(order or FRONTIER_ORDER()))
     return df.withColumn("rank", F.row_number().over(w))
 
 
 def ranged_priority_rank(
-    df: DataFrame, per: str = "host", num_partitions: int | None = None
+    df: DataFrame,
+    per: str = "host",
+    num_partitions: int | None = None,
+    order: list | None = None,
 ) -> DataFrame:
     """``priority_rank`` for GIANT budgets: distributed selection via
     range partitioning instead of one window per host.
@@ -100,6 +110,7 @@ def ranged_priority_rank(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
+    order = order or FRONTIER_ORDER()
     # eager checkpoint PINS the partition ids: the count branch and the
     # rank branch below both consume `_pid`, and without materialization
     # each would recompute the range exchange with freshly sampled
@@ -108,7 +119,7 @@ def ranged_priority_rank(
     # overlapping rank blocks. One materialization also replaces three
     # recomputations of the exchange.
     ranged = (
-        df.repartitionByRange(P, F.col(per), *FRONTIER_ORDER())
+        df.repartitionByRange(P, F.col(per), *order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -119,7 +130,7 @@ def ranged_priority_rank(
         "_pid",
         (F.sum("_c").over(woff) - F.col("_c")).alias("_off"),
     )
-    wloc = Window.partitionBy(per, "_pid").orderBy(*FRONTIER_ORDER())
+    wloc = Window.partitionBy(per, "_pid").orderBy(*order)
     return (
         ranged.join(off, [per, "_pid"])
         .withColumn(
@@ -137,7 +148,12 @@ def ranged_priority_rank(
 RANGED_BUDGET_THRESHOLD = 50_000
 
 
-def salted_prelimit(df: DataFrame, budget: int, salt_buckets: int) -> DataFrame:
+def salted_prelimit(
+    df: DataFrame,
+    budget: int,
+    salt_buckets: int,
+    order: list | None = None,
+) -> DataFrame:
     """Phase 1 of the skew-safe two-phase top-K: rank within
     (host, salt) and keep rank <= budget, bounding any hot host's input
     to the final per-host window at salt_buckets × budget rows. Shared
@@ -148,7 +164,9 @@ def salted_prelimit(df: DataFrame, budget: int, salt_buckets: int) -> DataFrame:
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
     )
-    w1 = Window.partitionBy("host", "_salt").orderBy(*FRONTIER_ORDER())
+    w1 = Window.partitionBy("host", "_salt").orderBy(
+        *(order or FRONTIER_ORDER())
+    )
     return (
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= budget)

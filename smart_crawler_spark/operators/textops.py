@@ -728,6 +728,141 @@ def bm25_topk(
     )
 
 
+def fielded_bm25(
+    docs: DataFrame,
+    anchors: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    body_weight: float = 1.0,
+    anchor_weight: float = 2.0,
+    b_body: float = 0.75,
+    b_anchor: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """BM25F ranking over body text + inbound anchor text — the
+    classic web-search signal (anchor text describes the TARGET better
+    than its own text, Brin & Page 1998 §2.2; the fielded combination
+    is Robertson, Zaragoza & Taylor CIKM 2004's simple BM25F). This is
+    the consumer of ``anchor_text_agg``'s output the reference's
+    singleton ClassLink captures implicitly (``model/ClassLink.java:
+    50-72`` — a singleton link's anchor labels its destination class):
+
+        tf~_f(d,t) = tf_f / (1 - b_f + b_f * dl_f / avgdl_f)
+        tfc(d,t)   = w_body * tf~_body + w_anchor * tf~_anchor
+        score(d)   = sum_t idf(t) * tfc / (k1 + tfc)
+
+    — per-field length normalization FIRST, then one shared saturation
+    (saturating per field and summing would let 1000 anchor repeats
+    dominate; BM25F's point is that repetition saturates jointly).
+    idf is document-frequency over EITHER field; a doc with no inbound
+    anchors scores on body alone (anchor tf 0, anchor dl 0).
+
+    ``anchors``: one row per inbound anchor (id_col, anchor_col) —
+    ``anchor_text_agg`` output or the raw link table. Scale shape is
+    bm25_topk's with one extra |terms|-bounded anchor-side tf branch:
+    both token streams filter to the query terms BEFORE aggregation,
+    field stats are map-side partial aggs joined back as broadcasts
+    (|terms|- or 1-row), anchor dl aggregates per doc before joining,
+    and top-k plans as TakeOrderedAndProject. No corpus-wide sort.
+
+    Output: (id, score, rank) for the k highest-scoring docs, score
+    rounded 4dp, ties on ascending id."""
+    tset = [t.lower() for t in terms]
+    tok = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    body_toks = docs.select(
+        F.col(id_col), F.explode(tok(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(tset))
+    anch_words = anchors.select(
+        F.col(id_col), tok(F.col(anchor_col)).alias("ws")
+    )
+    anch_toks = anch_words.select(
+        id_col, F.explode("ws").alias("term")
+    ).filter(F.col("term").isin(tset))
+
+    tf_b = body_toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf_b")
+    )
+    tf_a = anch_toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf_a")
+    )
+    n_docs = docs.count()
+    dl_b = docs.select(
+        F.col(id_col), F.size(tok(F.col(text_col))).alias("dl_b")
+    )
+    # anchor field length PER DOC (sum over its inbound anchors),
+    # aggregated before any join; zero-anchor docs get 0 via the left
+    # join + coalesce below
+    dl_a = anch_words.groupBy(id_col).agg(
+        F.sum(F.size("ws")).alias("dl_a")
+    )
+    dl = dl_b.join(dl_a, id_col, "left").select(
+        id_col, "dl_b", F.coalesce("dl_a", F.lit(0)).alias("dl_a")
+    )
+    # avgdl_anchor averages over ALL docs (zero-anchor docs count as
+    # length 0) so the normalizer is corpus-stable, not
+    # anchored-subset-stable
+    avgdl = dl.agg(
+        F.avg("dl_b").alias("avgdl_b"), F.avg("dl_a").alias("avgdl_a")
+    )
+    tf = (
+        tf_b.join(tf_a, [id_col, "term"], "full_outer")
+        .select(
+            id_col,
+            "term",
+            F.coalesce("tf_b", F.lit(0)).alias("tf_b"),
+            F.coalesce("tf_a", F.lit(0)).alias("tf_a"),
+        )
+    )
+    idf = tf.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    ).select(
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    norm_b = F.lit(1 - b_body) + F.lit(b_body) * F.col("dl_b") / F.col(
+        "avgdl_b"
+    )
+    norm_a = F.when(
+        F.col("avgdl_a") > 0,
+        F.lit(1 - b_anchor)
+        + F.lit(b_anchor) * F.col("dl_a") / F.col("avgdl_a"),
+    ).otherwise(F.lit(1.0))
+    tfc = (
+        F.lit(body_weight) * F.col("tf_b") / norm_b
+        + F.lit(anchor_weight) * F.col("tf_a") / norm_a
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("idf") * tfc / (F.lit(k1) + tfc)), 4
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.col(id_col).asc()))
+            .alias("rank"),
+        )
+    )
+
+
 def charlm_perplexity(
     docs: DataFrame,
     n: int = 3,
@@ -1176,6 +1311,124 @@ def substring_dup_pairs(
     )
 
 
+def substring_dup_exact(
+    docs: DataFrame,
+    width: int = 50,
+    window: int = 8,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-pass EXACT verbatim-passage dedup: winnowing candidates,
+    then an exact longest-common-substring verify over the candidate
+    pairs ONLY (no suffix automaton — a binary search over achievable
+    lengths with literal substring-set membership, exact by string
+    equality, never by hash).
+
+    Why the second pass: ``substring_dup_pairs`` inherits winnowing's
+    one-sided guarantee — a shared passage >= width + window - 1
+    ALWAYS yields a common fingerprint, but (a) a passage in
+    [width, width + window - 2] is detected only when the min-hash
+    selection happens to land inside it on both sides, and (b) a
+    candidate's n_shared says nothing about the passage's true length.
+    The verify pass settles every flagged pair exactly: it reports the
+    true LCS length over the SAME normalized text the fingerprints
+    hashed, and drops sub-``width`` flukes (60-bit collisions —
+    astronomically rare, but now impossible by construction).
+
+    Scale shape: pass 1 is unchanged (map-only fingerprints, capped
+    equi-join — the plan audit's shape); pass 2 joins the candidate
+    PAIRS (already bounded by the max_bucket cap) back to the two
+    normalized texts — two equi-joins that ship only candidate rows —
+    and runs the LCS in Arrow batches (``mapInPandas``, no Python in
+    any corpus-wide path). Per pair the binary search does
+    O(log(minlen)) rounds of O(n) slice-set probes; candidate volume,
+    not corpus volume, pays it.
+
+    Output: (id_a, id_b, n_shared, lcs_len) for candidate pairs whose
+    exact LCS >= width."""
+    import pandas as pd
+
+    cands = substring_dup_pairs(
+        docs,
+        width=width,
+        window=window,
+        max_bucket=max_bucket,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    txt = docs.select(F.col(id_col), norm.alias("_t"))
+    paired = (
+        cands.join(
+            txt.select(
+                F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            txt.select(
+                F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")
+            ),
+            "id_b",
+        )
+    )
+
+    def _lcs_len(a: str, b: str) -> int:
+        if len(a) > len(b):
+            a, b = b, a
+
+        def reaches(L: int) -> bool:
+            if L == 0:
+                return True
+            if L > len(a):
+                return False
+            grams = {a[i : i + L] for i in range(len(a) - L + 1)}
+            return any(
+                b[j : j + L] in grams for j in range(len(b) - L + 1)
+            )
+
+        lo, hi = 0, len(a)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if reaches(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = [
+                _lcs_len(a, b) for a, b in zip(pdf["_ta"], pdf["_tb"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "n_shared": pdf["n_shared"],
+                    "lcs_len": pd.Series(lens, index=pdf.index),
+                }
+            )
+            yield out[out["lcs_len"] >= width]
+
+    id_t = dict(docs.dtypes)[id_col]
+    return paired.mapInPandas(
+        verify,
+        schema=(
+            f"id_a {id_t}, id_b {id_t}, n_shared long, lcs_len int"
+        ),
+    )
+
+
 def extract_main_text(
     docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1374,22 +1627,53 @@ def bpe_train(
     text_col: str = "text",
     end_token: str = "</w>",
     min_weight: int = 2,
+    batch_merges: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Distributed BPE tokenizer training: learn ``num_merges`` merge
     rules from corpus word frequencies.
 
     The merge loop is inherently sequential (each argmax depends on the
-    previous merge), so each round collects exactly ONE row (the best
-    pair) to the driver — the classic Spark BPE shape. All heavy work
-    stays distributed AND vocabulary-sized: after the initial word
-    count (the only corpus-wide shuffle) every round re-counts pairs
-    over the distinct-word symbol table, weighted by frequency, and
-    rewrites it with one Catalyst fold (``_merge_symbols``) + eager
-    checkpoint. Words end with ``end_token`` so prefix/suffix merges
-    stay distinct, as in the original algorithm.
+    previous merge), so the baseline shape collects exactly ONE row
+    (the best pair) per round — at a production 32k-merge vocabulary
+    that is tens of thousands of tiny driver rounds. ``batch_merges``
+    = m > 1 applies up to m merges per round while provably emitting
+    the IDENTICAL merge list (differentially swept in
+    tests/test_bpe.py):
+
+    - fetch the top m+1 candidate pairs ordered (weight desc, l, r);
+    - select a PREFIX of that ranking, stopping at the first candidate
+      that (a) shares a symbol with an already-selected pair, (b)
+      concatenates to an already-existing symbol string, or (c)
+      concatenates identically to an earlier selection — the three
+      ways a later merge's pair counts could depend on an earlier one;
+    - truncate the selection to weights STRICTLY above the stop
+      point's weight (the m+1-th candidate when nothing conflicted).
+      Every pair created or changed by the selected merges involves a
+      conflicting symbol, so its new count is bounded by some old
+      conflicting pair's count <= the stop weight < every kept
+      selection's weight: the sequential argmax sequence is exactly
+      the kept prefix, ties included (tiebreak order never reached).
+    - if nothing survives (immediate conflict), apply just the top-1 —
+      the plain sequential step, always exact.
+
+    Non-interacting corpora take ~m merges/round (one pair-count job +
+    one fold/checkpoint instead of per-merge pairs); adversarial ones
+    degrade gracefully to the sequential rate. All heavy work stays
+    distributed AND vocabulary-sized: after the initial word count
+    (the only corpus-wide shuffle) every round re-counts pairs over
+    the distinct-word symbol table, weighted by frequency, and
+    rewrites it with chained Catalyst folds (``_merge_symbols``) + one
+    eager checkpoint. Words end with ``end_token`` so prefix/suffix
+    merges stay distinct, as in the original algorithm.
+
+    ``stats``, when given, receives {"rounds": <driver rounds run>} —
+    the batching win is rounds ~= num_merges / m.
 
     Returns the ordered merge list [(left, right, weight), ...];
     stops early when the best pair's weight < ``min_weight``."""
+    if batch_merges < 1:
+        raise ValueError("batch_merges must be >= 1")
     wf = (
         docs.select(F.explode(_word_list(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -1402,9 +1686,26 @@ def bpe_train(
         ).alias("syms"),
     ).localCheckpoint()
 
+    # exact driver-side symbol ledger for the concat-collision guard
+    # (b): the initial alphabet (one tiny distinct over the symbol
+    # table — alphabet-sized result) plus every token a merge creates.
+    # Only needed when batching; the sequential path keeps its original
+    # two-jobs-per-merge shape untouched.
+    known_symbols: set[str] = set()
+    if batch_merges > 1:
+        known_symbols = {
+            r["s"]
+            for r in vocab.select(
+                F.explode("syms").alias("s")
+            ).distinct().collect()
+        }
+
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
-        pair_w = (
+    rounds = 0
+    while len(merges) < num_merges:
+        rounds += 1
+        k = min(batch_merges, num_merges - len(merges))
+        cands = (
             vocab.filter(F.size("syms") >= 2)
             .select(
                 "freq",
@@ -1421,16 +1722,57 @@ def bpe_train(
             .groupBy("p")
             .agg(F.sum("freq").alias("w"))
             .orderBy(F.col("w").desc(), F.col("p.l").asc(), F.col("p.r").asc())
-            .limit(1)
+            .limit(k + 1)
             .collect()
         )
-        if not pair_w or pair_w[0]["w"] < min_weight:
+        if not cands or cands[0]["w"] < min_weight:
             break
-        left, right = pair_w[0]["p"]["l"], pair_w[0]["p"]["r"]
-        merges.append((left, right, int(pair_w[0]["w"])))
-        vocab = vocab.withColumn(
-            "syms", _merge_symbols(F.col("syms"), left, right, left + right)
-        ).localCheckpoint()
+        if k == 1:
+            row = cands[0]
+            left, right = row["p"]["l"], row["p"]["r"]
+            selected = [(left, right, int(row["w"]))]
+        else:
+            used: set[str] = set()
+            concats: set[str] = set()
+            selected = []
+            # stop weight: the first conflicting candidate, else the
+            # (k+1)-th fetched row (pairs beyond the fetch window can
+            # conflict too), else -inf when the window saw every pair
+            w_stop = float("-inf")
+            for row in cands[:k]:
+                l, r, w = row["p"]["l"], row["p"]["r"], int(row["w"])
+                if w < min_weight:
+                    w_stop = max(w_stop, float(w))
+                    break
+                if (
+                    l in used
+                    or r in used
+                    or (l + r) in known_symbols
+                    or (l + r) in concats
+                ):
+                    w_stop = max(w_stop, float(w))
+                    break
+                selected.append((l, r, w))
+                used.update((l, r))
+                concats.add(l + r)
+            else:
+                if len(cands) > k:
+                    w_stop = max(w_stop, float(cands[k]["w"]))
+            selected = [m for m in selected if m[2] > w_stop]
+            if not selected:
+                # immediate conflict: one exact sequential step
+                row = cands[0]
+                selected = [
+                    (row["p"]["l"], row["p"]["r"], int(row["w"]))
+                ]
+        col = F.col("syms")
+        for left, right, _w in selected:
+            col = _merge_symbols(col, left, right, left + right)
+            known_symbols.add(left + right)
+        vocab = vocab.withColumn("syms", col).localCheckpoint()
+        merges.extend(selected)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

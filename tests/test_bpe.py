@@ -132,3 +132,60 @@ def test_merge_pass_semantics(spark, word, merge, want):
     docs = spark.createDataFrame([(0, word)], "doc_id long, text string")
     out = bpe_encode(docs, [merge]).collect()
     assert [r["token"] for r in sorted(out, key=lambda r: r["pos"])] == want
+
+
+def _rand_texts(seed: int, n: int = 12) -> list[str]:
+    import random
+
+    rng = random.Random(seed)
+    alpha = "abcdefg"
+    out = []
+    for _ in range(n):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        out.append(" ".join(words))
+    return out
+
+
+@pytest.mark.parametrize("seed,batch", [(1, 4), (7, 8), (42, 5), (99, 16)])
+def test_bpe_train_batched_identical(spark, seed, batch):
+    """Batched merges (batch_merges=m) must emit the IDENTICAL merge
+    list as the sequential trainer / the pure-Python reference, in
+    fewer driver rounds — the prefix-safe batching rule with the
+    strict stop-weight cutoff and the concat-collision guards."""
+    texts = _rand_texts(seed)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _py_train(texts, num_merges=20)
+    st_b: dict = {}
+    got_b = bpe_train(docs, num_merges=20, batch_merges=batch, stats=st_b)
+    assert got_b == want
+    # never MORE rounds than sequential; conflict-heavy stretches (all
+    # the early merges pair with </w>, sharing that symbol) legally
+    # degrade to one merge per round — the compression itself is
+    # pinned on the fixture corpus below
+    assert st_b["rounds"] <= max(len(want), 1)
+
+
+def test_bpe_train_batched_on_fixture_corpus(spark):
+    """The hand fixture corpus: batched == sequential == python, with
+    a round-count reduction, and stats reporting on both paths."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    st_seq: dict = {}
+    st_bat: dict = {}
+    seq = bpe_train(docs, num_merges=15, stats=st_seq)
+    bat = bpe_train(docs, num_merges=15, batch_merges=6, stats=st_bat)
+    assert seq == bat == _py_train(TEXTS, num_merges=15)
+    assert st_seq["rounds"] >= len(seq)
+    assert st_bat["rounds"] < st_seq["rounds"]
+
+
+def test_bpe_train_batch_validation(spark):
+    docs = spark.createDataFrame([(0, "aa bb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe_train(docs, batch_merges=0)

@@ -497,3 +497,156 @@ def test_phrase_search_overlaps_and_multiword(spark):
         for r in phrase_search(docs, "A a a").collect()
     }
     assert got == {(0, 2), (1, 1)}
+
+
+def test_fielded_bm25_anchor_boost_and_reference_formula(spark):
+    """BM25F semantics: (1) a doc whose BODY lacks the term but whose
+    inbound anchors carry it outranks a weak body match (the anchor
+    signal is live, not decorative); (2) anchor repetition saturates
+    JOINTLY with body tf (shared k1 denominator); (3) zero-anchor docs
+    score body-only; (4) every score equals a pure-Python replay of
+    the Robertson BM25F formula."""
+    import math
+
+    from smart_crawler_spark.operators.textops import fielded_bm25
+
+    bodies = {
+        0: "spark overview and internals",      # weak body match
+        1: "storage engine notes",              # no body match, anchors below
+        2: "spark spark spark deep dive",       # heavy body repetition
+        3: "unrelated prose entirely",          # nothing anywhere
+    }
+    anchor_rows = [
+        (1, "spark guide"),
+        (1, "the spark page"),
+        (1, "spark"),
+        (2, "spark"),
+    ]
+    docs = spark.createDataFrame(
+        list(bodies.items()), "doc_id long, text string"
+    )
+    anchors = spark.createDataFrame(anchor_rows, "doc_id long, anchor string")
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in fielded_bm25(
+            docs, anchors, ["spark"], k=10
+        ).collect()
+    }
+    # python replay
+    tok = lambda s: [w for w in __import__("re").split(r"[^a-z0-9]+", s.lower()) if w]
+    tf_b = {d: tok(t).count("spark") for d, t in bodies.items()}
+    tf_a = {d: 0 for d in bodies}
+    dl_a = {d: 0 for d in bodies}
+    for d, a in anchor_rows:
+        tf_a[d] += tok(a).count("spark")
+        dl_a[d] += len(tok(a))
+    dl_b = {d: len(tok(t)) for d, t in bodies.items()}
+    n = len(bodies)
+    avg_b = sum(dl_b.values()) / n
+    avg_a = sum(dl_a.values()) / n
+    df = sum(1 for d in bodies if tf_b[d] or tf_a[d])
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    want = {}
+    for d in bodies:
+        if not (tf_b[d] or tf_a[d]):
+            continue
+        nb = 1 - 0.75 + 0.75 * dl_b[d] / avg_b
+        na = (1 - 0.75 + 0.75 * dl_a[d] / avg_a) if avg_a > 0 else 1.0
+        tfc = 1.0 * tf_b[d] / nb + 2.0 * tf_a[d] / na
+        want[d] = round(idf * tfc / (1.2 + tfc), 4)
+    assert {d: s for d, (s, _) in got.items()} == want
+    # the anchor-only doc outranks the weak body match
+    assert got[1][1] < got[0][1]
+    # nothing-anywhere doc is absent
+    assert 3 not in got
+
+
+def test_substring_dup_exact_verify_property(spark):
+    """Two-pass exact verify (substring_dup_exact): random corpora with
+    planted passages of lengths straddling the winnowing guarantee
+    band [width, width+window-2]. Ground truth is a brute-force Python
+    LCS over ALL candidate pairs: the verified output must equal
+    {candidates with true LCS >= width} with EXACT lcs_len — including
+    the near-miss band where winnowing's n_shared alone proves nothing
+    about passage length."""
+    import itertools
+    import random
+
+    from smart_crawler_spark.operators.textops import (
+        substring_dup_exact,
+        substring_dup_pairs,
+    )
+
+    WIDTH, WINDOW = 20, 8
+
+    def norm(s):
+        import re
+
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
+
+    def py_lcs(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        lo, hi = 0, len(a)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            grams = {a[i : i + mid] for i in range(len(a) - mid + 1)}
+            if any(b[j : j + mid] in grams for j in range(len(b) - mid + 1)):
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    for trial in (0, 1):
+        rng = random.Random(100 + trial)
+        alpha = "abcdefghij"
+
+        def blob(n):
+            return "".join(rng.choice(alpha) for _ in range(n))
+
+        texts = {i: blob(rng.randint(120, 240)) for i in range(10)}
+        # plant passages across the guarantee band: below width (must
+        # never verify), the near-miss band [width, width+window-2]
+        # (winnowing MAY flag — exact length must come out right), and
+        # above the guarantee (always flagged, exact length checked)
+        for (da, db), plen in [
+            ((0, 1), WIDTH - 3),
+            ((2, 3), WIDTH + 2),          # near-miss band
+            ((4, 5), WIDTH + WINDOW - 2), # top of the band
+            ((6, 7), WIDTH + WINDOW + 9), # guaranteed detection
+        ]:
+            p = blob(plen)
+            ta, tb = texts[da], texts[db]
+            ia = rng.randint(0, len(ta) - 1)
+            ib = rng.randint(0, len(tb) - 1)
+            texts[da] = ta[:ia] + p + ta[ia:]
+            texts[db] = tb[:ib] + p + tb[ib:]
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in substring_dup_pairs(
+                docs, width=WIDTH, window=WINDOW
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_shared"], r["lcs_len"])
+            for r in substring_dup_exact(
+                docs, width=WIDTH, window=WINDOW
+            ).collect()
+        }
+        # ground truth over candidates (the verify pass never adds
+        # pairs winnowing didn't flag — exact over candidates only)
+        truth = {
+            pair: py_lcs(norm(texts[pair[0]]), norm(texts[pair[1]]))
+            for pair in cands
+        }
+        assert set(got) == {p for p, l in truth.items() if l >= WIDTH}
+        for pair, (_ns, lcs) in got.items():
+            assert lcs == truth[pair], (pair, lcs, truth[pair])
+        # the guaranteed plant is flagged AND exactly measured
+        assert (6, 7) in got
+        assert got[(6, 7)][1] >= WIDTH + WINDOW + 9
+        # sub-width plants never verify
+        assert (0, 1) not in got
