@@ -67,6 +67,36 @@ HEADLINE = [
     "audio_near_dup",
     "compaction_plan",
     "crawl_budget_alloc",
+    "crawl_site_prioritized",
+    "fielded_bm25",
+]
+
+# FROZEN round-over-round subset (do not grow): suite_sec is only
+# comparable across rounds at equal list length, and HEADLINE grows
+# every round — SUITE20 is the fixed basket whose sum (suite20_sec)
+# stays one comparable number. All 20 have been in HEADLINE since
+# round 3 or earlier; timings reuse the HEADLINE runs (no extra work).
+SUITE20 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "frontier_dedup",
+    "per_host_topk",
+    "url_canonicalize",
+    "exact_dedup",
+    "token_stats",
+    "language_id",
+    "quality_score",
+    "sessionize",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "ivf_embedding_topk",
+    "pq_embedding_topk",
+    "embedding_near_dup",
+    "phash_near_dup",
+    "image_decode_verify",
+    "video_frame_sample",
+    "trustrank",
 ]
 
 
@@ -270,6 +300,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                # the frozen 20-query basket: the ONE number to compare
+                # round over round (suite_sec moves when HEADLINE grows)
+                "suite20_sec": round(
+                    sum(queries[q] for q in SUITE20), 3
+                ),
                 "suite_calib_spark_sec": suite_calib,
                 "suite_calib_ratio": round(
                     sum(queries.values()) / calib_med, 1

@@ -104,6 +104,60 @@ def trust_budgets(
     )
 
 
+def host_trust_from_links(
+    links: DataFrame,
+    seed_hosts: list[str],
+    iters: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(host, trust) from the crawl's OWN link graph — the loop closed:
+    crawl round N's URL-level link table rolls up to the host graph
+    (``operators/graphops.py:host_graph``, internal template edges
+    dropped — a site's nav links are not endorsements), TrustRank-style
+    personalized PageRank from the operator's trusted seed hosts
+    assigns rank mass by proximity to trust (Gyongyi et al. 2004), and
+    the mass normalizes to (0, 1] by the maximum so the top trusted
+    host keeps the full politeness budget while spam neighborhoods
+    demote proportionally. Feed the result straight into
+    ``CrawlEngine(host_trust=...)`` for crawl round N+1.
+
+    Scale shape: the host rollup is one partial-aggregated groupBy
+    (shuffle = distinct host pairs, not links); PPR is the checkpointed
+    co-partitioned iteration of personalized_pagerank; the normalizer
+    is a 1-row broadcast. Output is host-cardinality — the broadcast
+    table the pick join expects. Trust rounded 6dp for engine/oracle
+    determinism."""
+    from smart_crawler_spark.operators.graphops import (
+        host_graph,
+        personalized_pagerank,
+    )
+
+    hg = host_graph(links, src=src, dst=dst).filter(~F.col("internal"))
+    seeds = (
+        links.sparkSession.createDataFrame(
+            [(h,) for h in seed_hosts], "node string"
+        )
+    )
+    pr = personalized_pagerank(
+        hg.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        ),
+        seeds,
+        iters=iters,
+        damping=damping,
+    )
+    mx = pr.agg(F.max("pr").alias("_mx"))
+    return (
+        pr.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("node").alias("host"),
+            F.round(F.col("pr") / F.col("_mx"), 6).alias("trust"),
+        )
+    )
+
+
 def prioritized_pick(
     frontier: DataFrame,
     budget: int,

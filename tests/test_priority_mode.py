@@ -295,3 +295,95 @@ def test_priority_resume_lossless(spark, tmp_path):
         (r["url"], r["staleness"]) for r in res_res.frontier.collect()
     )
     assert fa == fb
+
+
+def test_host_trust_from_links_closes_the_loop(spark, tmp_path):
+    """Crawl -> TrustRank -> next crawl: trust derived from a link
+    graph via host_trust_from_links (host rollup, internal edges
+    dropped, PPR from seed hosts, max-normalized) feeds the engine and
+    demotes the spam neighborhood's budget."""
+    from smart_crawler_spark.frontier.priority import host_trust_from_links
+
+    links = spark.createDataFrame(
+        [
+            # trusted core: seed host links to a good host, reciprocated
+            ("http://seed.test/a", "http://good.test/x"),
+            ("http://good.test/x", "http://seed.test/b"),
+            # spam cluster: only linked FROM spam pages, never from core
+            ("http://spam.test/1", "http://spam2.test/1"),
+            ("http://spam2.test/1", "http://spam.test/2"),
+            # internal template edges must not count as endorsements
+            ("http://spam.test/1", "http://spam.test/99"),
+        ],
+        "src string, dst string",
+    )
+    trust = {
+        r["host"]: r["trust"]
+        for r in host_trust_from_links(links, ["seed.test"]).collect()
+    }
+    assert trust["seed.test"] == 1.0  # max-normalized top host
+    assert trust["good.test"] > 0.0  # reachable from the seed
+    # the spam cluster gets no seed-proximal mass at all
+    assert trust.get("spam.test", 0.0) == 0.0
+    assert trust.get("spam2.test", 0.0) == 0.0
+
+    # and the table drives the engine: trust 0 -> starvation floor of
+    # exactly 1 fetch/round under any budget
+    model, rows, seed_url = make_random_site(3)
+    host1 = "r3.test"
+    host2 = "s3.test"
+    rows = churn_rows(rows, 3) + churn_rows(clone_host(rows, host1, host2), 3)
+    cfg = EngineConfig(budget_per_host=3, max_rounds=6, priority_mode=True)
+    res = run_engine(
+        spark, tmp_path, rows, model,
+        [seed_url, seed_url.replace(host1, host2)], cfg,
+        trust={host2: 0.0}, tag="loop",
+    )
+    per_round = {}
+    for r in res.order.collect():
+        if r["host"] == host2:
+            per_round[r["round"]] = per_round.get(r["round"], 0) + 1
+    assert per_round and max(per_round.values()) == 1
+
+
+def test_ranged_rank_agrees_under_priority_order(spark):
+    """The giant-budget ranged selection path must compute the same
+    per-host ranks as the window path under PRIORITY_ORDER (the
+    comparator is a parameter of both; a drift here would silently
+    reorder priority-mode picks in the drain-the-hot-host regime)."""
+    import random
+
+    from smart_crawler_spark.frontier.priority import PRIORITY_ORDER
+    from smart_crawler_spark.frontier.queue import (
+        priority_rank,
+        ranged_priority_rank,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            f"http://h{rng.randrange(3)}.test/p{i}",
+            f"h{i % 3}.test",
+            rng.randrange(4),
+            f"c{rng.randrange(3)}",
+            None,
+            round(rng.choice([0.0, 0.1, 0.5, 0.9]), 6),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, host string, class_depth int, class_name string,"
+        " form_params string, staleness double",
+    )
+    a = {
+        (r["host"], r["url"]): r["rank"]
+        for r in priority_rank(df, "host", order=PRIORITY_ORDER()).collect()
+    }
+    b = {
+        (r["host"], r["url"]): r["rank"]
+        for r in ranged_priority_rank(
+            df, "host", num_partitions=7, order=PRIORITY_ORDER()
+        ).collect()
+    }
+    assert a == b
