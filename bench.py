@@ -257,6 +257,35 @@ def bench_crawl(spark) -> dict[str, float]:
             shutil.rmtree(workdir, ignore_errors=True)
     _sample_calib()
     crawl_sec, fetched, rounds = min(runs)
+
+    # --- priority-mode overhead leg (one run): same site, same budget,
+    # priority_mode on with a full-trust table and no churn — the work
+    # shape is identical to the parity run, so crawl_priority_sec /
+    # crawl_sec isolates the mode's own cost (staleness column, visit-
+    # stats merge, broadcast trust join). Demotion/staleness SEMANTICS
+    # are correctness-tested in tests/test_priority_mode.py; this leg
+    # prices the machinery.
+    trust_df = spark.createDataFrame(
+        [(cfg.host(k), 1.0) for k in range(cfg.n_hosts)],
+        "host string, trust double",
+    )
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_prio_")
+    try:
+        eng = CrawlEngine(
+            spark, pages, model, workdir,
+            EngineConfig(budget_per_host=6000, salt_buckets=0,
+                         use_bloom=False, priority_mode=True),
+            host_trust=trust_df,
+        )
+        t0 = time.monotonic()
+        res_p = eng.run(
+            [f"http://{cfg.host(k)}/" for k in range(cfg.n_hosts)]
+        )
+        crawl_prio_sec = time.monotonic() - t0
+        fetched_p = res_p.order.filter("fetched").count()
+        assert fetched_p == fetched
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
     # noise-normalized metric: crawl time in units of the fixed-cost
     # Spark calib kernel. A slow VM phase inflates numerator and
     # denominator together, so this ratio is comparable ACROSS rounds
@@ -273,6 +302,8 @@ def bench_crawl(spark) -> dict[str, float]:
         "dedup_bloom_sec": round(bloom_sec, 3),
         "fetched_urls_per_sec": round(fetched / crawl_sec),
         "crawl_sec": round(crawl_sec, 3),
+        "crawl_priority_sec": round(crawl_prio_sec, 3),
+        "priority_overhead_ratio": round(crawl_prio_sec / crawl_sec, 2),
         "crawl_sec_runs": [round(r[0], 3) for r in runs],
         "crawl_rounds": rounds,
         "fetched": fetched,

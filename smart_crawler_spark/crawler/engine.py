@@ -699,12 +699,15 @@ class CrawlEngine:
         cfg = self.cfg
         budget = cfg.effective_budget()
         order = self._order_cols()
+        # getattr like _frontier_est: plan-shape tests drive _pick_batch
+        # on a bare engine without the constructor
+        host_trust = getattr(self, "host_trust", None)
         df = frontier
         if (
             budget >= (1 << 30)
             and not self._host_delay_budgets
             and cfg.max_pages_per_host >= (1 << 30)
-            and self.host_trust is None
+            and host_trust is None
         ):
             # unbounded round: every frontier row is in the batch — skip
             # the per-host ranking entirely (a full window sort per host
@@ -734,14 +737,14 @@ class CrawlEngine:
             ranked = priority_rank(df, "host", order=order).filter(
                 F.col("rank") <= budget
             )
-        if self.host_trust is not None:
+        if host_trust is not None:
             # trust demotion (priority mode): host h keeps only its
             # trust-scaled budget max(1, floor(budget * trust_h)) —
             # applied AFTER the group-limit like the Crawl-delay join,
             # so the broadcast join sees <= budget rows per host
             from smart_crawler_spark.frontier.priority import trust_budgets
 
-            tb = trust_budgets(self.host_trust, min(budget, 1 << 30))
+            tb = trust_budgets(host_trust, min(budget, 1 << 30))
             ranked = (
                 ranked.join(F.broadcast(tb), "host", "left")
                 .filter(F.col("rank") <= F.coalesce("_tb", F.lit(budget)))

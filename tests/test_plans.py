@@ -628,3 +628,29 @@ def test_compaction_plan_window_per_partition_no_cartesian(spark):
         if "windowspecdefinition" in ln.lower()
     ]
     assert win and all("part#" in ln for ln in win), plan
+
+
+def test_prioritized_pick_plan_shape(spark):
+    """Priority-mode pick (frontier/priority.py prioritized_pick): the
+    per-host rank under PRIORITY_ORDER must still plan the map-side
+    WindowGroupLimit skew defense (the comparator is orthogonal to the
+    pushdown), the trust table must join as a BroadcastHashJoin after
+    the group limit, and no CartesianProduct anywhere."""
+    from smart_crawler_spark.frontier.priority import prioritized_pick
+
+    front = spark.range(1000).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 7)).alias("host"),
+        (F.col("id") % 3).cast("int").alias("class_depth"),
+        F.lit("detail").alias("class_name"),
+        F.lit(None).cast("string").alias("form_params"),
+        (F.col("id") % 5 / 10.0).alias("staleness"),
+    )
+    trust = spark.createDataFrame(
+        [("s1", 0.5), ("s2", 0.1)], "host string, trust double"
+    )
+    plan = _formatted(prioritized_pick(front, budget=10, host_trust=trust))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
