@@ -554,6 +554,12 @@ class CrawlEngine:
             def _roll_stats():
                 return self._update_host_stats(host_stats, fetched)
 
+            # visit history has exactly one consumer — _stale_reenqueue
+            # at recrawl expiry — so a priority-mode run WITHOUT recrawl
+            # (trust demotion only) skips the per-round merge entirely:
+            # measured 1.33x -> ~1.0x crawl overhead on the bench site
+            track_visits = cfg.priority_mode and cfg.recrawl_after_rounds > 0
+
             def _roll_visits(
                 rnd=rnd,
                 fetched_ok=fetched_ok,
@@ -567,7 +573,7 @@ class CrawlEngine:
                 f_new = pool.submit(_new_links)
                 f_stats = pool.submit(_roll_stats)
                 f_visits = (
-                    pool.submit(_roll_visits) if cfg.priority_mode else None
+                    pool.submit(_roll_visits) if track_visits else None
                 )
                 f_order.result()
                 f_records.result()
