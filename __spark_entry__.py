@@ -2644,6 +2644,18 @@ def substring_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     no 20-char run)."""
     from smart_crawler_spark.operators.textops import substring_dup_exact
 
+    docs = _planted_passage_docs(spark, sf_dir)
+    return (
+        substring_dup_exact(docs, width=20, window=8)
+        .select("id_a", "id_b", "lcs_len")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _planted_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plant for the exact-substring gates: pair k = docs
+    (2k, 2k+1) from disjoint md5 pads, sharing a passage of length
+    27 + k % 6 fenced by differing boundary chars ('q' vs 'z')."""
     ks = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     k = F.col("doc_id")
     plen = (F.lit(27) + k % 6).cast("int")
@@ -2662,17 +2674,28 @@ def substring_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") + 2000 + 77 * F.col("side")).cast("string")
         )
     )
-    docs = two.select(
+    return two.select(
         (F.col("k") * 2 + F.col("side")).alias("doc_id"),
         F.concat(pad, fence, F.col("p"), fence, F.reverse(pad)).alias(
             "text"
         ),
     )
-    return (
-        substring_dup_exact(docs, width=20, window=8)
-        .select("id_a", "id_b", "lcs_len")
-        .orderBy("id_a", "id_b")
-    )
+
+
+def dup_passage_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage REMOVAL (operators/textops.py
+    dup_passage_scrub — the Lee et al. 2022 treatment: keep ONE
+    occurrence corpus-wide, strip the rest): over the same planted
+    corpus as substring_dup_verify, every pair's passage must survive
+    in doc 2k (the smaller id) and vanish from doc 2k+1, with
+    n_removed = the planted length exactly; all other text unchanged.
+    Detection is the two-pass exact pipeline; the removal itself is a
+    candidate-volume passage join + a JVM aggregate(replace) fold —
+    the oracle states the closed form."""
+    from smart_crawler_spark.operators.textops import dup_passage_scrub
+
+    docs = _planted_passage_docs(spark, sf_dir)
+    return dup_passage_scrub(docs, width=20, window=8).orderBy("doc_id")
 
 
 def shard_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4790,6 +4813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_joint_dedup": image_caption_joint_dedup,
         "substring_dup": substring_dup_docs,
         "substring_dup_verify": substring_dup_verify_q,
+        "dup_passage_scrub": dup_passage_scrub_q,
         "dsir_weight": dsir_weight_docs,
         "semantic_dedup": semantic_dedup_q,
         "dedup_keep": dedup_keep_docs,
@@ -7174,6 +7198,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(27 + doc_id % 6 AS INT) AS lcs_len
             FROM documents WHERE doc_id < 40
             ORDER BY id_a, id_b
+        """,
+        # closed-form removal oracle over the identical md5 plant: the
+        # passage survives in doc 2k, vanishes from doc 2k+1 (the text
+        # is already normalization-invariant: lowercase alnum only)
+        "dup_passage_scrub": """
+            WITH d AS (
+                SELECT CAST(2 * k + side AS BIGINT) AS doc_id, side,
+                       md5(CAST(k + 2000 + 77 * side AS VARCHAR)) AS pad,
+                       substr(md5(CAST(k AS VARCHAR))
+                              || md5(CAST(k + 1000 AS VARCHAR)),
+                              1, CAST(27 + k % 6 AS INT)) AS p,
+                       CASE side WHEN 0 THEN 'q' ELSE 'z' END AS f
+                FROM (SELECT doc_id AS k FROM documents WHERE doc_id < 40),
+                     (SELECT unnest([0, 1]) AS side)
+            )
+            SELECT doc_id,
+                   CASE WHEN side = 1
+                        THEN pad || 'zz' || reverse(pad)
+                        ELSE pad || 'q' || p || 'q' || reverse(pad)
+                   END AS clean_text,
+                   CAST(CASE WHEN side = 1 THEN length(p) ELSE 0 END
+                        AS INT) AS n_removed
+            FROM d ORDER BY doc_id
         """,
         "substring_dup": """
             WITH planted AS (

@@ -23,6 +23,8 @@ line of per-stage row counts and wall seconds. Stages:
   filter   the fused FineWeb-style keep decision (quality_gate: lang +
            quality + dup-trigram + length bounds in one map-only pass)
   scrub    cross-doc line dedup (boilerplate strip) + PII redaction
+  passagescrub  Lee-et-al duplicated-passage removal (winnowing
+           candidates -> exact LCS -> keep one occurrence corpus-wide)
   dsir     DSIR importance weights vs the lang='en' target slice
            (hashed two-LM log-ratio; bucket-bounded broadcast models)
   semdedup SemDeDup semantic dedup over the embedding table (k-means
@@ -321,6 +323,16 @@ def main() -> None:
             return textops.redact_pii(cleaned)
 
         run("scrub", _scrub)
+
+    if "passagescrub" in stages:
+        # Lee-et-al duplicated-passage removal: keep one occurrence
+        # corpus-wide, strip the rest (detection = the two-pass exact
+        # winnowing+LCS pipeline; removal = candidate-volume passage
+        # join + JVM aggregate(replace) fold)
+        run(
+            "passagescrub",
+            lambda: textops.dup_passage_scrub(docs),
+        )
 
     if "export" in stages:
         # corpus -> WARC shard blobs (the archive-interchange sink):

@@ -1311,6 +1311,39 @@ def substring_dup_pairs(
     )
 
 
+def _lcs_of(a: str, b: str) -> tuple[int, str | None]:
+    """Exact longest common substring of two strings: (length,
+    canonical passage) where the passage is the lexicographically
+    smallest common substring of maximal length (deterministic when
+    the maximum is not unique). Binary search over achievable lengths
+    with literal substring-set membership — exact by string equality,
+    never by hash; no suffix automaton."""
+    if len(a) > len(b):
+        a, b = b, a
+
+    def common_at(L: int) -> str | None:
+        if L == 0 or L > len(a):
+            return None
+        grams = {a[i : i + L] for i in range(len(a) - L + 1)}
+        hits = {
+            b[j : j + L]
+            for j in range(len(b) - L + 1)
+            if b[j : j + L] in grams
+        }
+        return min(hits) if hits else None
+
+    lo, hi = 0, len(a)
+    best = None
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        p = common_at(mid)
+        if p is not None:
+            lo, best = mid, p
+        else:
+            hi = mid - 1
+    return lo, best
+
+
 def substring_dup_exact(
     docs: DataFrame,
     width: int = 50,
@@ -1318,12 +1351,16 @@ def substring_dup_exact(
     max_bucket: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_passage: bool = False,
 ) -> DataFrame:
     """Two-pass EXACT verbatim-passage dedup: winnowing candidates,
     then an exact longest-common-substring verify over the candidate
-    pairs ONLY (no suffix automaton — a binary search over achievable
-    lengths with literal substring-set membership, exact by string
-    equality, never by hash).
+    pairs ONLY (``_lcs_of``: a binary search over achievable lengths
+    with literal substring-set membership, exact by string equality,
+    never by hash — no suffix automaton). ``keep_passage=True`` also
+    returns the canonical passage string per pair (the
+    lexicographically smallest maximal common substring) — the input
+    ``dup_passage_scrub`` consumes.
 
     Why the second pass: ``substring_dup_pairs`` inherits winnowing's
     one-sided guarantee — a shared passage >= width + window - 1
@@ -1380,52 +1417,116 @@ def substring_dup_exact(
         )
     )
 
-    def _lcs_len(a: str, b: str) -> int:
-        if len(a) > len(b):
-            a, b = b, a
-
-        def reaches(L: int) -> bool:
-            if L == 0:
-                return True
-            if L > len(a):
-                return False
-            grams = {a[i : i + L] for i in range(len(a) - L + 1)}
-            return any(
-                b[j : j + L] in grams for j in range(len(b) - L + 1)
-            )
-
-        lo, hi = 0, len(a)
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            if reaches(mid):
-                lo = mid
-            else:
-                hi = mid - 1
-        return lo
-
     def verify(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            lens = [
-                _lcs_len(a, b) for a, b in zip(pdf["_ta"], pdf["_tb"])
-            ]
+            lens, passages = [], []
+            for a, b in zip(pdf["_ta"], pdf["_tb"]):
+                L, p = _lcs_of(a, b)
+                lens.append(L)
+                passages.append(p)
             out = pd.DataFrame(
                 {
                     "id_a": pdf["id_a"],
                     "id_b": pdf["id_b"],
                     "n_shared": pdf["n_shared"],
                     "lcs_len": pd.Series(lens, index=pdf.index),
+                    "passage": pd.Series(passages, index=pdf.index),
                 }
             )
             yield out[out["lcs_len"] >= width]
 
     id_t = dict(docs.dtypes)[id_col]
-    return paired.mapInPandas(
+    out = paired.mapInPandas(
         verify,
         schema=(
-            f"id_a {id_t}, id_b {id_t}, n_shared long, lcs_len int"
+            f"id_a {id_t}, id_b {id_t}, n_shared long, lcs_len int,"
+            " passage string"
         ),
+    )
+    return out if keep_passage else out.drop("passage")
+
+
+def dup_passage_scrub(
+    docs: DataFrame,
+    width: int = 50,
+    window: int = 8,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-passage REMOVAL — the actual Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    treatment: detection alone (``substring_dup_exact``) still trains
+    on the verbatim passage once per copy; this operator keeps ONE
+    occurrence corpus-wide and strips the rest. Removal rule, fully
+    deterministic:
+
+    - verified pairs carry their canonical passage (lexicographically
+      smallest maximal common substring of the pair's normalized
+      texts);
+    - the occurrence survives in the pair's SMALLER id (id_a); every
+      doc that appears as id_b removes ALL occurrences of that pair's
+      passage from its normalized text. A doc in several pairs removes
+      each of its passages, applied in ascending passage order (a
+      single deterministic pass; removals are not re-scanned for
+      adjacencies they create — the standard one-pass treatment);
+    - chains collapse correctly: docs a < b < c sharing one passage
+      produce pairs (a,b),(a,c),(b,c), so b and c both scrub and only
+      a keeps the passage.
+
+    Output: (id, clean_text, n_removed) over ALL docs — untouched docs
+    pass through with their normalized text and n_removed = 0 (the
+    normalization is the pipeline's matching form; callers splicing
+    removals back into raw text would map offsets instead).
+
+    Scale shape: detection is the two-pass shape above; the removal
+    itself is ONE broadcast-friendly join of the per-doc sorted
+    passage array (candidate-volume, never corpus-volume) followed by
+    a JVM-side ``aggregate(replace(...))`` fold — no Python touches
+    the corpus-wide path."""
+    pairs = substring_dup_exact(
+        docs,
+        width=width,
+        window=window,
+        max_bucket=max_bucket,
+        text_col=text_col,
+        id_col=id_col,
+        keep_passage=True,
+    )
+    targets = (
+        pairs.select(F.col("id_b").alias(id_col), "passage")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("passage")).alias("_ps"))
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    base = docs.select(F.col(id_col), norm.alias("_norm"))
+    clean = F.when(
+        F.col("_ps").isNull(), F.col("_norm")
+    ).otherwise(
+        F.aggregate(
+            F.col("_ps"),
+            F.col("_norm"),
+            lambda acc, p: F.replace(acc, p, F.lit("")),
+        )
+    )
+    return (
+        base.join(targets, id_col, "left")
+        .select(
+            id_col,
+            clean.alias("clean_text"),
+            (F.length("_norm") - F.length(clean))
+            .cast("int")
+            .alias("n_removed"),
+        )
     )
 
 

@@ -650,3 +650,60 @@ def test_substring_dup_exact_verify_property(spark):
         assert got[(6, 7)][1] >= WIDTH + WINDOW + 9
         # sub-width plants never verify
         assert (0, 1) not in got
+
+
+def test_dup_passage_scrub_removes_later_occurrences(spark):
+    """Lee-et-al-style passage REMOVAL: the occurrence survives only in
+    the smallest doc id; chains collapse; untouched docs pass through;
+    removal counts are exact; all against a pure-Python mirror of the
+    removal rule (canonical passage = lexicographically smallest
+    maximal common substring, applied ascending)."""
+    import re
+
+    from smart_crawler_spark.operators.textops import (
+        _lcs_of,
+        dup_passage_scrub,
+        substring_dup_exact,
+    )
+
+    def norm(s):
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
+
+    P = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        0: f"alpha bravo {P} charlie delta echo foxtrot golf hotel india",
+        1: f"india juliet kilo {P} lima mike november oscar papa quebec",
+        2: f"{P} romeo sierra tango uniform victor whiskey xray yankee",
+        3: "completely unrelated prose with no shared passages at all here",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    W, WIN = 20, 8
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dup_passage_scrub(docs, width=W, window=WIN).collect()
+    }
+    assert set(got) == set(texts)
+    # python mirror
+    pairs = {
+        (r["id_a"], r["id_b"]): None
+        for r in substring_dup_exact(docs, width=W, window=WIN).collect()
+    }
+    removal: dict[int, set] = {}
+    for a, b in pairs:
+        _L, p = _lcs_of(norm(texts[a]), norm(texts[b]))
+        removal.setdefault(b, set()).add(p)
+    for d, t in texts.items():
+        n = norm(t)
+        expect = n
+        for p in sorted(removal.get(d, ())):
+            expect = expect.replace(p, "")
+        assert got[d][0] == expect, d
+        assert got[d][1] == len(n) - len(expect), d
+    # the chain collapsed: only doc 0 still contains the passage
+    shared = norm(P)
+    assert shared in got[0][0]
+    assert shared not in got[1][0] and shared not in got[2][0]
+    # untouched doc passes through unmodified
+    assert got[3] == (norm(texts[3]), 0)
