@@ -3908,6 +3908,38 @@ def anchor_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(h) (operators/graphops.py
+    neighborhood_function — the effective-diameter curve of a link
+    graph; the truth path whose register-sketch scale twin is
+    hyperball_neighborhood, differentially pinned in
+    tests/test_graphops.py): a deterministic 60-node digraph (ring +
+    two chord families) built from the events id space, N(h) for
+    h = 0..6. The oracle replays the graph and runs a recursive-CTE
+    BFS to min pair distances — every count in the curve is checked,
+    including the flat saturated tail."""
+    from smart_crawler_spark.operators.graphops import neighborhood_function
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 60).alias("u"))
+        .distinct()
+    )
+    ring = u.select("u", ((F.col("u") + 1) % 60).alias("v"))
+    chord7 = u.filter(F.col("u") % 3 == 0).select(
+        "u", ((F.col("u") * 7) % 60).alias("v")
+    )
+    chord13 = u.filter(F.col("u") % 5 == 0).select(
+        "u", ((F.col("u") + 13) % 60).alias("v")
+    )
+    edges = ring.unionAll(chord7).unionAll(chord13).filter(
+        F.col("u") != F.col("v")
+    )
+    return neighborhood_function(
+        edges, max_hops=6, src="u", dst="v"
+    ).orderBy("hop")
+
+
 def host_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web-graph rollup (operators/graphops.py host_graph):
     the URL link table collapses to (src_host, dst_host) edges with
@@ -4845,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": surt_index_q,
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
+        "neighborhood_function": neighborhood_function_q,
         "label_propagation": label_propagation_q,
         "host_graph": host_graph_q,
         "triangle_count": triangle_count_q,
@@ -8572,6 +8605,35 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY w.doc_id, w.pos
     """
     out["pagerank"] = _pagerank_oracle_sql(iters=8, damping=0.85)
+    # identical deterministic graph; recursive-CTE BFS to min pair
+    # distances, then the cumulative pair count per hop (self-pairs at
+    # d=0 included, the standard neighborhood-function convention)
+    out["neighborhood_function"] = """
+        WITH RECURSIVE n AS (
+            SELECT DISTINCT event_id % 60 AS u FROM events
+        ),
+        e AS (
+            SELECT u, (u + 1) % 60 AS v FROM n
+            UNION
+            SELECT u, (u * 7) % 60 AS v FROM n WHERE u % 3 = 0
+            UNION
+            SELECT u, (u + 13) % 60 AS v FROM n WHERE u % 5 = 0
+        ),
+        e2 AS (SELECT u, v FROM e WHERE u <> v),
+        reach(u, v, d) AS (
+            SELECT u, u, 0 FROM n
+            UNION
+            SELECT r.u, e2.v, r.d + 1
+            FROM reach r JOIN e2 ON e2.u = r.v
+            WHERE r.d < 6
+        ),
+        md AS (SELECT u, v, min(d) AS d FROM reach GROUP BY u, v),
+        hops AS (SELECT unnest(range(0, 7)) AS hop)
+        SELECT CAST(hop AS INT) AS hop,
+               (SELECT count(*) FROM md WHERE md.d <= hops.hop)
+                   AS n_pairs
+        FROM hops ORDER BY hop
+    """
     out["label_propagation"] = _lpa_oracle_sql(iters=4)
     out["anchor_text"] = """
         WITH links AS (
