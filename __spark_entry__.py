@@ -3940,6 +3940,37 @@ def neighborhood_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hop")
 
 
+def effective_diameter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated 0.9-effective diameter (operators/graphops.py
+    effective_diameter, ANF/KDD-2002 statistic) of the same
+    deterministic 60-node graph as neighborhood_function — the oracle
+    replays the recursive BFS curve AND the interpolation arithmetic,
+    so the crossing-step selection and the 4dp rounding are both under
+    the hash check."""
+    from smart_crawler_spark.operators.graphops import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 60).alias("u"))
+        .distinct()
+    )
+    ring = u.select("u", ((F.col("u") + 1) % 60).alias("v"))
+    chord7 = u.filter(F.col("u") % 3 == 0).select(
+        "u", ((F.col("u") * 7) % 60).alias("v")
+    )
+    chord13 = u.filter(F.col("u") % 5 == 0).select(
+        "u", ((F.col("u") + 13) % 60).alias("v")
+    )
+    edges = ring.unionAll(chord7).unionAll(chord13).filter(
+        F.col("u") != F.col("v")
+    )
+    nf = neighborhood_function(edges, max_hops=10, src="u", dst="v")
+    return effective_diameter(nf, q=0.9)
+
+
 def host_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web-graph rollup (operators/graphops.py host_graph):
     the URL link table collapses to (src_host, dst_host) edges with
@@ -4878,6 +4909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": vocab_encode_docs,
         "pagerank": pagerank_graph,
         "neighborhood_function": neighborhood_function_q,
+        "effective_diameter": effective_diameter_q,
         "label_propagation": label_propagation_q,
         "host_graph": host_graph_q,
         "triangle_count": triangle_count_q,
@@ -8633,6 +8665,50 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM md WHERE md.d <= hops.hop)
                    AS n_pairs
         FROM hops ORDER BY hop
+    """
+    # same recursive BFS curve (to hop 10) + the ANF interpolation:
+    # d_eff = (h-1) + (target - N(h-1)) / (N(h) - N(h-1))
+    out["effective_diameter"] = """
+        WITH RECURSIVE n AS (
+            SELECT DISTINCT event_id % 60 AS u FROM events
+        ),
+        e AS (
+            SELECT u, (u + 1) % 60 AS v FROM n
+            UNION
+            SELECT u, (u * 7) % 60 AS v FROM n WHERE u % 3 = 0
+            UNION
+            SELECT u, (u + 13) % 60 AS v FROM n WHERE u % 5 = 0
+        ),
+        e2 AS (SELECT u, v FROM e WHERE u <> v),
+        reach(u, v, d) AS (
+            SELECT u, u, 0 FROM n
+            UNION
+            SELECT r.u, e2.v, r.d + 1
+            FROM reach r JOIN e2 ON e2.u = r.v
+            WHERE r.d < 10
+        ),
+        md AS (SELECT u, v, min(d) AS d FROM reach GROUP BY u, v),
+        hops AS (SELECT unnest(range(0, 11)) AS hop),
+        curve AS (
+            SELECT CAST(hop AS INT) AS hop,
+                   (SELECT count(*) FROM md WHERE md.d <= hops.hop)
+                       AS n_pairs
+            FROM hops
+        ),
+        t AS (SELECT 0.9 * max(n_pairs) AS target FROM curve),
+        x AS (
+            SELECT hop, n_pairs,
+                   lag(n_pairs) OVER (ORDER BY hop) AS prev
+            FROM curve
+        )
+        SELECT 0.9 AS q,
+               round(CASE WHEN hop = 0 THEN 0.0
+                     ELSE (hop - 1)
+                          + ((SELECT target FROM t) - prev)
+                            / (n_pairs - prev) END, 4) AS eff_diameter
+        FROM x
+        WHERE n_pairs >= (SELECT target FROM t)
+        ORDER BY hop LIMIT 1
     """
     out["label_propagation"] = _lpa_oracle_sql(iters=4)
     out["anchor_text"] = """

@@ -866,3 +866,40 @@ def hyperball_neighborhood(
     return spark.createDataFrame(
         [(h, round(v, 3)) for h, v in out], "hop int, nf_est double"
     )
+
+
+def effective_diameter(
+    nf: DataFrame, q: float = 0.9
+) -> DataFrame:
+    """Interpolated effective diameter from a neighborhood-function
+    curve (Palmer/Gibbons/Faloutsos ANF, KDD 2002; the
+    "90% of connected pairs within d hops" headline statistic): the
+    smallest h with N(h) >= q * N(max), linearly interpolated inside
+    the crossing step:
+
+        d_eff = (h - 1) + (q*N_max - N(h-1)) / (N(h) - N(h-1))
+
+    (h = 0 crossing reports 0.0 — the quantile is already met by the
+    self-pairs.) Input is any (hop, n_pairs) frame —
+    ``neighborhood_function``'s exact curve or the rounded HyperBall
+    estimate; the arithmetic is a couple of window expressions over a
+    max_hops-row frame (metadata scale). Output: one row
+    (q, eff_diameter) rounded 4dp."""
+    w = Window.orderBy("hop")
+    tot = nf.agg(F.max("n_pairs").alias("_nmax"))
+    steps = (
+        nf.crossJoin(F.broadcast(tot))
+        .withColumn("_prev", F.lag("n_pairs").over(w))
+        .withColumn("_target", F.lit(q) * F.col("_nmax"))
+        .filter(F.col("n_pairs") >= F.col("_target"))
+        .orderBy("hop")
+        .limit(1)
+    )
+    d = F.when(F.col("hop") == 0, F.lit(0.0)).otherwise(
+        (F.col("hop") - 1)
+        + (F.col("_target") - F.col("_prev"))
+        / (F.col("n_pairs") - F.col("_prev"))
+    )
+    return steps.select(
+        F.lit(q).alias("q"), F.round(d, 4).alias("eff_diameter")
+    )

@@ -298,3 +298,23 @@ def test_hyperball_tracks_exact_neighborhood(spark):
             assert rel < 0.15, (seed, h, est[h], exact[h])
         # the estimated curve is monotone like the true one
         assert all(est[h + 1] >= est[h] - 1e-9 for h in range(5))
+
+
+def test_effective_diameter_interpolation(spark):
+    """Hand curve: N = [4, 9, 14, 16] (the 4-ring + chord graph).
+    q=0.9 -> target 14.4, crossing between hops 2 and 3:
+    d = 2 + (14.4-14)/(16-14) = 2.2; q=0.25 -> target 4.0 met at hop 0."""
+    from smart_crawler_spark.operators.graphops import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src long, dst long"
+    )
+    nf = neighborhood_function(e, max_hops=4)
+    row = effective_diameter(nf, q=0.9).collect()[0]
+    assert row["q"] == 0.9
+    assert abs(row["eff_diameter"] - 2.2) < 1e-9
+    row0 = effective_diameter(nf, q=0.25).collect()[0]
+    assert row0["eff_diameter"] == 0.0
