@@ -163,6 +163,10 @@ def test_priority_off_is_byte_identical(spark, tmp_path):
         (3, 2, 2, 10, 0.4),
         (23, 3, 1, 8, 0.34),
         (10, 1, 3, 14, 1.0),
+        # widened sweep: redirect-heavy seed, trust floor (0.0 -> min 1
+        # slot), and a larger-budget drain regime
+        (47, 2, 1, 12, 0.0),
+        (5, 4, 2, 9, 0.6),
     ],
 )
 def test_priority_mode_equals_oracle(
