@@ -333,7 +333,17 @@ class CrawlEngine:
             snap = self.checkpoint.latest()
             if snap is None:
                 raise RuntimeError("resume requested but no committed snapshot")
-            frontier = self.checkpoint.resume_frontier(snap).localCheckpoint()
+            frontier = self.checkpoint.resume_frontier(snap)
+            # mode-switch resume: a parity snapshot resumed in priority
+            # mode enters with staleness 0 (history restarts with the
+            # visit-stats part, which such snapshots also lack); a
+            # priority snapshot resumed in parity mode drops the column
+            # (the parity engine reads none of it)
+            if cfg.priority_mode and "staleness" not in frontier.columns:
+                frontier = frontier.withColumn("staleness", F.lit(0.0))
+            elif not cfg.priority_mode and "staleness" in frontier.columns:
+                frontier = frontier.drop("staleness")
+            frontier = frontier.localCheckpoint()
             # the snapshot's shard column was computed with the WRITING
             # run's cfg.bloom.shards — recompute under THIS run's config
             # so a changed shard count can't silently break the exact
@@ -356,13 +366,26 @@ class CrawlEngine:
                     else self.spark.createDataFrame([], VISIT_STATS_SCHEMA)
                 )
             if cfg.recrawl_after_rounds:
-                rc_pool = (
-                    snap.recrawl_pool.localCheckpoint(eager=True)
-                    if snap.recrawl_pool is not None
-                    else self.spark.createDataFrame(
+                if snap.recrawl_pool is not None:
+                    rc_pool = snap.recrawl_pool
+                    # same mode-switch alignment as the frontier above
+                    if (
+                        cfg.priority_mode
+                        and "staleness" not in rc_pool.columns
+                    ):
+                        rc_pool = rc_pool.withColumn(
+                            "staleness", F.lit(0.0)
+                        )
+                    elif (
+                        not cfg.priority_mode
+                        and "staleness" in rc_pool.columns
+                    ):
+                        rc_pool = rc_pool.drop("staleness")
+                    rc_pool = rc_pool.localCheckpoint(eager=True)
+                else:
+                    rc_pool = self.spark.createDataFrame(
                         [], frontier.schema
                     ).withColumn("dispatch_round", F.lit(0))
-                )
             # sink rows at/after the resume point were appended by the
             # crashed run AFTER this snapshot was taken — the resumed
             # rounds re-append them, so drop them first. A mid-round

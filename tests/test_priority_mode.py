@@ -391,3 +391,44 @@ def test_ranged_rank_agrees_under_priority_order(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_mode_switch_resume(spark, tmp_path):
+    """Resuming a snapshot across a mode switch must not break on the
+    staleness column: parity snapshot -> priority resume enters with
+    staleness 0 (fresh history); priority snapshot -> parity resume
+    drops the column and runs the plain engine."""
+    model, rows, seed_url = make_random_site(23)
+    rows = churn_rows(rows, 23)
+    pages_df = spark.createDataFrame(rows, PRIO_SCHEMA)
+    base = dict(
+        budget_per_host=2, recrawl_after_rounds=2, checkpoint_every=1
+    )
+
+    # parity run for 3 rounds, resume in PRIORITY mode
+    wd1 = str(tmp_path / "sw1")
+    CrawlEngine(
+        spark, pages_df, model, wd1,
+        EngineConfig(**base, max_rounds=3),
+    ).run([seed_url])
+    res_p = CrawlEngine(
+        spark, pages_df, model, wd1,
+        EngineConfig(**base, max_rounds=6, priority_mode=True),
+    ).run(resume=True)
+    assert res_p.rounds == 6
+    assert "staleness" in res_p.frontier.columns
+    assert res_p.order.filter("round > 3").count() > 0
+
+    # priority run for 3 rounds, resume in PARITY mode
+    wd2 = str(tmp_path / "sw2")
+    CrawlEngine(
+        spark, pages_df, model, wd2,
+        EngineConfig(**base, max_rounds=3, priority_mode=True),
+    ).run([seed_url])
+    res_q = CrawlEngine(
+        spark, pages_df, model, wd2,
+        EngineConfig(**base, max_rounds=6),
+    ).run(resume=True)
+    assert res_q.rounds == 6
+    assert "staleness" not in res_q.frontier.columns
+    assert res_q.order.filter("round > 3").count() > 0
