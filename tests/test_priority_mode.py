@@ -432,3 +432,31 @@ def test_mode_switch_resume(spark, tmp_path):
     assert res_q.rounds == 6
     assert "staleness" not in res_q.frontier.columns
     assert res_q.order.filter("round > 3").count() > 0
+
+
+def test_priority_mode_with_cuckoo_filter(spark, tmp_path):
+    """Priority mode + recrawl over the CUCKOO seen-filter path: expiry
+    deletes fingerprints from active bitmap shards while the
+    prioritized pick reorders rounds — the dedup path and the
+    scheduling path must stay independent (oracle-exact output, real
+    filter_deletes metrics)."""
+    from smart_crawler_spark.frontier.dedup import BloomConfig
+
+    model, rows, seed_url = make_random_site(3)
+    rows = churn_rows(rows, 3)
+    pages_df = spark.createDataFrame(rows, PRIO_SCHEMA)
+    cfg = EngineConfig(
+        budget_per_host=2, recrawl_after_rounds=2, max_rounds=10,
+        priority_mode=True, use_bloom=True,
+        bloom=BloomConfig(kind="cuckoo", shards=4, cuckoo_buckets=1 << 8),
+    )
+    eng = CrawlEngine(spark, pages_df, model, str(tmp_path / "pcf"), cfg)
+    res = eng.run([seed_url])
+    want = crawl_site_prioritized(
+        {r["url"]: r for r in rows}, model, [seed_url],
+        budget=2, recrawl_after_rounds=2, max_rounds=10,
+    )
+    assert sum(m["expired"] for m in want.rounds) > 0
+    compare_to_oracle(spark, res, want)
+    # the cuckoo shards took real deletes
+    assert sum(m.get("filter_deletes", 0) for m in res.metrics) > 0
